@@ -1,0 +1,350 @@
+"""Vicon Nexus CSV ingest: header sniffing + bulk numeric decode.
+
+The reference implementation parses the file cell-by-cell through a
+Python state machine (reference: src/muscle_synergies/vicon_data/
+reader.py, aggregator.py, load_csv.py).  The grammar, however, is fixed:
+
+    section 1:  "Devices"      <- section type line
+                <int>          <- sampling frequency (forces/EMG rate)
+                device headers <- one header every 3 columns, cols 0-1 blank
+                coordinates    <- column labels; defines the column count
+                units          <- physical units per column
+                data rows...   <- floats; empty cell means missing (NaN)
+                blank row
+    section 2:  "Trajectories" (same 5-line header + data rows)
+
+so this parser sniffs the five header lines per section and decodes the
+whole numeric block at once with pandas' C reader, landing each device
+as a dense float64 array.  Semantics match the reference exactly:
+
+- one device header every 3rd column starting at column 2
+  (reference reader.py:380-443);
+- in the Devices section every header except the last belongs to a
+  force plate; headers come in "<name> - Force/Moment/CoP" triplets
+  that are merged into one 9-column device named by the text before
+  the first "-" (reference reader.py:446-516, 667-736);
+- the last Devices header is the EMG device, spanning every column
+  from its own to the end of the coordinates line
+  (reference reader.py:723-736, aggregator.py:104-128);
+- trajectory markers span 3 columns each (reference reader.py:757);
+- the coordinates line, pruned of trailing blanks, fixes the column
+  count for the rest of the section (reference reader.py:772-794);
+- empty data cells decode as NaN (reference reader.py:927-955);
+- parse errors report the 1-based line number
+  (reference load_csv.py:128-134).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import pandas as pd
+
+from ..data import DeviceData, DeviceType, ViconNexusData
+from ..frames import ForcesEMGFrameTracker, SamplingFreq, TrajFrameTracker
+
+__all__ = ["load_vicon_file", "ViconCSVError"]
+
+
+class ViconCSVError(ValueError):
+    """Raised when a Vicon Nexus CSV file does not match the grammar."""
+
+
+@dataclass
+class _DeviceSpec:
+    """A device discovered in the devices line: name, type, column span."""
+
+    name: str
+    device_type: DeviceType
+    first_col: int
+    last_col: int  # inclusive
+
+
+@dataclass
+class _Section:
+    """One parsed section of the file."""
+
+    section_type: str
+    frequency: int
+    devices: List[_DeviceSpec]
+    coords: List[str]
+    units: List[str]
+    data: np.ndarray  # (num_rows, num_cols) float64, NaN for blanks
+
+
+def _split_cells(line: str) -> List[str]:
+    return line.split(",")
+
+
+def _prune_trailing(cells: List[str]) -> List[str]:
+    """Strip each cell and drop trailing empty cells."""
+    cells = [c.strip() for c in cells]
+    while cells and not cells[-1]:
+        cells.pop()
+    return cells
+
+
+def _is_blank(line: str) -> bool:
+    return line.replace(",", "").strip() == ""
+
+
+def _err(lineno: int, message: str) -> ViconCSVError:
+    return ViconCSVError(f"error parsing line {lineno} of file: {message}")
+
+
+def _parse_header_line(cells: List[str], lineno: int) -> List[Tuple[int, str]]:
+    """Find device headers: one every 3 columns, starting at column 2."""
+    if len(cells) < 3 or cells[0] or cells[1]:
+        raise _err(
+            lineno,
+            "devices line should contain two blank columns then one device "
+            "name every 3 columns",
+        )
+    headers = []
+    for col in range(2, len(cells), 3):
+        name = cells[col]
+        if not name:
+            raise _err(lineno, f"expected a device name in column {col}")
+        headers.append((col, name))
+        for filler in cells[col + 1 : col + 3]:
+            if filler:
+                raise _err(
+                    lineno,
+                    "devices line should contain one device name every 3 "
+                    "columns with blanks in between",
+                )
+    return headers
+
+
+def _force_plate_name(header: str) -> str:
+    """Device name of a force-plate header such as "<name> - Force".
+
+    Mirrors the reference renaming (reader.py:509-516): everything
+    before the first "-", minus the trailing space.
+    """
+    return header.split("-")[0][:-1]
+
+
+def _devices_from_forces_emg_headers(
+    headers: List[Tuple[int, str]], num_cols: int, lineno: int
+) -> List[_DeviceSpec]:
+    if not headers:
+        raise _err(lineno, "no device headers found in Devices section")
+    plate_headers, (emg_col, emg_name) = headers[:-1], headers[-1]
+    if len(plate_headers) % 3 != 0:
+        raise _err(
+            lineno,
+            "expected force-plate headers to come in Force/Moment/CoP "
+            f"triplets before the EMG device, found {len(plate_headers)}",
+        )
+    devices = []
+    for i in range(0, len(plate_headers), 3):
+        col, header = plate_headers[i]
+        devices.append(
+            _DeviceSpec(
+                name=_force_plate_name(header),
+                device_type=DeviceType.FORCE_PLATE,
+                first_col=col,
+                last_col=col + 8,
+            )
+        )
+    devices.append(
+        _DeviceSpec(
+            name=emg_name,
+            device_type=DeviceType.EMG,
+            first_col=emg_col,
+            last_col=num_cols - 1,
+        )
+    )
+    return devices
+
+
+def _devices_from_traj_headers(
+    headers: List[Tuple[int, str]],
+) -> List[_DeviceSpec]:
+    return [
+        _DeviceSpec(
+            name=name,
+            device_type=DeviceType.TRAJECTORY_MARKER,
+            first_col=col,
+            last_col=col + 2,
+        )
+        for col, name in headers
+    ]
+
+
+def _decode_data_block(
+    lines: List[str], num_cols: int, first_lineno: int
+) -> np.ndarray:
+    """Bulk-decode the numeric block of a section into float64.
+
+    Empty cells become NaN.  Columns beyond ``num_cols`` are ignored
+    (they are padding in the Vicon export).
+    """
+    if not lines:
+        return np.empty((0, num_cols), dtype=float)
+    try:
+        frame = pd.read_csv(
+            io.StringIO("\n".join(lines)),
+            header=None,
+            dtype=float,
+            na_filter=True,
+            engine="c",
+        )
+    except Exception as exc:
+        raise _err(first_lineno, f"could not decode data block: {exc}") from exc
+    arr = frame.to_numpy(dtype=float)
+    if arr.shape[1] < num_cols:
+        padded = np.full((arr.shape[0], num_cols), np.nan)
+        padded[:, : arr.shape[1]] = arr
+        return padded
+    return arr[:, :num_cols]
+
+
+def _parse_section(
+    lines: List[str], start_lineno: int, expected_type: str
+) -> _Section:
+    """Parse one section (5 header lines + data block)."""
+    if len(lines) < 5:
+        raise _err(start_lineno, "section is too short (expected 5 header lines)")
+
+    type_cells = _prune_trailing(_split_cells(lines[0]))
+    if type_cells != [expected_type]:
+        raise _err(
+            start_lineno,
+            f"expected section type line containing only {expected_type!r}, "
+            f"got {type_cells!r}",
+        )
+
+    freq_cells = _prune_trailing(_split_cells(lines[1]))
+    if len(freq_cells) != 1:
+        raise _err(
+            start_lineno + 1,
+            "sampling frequency line should contain a single value",
+        )
+    try:
+        frequency = int(freq_cells[0])
+    except ValueError as exc:
+        raise _err(start_lineno + 1, f"invalid sampling frequency: {exc}") from exc
+
+    headers = _parse_header_line(
+        _prune_trailing(_split_cells(lines[2])), start_lineno + 2
+    )
+
+    coords = _prune_trailing(_split_cells(lines[3]))
+    num_cols = len(coords)
+
+    # The units line is truncated to the column count but otherwise taken
+    # verbatim (reference reader.py:797-836 keeps cells unstripped).
+    units = _split_cells(lines[4])[:num_cols]
+
+    if expected_type == "Devices":
+        devices = _devices_from_forces_emg_headers(
+            headers, num_cols, start_lineno + 2
+        )
+    else:
+        devices = _devices_from_traj_headers(headers)
+
+    data = _decode_data_block(lines[5:], num_cols, start_lineno + 5)
+    return _Section(expected_type, frequency, devices, coords, units, data)
+
+
+def _split_into_sections(lines: List[str]) -> List[Tuple[int, List[str]]]:
+    """Split file lines into (1-based start line, section lines) chunks."""
+    sections = []
+    current: List[str] = []
+    current_start = 1
+    for i, line in enumerate(lines, start=1):
+        if _is_blank(line):
+            if current:
+                sections.append((current_start, current))
+                current = []
+            current_start = i + 1
+        else:
+            if not current:
+                current_start = i
+            current.append(line)
+    if current:
+        sections.append((current_start, current))
+    return sections
+
+
+def parse_vicon_csv(csv_filename: Union[str, os.PathLike]) -> List[_Section]:
+    """Parse the file into its two sections (Devices, Trajectories)."""
+    with open(csv_filename, "r", newline="") as stream:
+        lines = stream.read().splitlines()
+    chunks = _split_into_sections(lines)
+    if len(chunks) != 2:
+        raise ViconCSVError(
+            f"expected 2 sections (Devices, Trajectories), found {len(chunks)}"
+        )
+    (start1, lines1), (start2, lines2) = chunks
+    section1 = _parse_section(lines1, start1, "Devices")
+    section2 = _parse_section(lines2, start2, "Trajectories")
+    return [section1, section2]
+
+
+def _build_device(
+    spec: _DeviceSpec,
+    section: _Section,
+    frame_tracker,
+) -> DeviceData:
+    sl = slice(spec.first_col, spec.last_col + 1)
+    return DeviceData(
+        device_name=spec.name,
+        device_type=spec.device_type,
+        units=section.units[sl],
+        frame_tracker=frame_tracker,
+        array=section.data[:, sl],
+        coords=section.coords[sl],
+    )
+
+
+def load_vicon_file(csv_filename: Union[str, os.PathLike]) -> ViconNexusData:
+    """Load the CSV file exported by Vicon Nexus.
+
+    Entry point mirroring the reference ``load_vicon_file``
+    (reference load_csv.py:96-135): returns a :class:`ViconNexusData`
+    with force plates, the single EMG device and trajectory markers.
+
+    Raises:
+        ViconCSVError: if the file does not follow the expected grammar
+            (the message includes the 1-based line number) or if the
+            number of EMG devices is not exactly one.
+    """
+    forces_emg, traj = parse_vicon_csv(csv_filename)
+
+    sampling_freq = SamplingFreq(
+        freq_forces_emg=forces_emg.frequency,
+        freq_traj=traj.frequency,
+        num_frames=traj.data.shape[0],
+    )
+    fast_tracker = ForcesEMGFrameTracker(sampling_freq)
+    slow_tracker = TrajFrameTracker(sampling_freq)
+
+    forcepl = [
+        _build_device(spec, forces_emg, fast_tracker)
+        for spec in forces_emg.devices
+        if spec.device_type is DeviceType.FORCE_PLATE
+    ]
+    emg_devices = [
+        _build_device(spec, forces_emg, fast_tracker)
+        for spec in forces_emg.devices
+        if spec.device_type is DeviceType.EMG
+    ]
+    if len(emg_devices) != 1:
+        raise ViconCSVError(
+            f"found {len(emg_devices)} EMG devices - expected one"
+        )
+    markers = [_build_device(spec, traj, slow_tracker) for spec in traj.devices]
+
+    return ViconNexusData(
+        forcepl=forcepl,
+        emg=emg_devices[0],
+        traj=markers,
+        sampling_freq=sampling_freq,
+    )
