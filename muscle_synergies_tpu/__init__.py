@@ -7,13 +7,27 @@ batched/sharded array pipelines, fused NMF solvers, and mesh-parallel
 execution.
 """
 
+from . import analysis, ops
+from .analysis import (
+    digital_filter,
+    fft_spectrum,
+    linear_envelope,
+    normalize,
+    rms,
+    subsample,
+    time_normalize,
+    vaf,
+    zero_center,
+)
 from .data import DeviceData, DeviceType, ViconNexusData
 from .frames import ForcesEMGFrameTracker, FrameSubfr, SamplingFreq, TrajFrameTracker
 from .io import ViconCSVError, load_vicon_file
+from .viz import plot_fft, plot_signal, synergy_heatmap
 
 __version__ = "0.1.0"
 
 __all__ = [
+    # data model + ingest
     "DeviceData",
     "DeviceType",
     "ViconNexusData",
@@ -23,4 +37,21 @@ __all__ = [
     "TrajFrameTracker",
     "load_vicon_file",
     "ViconCSVError",
+    # analysis
+    "zero_center",
+    "digital_filter",
+    "linear_envelope",
+    "rms",
+    "normalize",
+    "subsample",
+    "time_normalize",
+    "fft_spectrum",
+    "vaf",
+    # viz
+    "plot_signal",
+    "plot_fft",
+    "synergy_heatmap",
+    # submodules
+    "analysis",
+    "ops",
 ]

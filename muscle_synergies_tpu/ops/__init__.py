@@ -1,0 +1,31 @@
+"""Array-level signal-processing ops (pure JAX, jit/vmap-ready)."""
+
+from .emg import (
+    digital_filter,
+    fft_spectrum,
+    linear_envelope,
+    moving_rms,
+    normalize,
+    rectify,
+    subsample,
+    time_normalize,
+    zero_center,
+)
+from .filters import default_padlen, sos_design, sosfilt, sosfilt_zi, sosfiltfilt
+
+__all__ = [
+    "zero_center",
+    "rectify",
+    "digital_filter",
+    "linear_envelope",
+    "moving_rms",
+    "normalize",
+    "subsample",
+    "time_normalize",
+    "fft_spectrum",
+    "sos_design",
+    "sosfilt",
+    "sosfilt_zi",
+    "sosfiltfilt",
+    "default_padlen",
+]

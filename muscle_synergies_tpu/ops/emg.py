@@ -1,0 +1,213 @@
+"""EMG preprocessing as pure JAX array transforms.
+
+Array-level core of the analysis layer: every function takes a
+``(num_samples, num_channels)`` block (time major), is jit-friendly and
+vmaps over leading trial axes, so whole multi-trial datasets preprocess
+in one fused XLA computation on TPU.
+
+Capability parity with the reference analysis functions
+(reference: src/muscle_synergies/analysis.py):
+
+- :func:`zero_center`      <- analysis.py:230-249
+- :func:`rectify`          (the ``abs`` step of analysis.py:252-311)
+- :func:`linear_envelope`  <- analysis.py:252-311
+- :func:`moving_rms`       <- analysis.py:435-507
+- :func:`normalize`        <- analysis.py:510-525
+- :func:`subsample`        <- analysis.py:528-548 (documented
+  behavior: keep every i-th row; the reference implementation has a
+  latent bug making it a head-slice — this framework implements the
+  documented decimation)
+- :func:`time_normalize`   <- analysis.py:551-594
+- :func:`fft_spectrum`     <- analysis.py:165-198
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .filters import sos_design, sosfiltfilt, sosfilt
+
+__all__ = [
+    "zero_center",
+    "rectify",
+    "digital_filter",
+    "linear_envelope",
+    "moving_rms",
+    "normalize",
+    "subsample",
+    "time_normalize",
+    "fft_spectrum",
+]
+
+
+def zero_center(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Subtract each channel's mean (time axis defaults to 0)."""
+    x = jnp.asarray(x)
+    return x - jnp.mean(x, axis=axis, keepdims=True)
+
+
+def rectify(x: jnp.ndarray) -> jnp.ndarray:
+    """Full-wave rectification."""
+    return jnp.abs(x)
+
+
+def digital_filter(
+    x: jnp.ndarray,
+    critical_freqs: Union[float, Sequence[float]],
+    sampling_frequency: float,
+    order: int,
+    filter_type: str = "butter",
+    band_type: str = "lowpass",
+    zero_lag: bool = True,
+    cheby_param: Optional[float] = None,
+) -> jnp.ndarray:
+    """Butterworth/Chebyshev filtering of a ``(N, C)`` block.
+
+    ``zero_lag=True`` applies the filter forward and backward
+    (zero-phase, scipy ``sosfiltfilt`` semantics); otherwise a single
+    causal pass.
+    """
+    sos = sos_design(
+        order,
+        critical_freqs,
+        sampling_frequency,
+        filter_type=filter_type,
+        band_type=band_type,
+        cheby_param=cheby_param,
+    )
+    if zero_lag:
+        return sosfiltfilt(sos, x)
+    return sosfilt(sos, x)
+
+
+def linear_envelope(
+    x: jnp.ndarray,
+    critical_freqs: Union[float, Sequence[float]],
+    sampling_frequency: float,
+    order: int,
+    filter_type: str = "butter",
+    zero_lag: bool = True,
+    cheby_param: Optional[float] = None,
+    zero_center_: bool = True,
+) -> jnp.ndarray:
+    """Linear envelope: (zero-center) -> rectify -> low-pass filter."""
+    if zero_center_:
+        x = zero_center(x)
+    return digital_filter(
+        rectify(x),
+        critical_freqs=critical_freqs,
+        sampling_frequency=sampling_frequency,
+        order=order,
+        filter_type=filter_type,
+        band_type="lowpass",
+        zero_lag=zero_lag,
+        cheby_param=cheby_param,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def _moving_rms_jit(x, window):
+    square = x * x
+    kernel = jnp.ones((window,), dtype=x.dtype) / window
+
+    def per_channel(col):
+        return jnp.convolve(col, kernel, mode="same")
+
+    mean_sq = jax.vmap(per_channel, in_axes=1, out_axes=1)(square)
+    return jnp.sqrt(mean_sq)
+
+
+def moving_rms(
+    x: jnp.ndarray,
+    window_size: Union[int, float],
+    sampling_frequency: Optional[float] = None,
+) -> jnp.ndarray:
+    """Moving-window RMS, stride 1, same-length output.
+
+    Matches the reference semantics exactly: square, convolve with a
+    length-``window`` averaging kernel in ``"same"`` mode (zero-padded
+    edges, so edge windows are divided by the full window size), then
+    square root.
+
+    Args:
+        window_size: window in samples, or in seconds when
+            ``sampling_frequency`` is given (``round(size * fs)``).
+    """
+    if sampling_frequency is not None:
+        window = int(round(window_size * sampling_frequency))
+    else:
+        window = int(window_size)
+    if window < 1:
+        raise ValueError(f"window must contain at least one sample, got {window}")
+    x2 = jnp.asarray(x)
+    squeeze = x2.ndim == 1
+    if squeeze:
+        x2 = x2[:, None]
+    out = _moving_rms_jit(x2, window)
+    return out[:, 0] if squeeze else out
+
+
+def normalize(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Divide each channel by its maximum absolute value."""
+    x = jnp.asarray(x)
+    return x / jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+
+
+def subsample(x: jnp.ndarray, keep_every: Optional[int] = None) -> jnp.ndarray:
+    """Keep every ``keep_every``-th sample along the time axis.
+
+    Note: this implements the reference's *documented* behavior
+    (decimation).  The reference code (analysis.py:548) slices
+    ``iloc[0:keep_every]`` — a head-slice — which its own docstring
+    contradicts; the decimation semantics are kept here.
+    """
+    if keep_every is None:
+        return jnp.asarray(x)
+    return jnp.asarray(x)[::keep_every]
+
+
+@functools.partial(jax.jit, static_argnames=("reduce_to",))
+def _time_normalize_jit(x, reduce_to):
+    n = x.shape[0]
+    src = jnp.linspace(0.0, 1.0, n)
+    dst = jnp.linspace(0.0, 1.0, reduce_to)
+
+    def per_channel(col):
+        return jnp.interp(dst, src, col)
+
+    return jax.vmap(per_channel, in_axes=1, out_axes=1)(x)
+
+
+def time_normalize(x: jnp.ndarray, reduce_to: int) -> jnp.ndarray:
+    """Linearly resample the block onto ``reduce_to`` points in [0, 1].
+
+    The output time base is ``linspace(0, 1, reduce_to)`` (normalized
+    gait-cycle time).  Only linear interpolation is supported in the
+    array core; the pandas layer falls back to scipy for other kinds.
+    """
+    x2 = jnp.asarray(x)
+    squeeze = x2.ndim == 1
+    if squeeze:
+        x2 = x2[:, None]
+    out = _time_normalize_jit(x2, reduce_to)
+    return out[:, 0] if squeeze else out
+
+
+def fft_spectrum(x: jnp.ndarray, sampling_frequency: float):
+    """Amplitude spectrum at strictly positive frequencies.
+
+    Returns:
+        ``(freqs, amplitudes)``: frequencies in the units of
+        ``sampling_frequency`` and ``|FFT|`` per channel.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    freqs = np.fft.fftfreq(n, d=1.0 / sampling_frequency)
+    positive = freqs > 0
+    spectrum = jnp.abs(jnp.fft.fft(x, axis=0)[positive])
+    return freqs[positive], spectrum

@@ -1,0 +1,97 @@
+"""Plotting helpers mirroring the reference's visual API.
+
+Capability parity with the reference (src/muscle_synergies/analysis.py):
+- :func:`plot_signal`     <- analysis.py:33-107
+- :func:`synergy_heatmap` <- analysis.py:110-139
+- :func:`plot_fft`        <- analysis.py:142-162
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import pandas
+
+from .analysis import fft_spectrum
+
+
+def plot_signal(
+    signal_df: pandas.DataFrame,
+    *,
+    title: str = "",
+    plot_dims: Optional[Tuple[int, int]] = None,
+    xlabel: str = "time (s)",
+    ylabel: str = "V",
+    xticks_off: bool = False,
+    figsize: Tuple[int, int] = (18, 10),
+    suptitle_fontsize: int = 20,
+    show: bool = True,
+    **plot_kwargs,
+):
+    """Plot each column of ``signal_df`` as its own subplot.
+
+    ``plot_dims`` sets the subplot grid (defaults to one column);
+    ``show=True`` displays the figure and returns ``None``, otherwise
+    the figure is returned for further customization.
+    """
+    import matplotlib.pyplot as plt
+
+    if plot_dims is None:
+        plot_dims = signal_df.shape[1], 1
+    if len(signal_df.columns) != int(np.prod(plot_dims)):
+        raise ValueError(
+            f"plot_dims {plot_dims} does not match "
+            f"{len(signal_df.columns)} columns"
+        )
+    fig, axs = plt.subplots(plot_dims[0], plot_dims[1], figsize=figsize)
+    axs = np.atleast_1d(axs)
+    if axs.ndim == 1:
+        axs = np.expand_dims(axs, axis=1)
+    for ax, col in zip(axs.flat, signal_df.columns):
+        signal_df[col].plot(ax=ax, **plot_kwargs)
+        ax.set_title(col)
+        if xticks_off:
+            ax.set_xticks([])
+        ax.set(xlabel=xlabel)
+    fig.suptitle(title, fontsize=suptitle_fontsize)
+    for row in range(min(2, axs.shape[0])):
+        axs[row, 0].set_ylabel(ylabel)
+
+    if show:  # pragma: no cover - interactive path
+        plt.show()
+        return None
+    return fig
+
+
+def synergy_heatmap(
+    components: pandas.DataFrame,
+    synergy_names: Optional[Sequence[str]] = None,
+    show: bool = True,
+):
+    """Annotated heatmap of synergy components (one synergy per row)."""
+    import matplotlib.pyplot as plt
+    import seaborn as sns
+
+    fig, ax = plt.subplots()
+    num_synergies = components.shape[0]
+    if synergy_names is None:
+        synergy_names = [f"synergy {i}" for i in range(1, num_synergies + 1)]
+    sns.heatmap(components, annot=True, fmt=".2f", ax=ax, yticklabels=synergy_names)
+    ax.set_title("Heatmap of muscle synergies")
+
+    if show:  # pragma: no cover - interactive path
+        plt.show()
+        return None
+    return fig
+
+
+def plot_fft(
+    signal_df: pandas.DataFrame,
+    sampling_frequency: int,
+    xlabel: str = "frequency",
+    **kwargs,
+):
+    """Plot the positive-frequency amplitude spectrum of each column."""
+    spectrum_df = fft_spectrum(signal_df, sampling_frequency)
+    return plot_signal(spectrum_df, xlabel=xlabel, **kwargs)

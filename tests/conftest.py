@@ -1,15 +1,20 @@
-"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+"""Test configuration: run JAX on a local virtual 8-device CPU mesh.
 
 Tests exercise the distributed code paths without TPU hardware by
 forcing the CPU platform with 8 virtual devices.  float64 is enabled so
 numerical parity tests against scipy/sklearn can compare at tight
 tolerances; library code is dtype-explicit, so this does not change the
 TPU execution path.
+
+Note: this sandbox presets ``JAX_PLATFORMS=axon`` (a remote-TPU PJRT
+plugin loaded from ``sitecustomize`` before this file runs), so the
+platform must be overridden through ``jax.config``, not the
+environment.  The XLA flag below still works because the CPU client is
+created lazily, after this conftest is imported.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,4 +23,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: repeated test runs skip XLA compiles.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+
+def pytest_report_header():
+    return f"jax devices: {jax.device_count()} x {jax.devices()[0].platform}"

@@ -1,0 +1,218 @@
+"""Parity tests for the pandas-level analysis API.
+
+Each transform is checked against the exact formula the reference
+delegates to (pandas/numpy/scipy; reference analysis.py), on the same
+DataFrame conventions (one signal per column, optional inplace).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from scipy import interpolate as sp_interpolate
+from scipy import signal as sps
+from scipy.fftpack import fft as sp_fft
+from scipy.fftpack import fftfreq as sp_fftfreq
+
+import muscle_synergies_tpu as mst
+
+RNG = np.random.default_rng(7)
+
+
+@pytest.fixture()
+def df():
+    data = RNG.standard_normal((256, 4))
+    return pd.DataFrame(data, columns=["VL", "RF", "BF", "ST"])
+
+
+class TestZeroCenter:
+    def test_matches_pandas(self, df):
+        out = mst.zero_center(df)
+        expected = df - df.mean()
+        np.testing.assert_allclose(out.to_numpy(), expected.to_numpy(), atol=1e-12)
+        # the original is untouched
+        assert not np.allclose(df.to_numpy().mean(axis=0), 0)
+
+    def test_inplace(self, df):
+        out = mst.zero_center(df, inplace=True)
+        assert out is df
+        np.testing.assert_allclose(df.mean().to_numpy(), 0, atol=1e-12)
+
+
+class TestRMS:
+    def test_matches_reference_formula(self, df):
+        window = 16
+        out = mst.rms(df, window)
+        for j, col in enumerate(df.columns):
+            sq = df[col].to_numpy() ** 2
+            expected = np.sqrt(np.convolve(sq, np.ones(window) / window, "same"))
+            np.testing.assert_allclose(out[col].to_numpy(), expected, atol=1e-12)
+
+    def test_window_in_seconds(self, df):
+        # 0.08 s at 200 Hz -> 16 samples, same result as above.
+        by_samples = mst.rms(df, 16)
+        by_seconds = mst.rms(df, 0.08, sampling_frequency=200)
+        np.testing.assert_allclose(
+            by_samples.to_numpy(), by_seconds.to_numpy(), atol=1e-12
+        )
+
+    def test_bad_window(self, df):
+        with pytest.raises(ValueError):
+            mst.rms(df, 0)
+
+
+class TestNormalize:
+    def test_matches_pandas(self, df):
+        out = mst.normalize(df)
+        expected = df / df.abs().max()
+        np.testing.assert_allclose(out.to_numpy(), expected.to_numpy(), atol=1e-12)
+        assert np.allclose(out.abs().max().to_numpy(), 1.0)
+
+
+class TestSubsample:
+    def test_decimation(self, df):
+        out = mst.subsample(df, 4)
+        expected = df.iloc[::4]
+        assert out.equals(expected)
+
+    def test_none_returns_all(self, df):
+        assert mst.subsample(df).shape == df.shape
+
+
+class TestTimeNormalize:
+    def test_matches_scipy_linear(self, df):
+        out = mst.time_normalize(df, reduce_to=100)
+        interp = sp_interpolate.interp1d(
+            np.linspace(0, 1, len(df)), df.to_numpy(), axis=0, kind="linear"
+        )
+        expected = interp(np.linspace(0, 1, 100))
+        np.testing.assert_allclose(out.to_numpy(), expected, atol=1e-10)
+        np.testing.assert_allclose(out.index.to_numpy(), np.linspace(0, 1, 100))
+        assert list(out.columns) == list(df.columns)
+
+    def test_upsample(self, df):
+        out = mst.time_normalize(df.iloc[:50], reduce_to=200)
+        assert out.shape == (200, 4)
+
+    def test_cubic_fallback(self, df):
+        out = mst.time_normalize(df, reduce_to=64, kind="cubic")
+        interp = sp_interpolate.interp1d(
+            np.linspace(0, 1, len(df)), df.to_numpy(), axis=0, kind="cubic",
+            fill_value="extrapolate",
+        )
+        np.testing.assert_allclose(
+            out.to_numpy(), interp(np.linspace(0, 1, 64)), atol=1e-10
+        )
+
+
+class TestFFTSpectrum:
+    def test_matches_scipy(self, df):
+        fs = 200
+        out = mst.fft_spectrum(df, fs)
+        freqs = sp_fftfreq(len(df), 1.0 / fs)
+        pos = freqs > 0
+        expected = np.abs(sp_fft(df.to_numpy(), axis=0)[pos])
+        np.testing.assert_allclose(out.to_numpy(), expected, atol=1e-8)
+        np.testing.assert_allclose(out.index.to_numpy(), freqs[pos])
+
+
+class TestDigitalFilter:
+    def test_matches_scipy_filtfilt(self, df):
+        out = mst.digital_filter(
+            df, critical_freqs=10.0, sampling_frequency=100.0, order=4
+        )
+        sos = sps.butter(4, 10.0, output="sos", fs=100.0)
+        expected = sps.sosfiltfilt(sos, df.to_numpy(), axis=0)
+        np.testing.assert_allclose(out.to_numpy(), expected, rtol=1e-7, atol=1e-9)
+
+    def test_causal(self, df):
+        out = mst.digital_filter(
+            df,
+            critical_freqs=10.0,
+            sampling_frequency=100.0,
+            order=4,
+            zero_lag=False,
+        )
+        sos = sps.butter(4, 10.0, output="sos", fs=100.0)
+        expected = sps.sosfilt(sos, df.to_numpy(), axis=0)
+        np.testing.assert_allclose(out.to_numpy(), expected, rtol=1e-7, atol=1e-9)
+
+    def test_bad_filter_type(self, df):
+        with pytest.raises(ValueError, match="filter type"):
+            mst.digital_filter(
+                df,
+                critical_freqs=10.0,
+                sampling_frequency=100.0,
+                order=4,
+                filter_type="bessel",
+            )
+
+
+class TestLinearEnvelope:
+    def test_pipeline_matches_manual_composition(self, df):
+        out = mst.linear_envelope(
+            df, critical_freqs=10.0, sampling_frequency=100.0, order=4
+        )
+        centered = df - df.mean()
+        sos = sps.butter(4, 10.0, output="sos", fs=100.0)
+        expected = sps.sosfiltfilt(sos, centered.abs().to_numpy(), axis=0)
+        np.testing.assert_allclose(out.to_numpy(), expected, rtol=1e-7, atol=1e-9)
+
+    def test_no_zero_center(self, df):
+        out = mst.linear_envelope(
+            df,
+            critical_freqs=10.0,
+            sampling_frequency=100.0,
+            order=4,
+            zero_center_=False,
+        )
+        sos = sps.butter(4, 10.0, output="sos", fs=100.0)
+        expected = sps.sosfiltfilt(sos, df.abs().to_numpy(), axis=0)
+        np.testing.assert_allclose(out.to_numpy(), expected, rtol=1e-7, atol=1e-9)
+
+
+class TestVAF:
+    def test_perfect_reconstruction(self, df):
+        out = mst.vaf(df, reconstructed_signal=df.to_numpy())
+        assert out.shape == (1, 5)
+        np.testing.assert_allclose(out.to_numpy(), 1.0)
+
+    def test_factor_form(self, df):
+        x = df.abs()
+        w = RNG.random((256, 2))
+        h = RNG.random((2, 4))
+        out = mst.vaf(x, transformed_signal=w, components=h)
+        err = x.to_numpy() - w @ h
+        expected_overall = 1 - (err**2).sum() / (x.to_numpy() ** 2).sum()
+        np.testing.assert_allclose(out["All signals"].iloc[0], expected_overall)
+        assert list(out.columns) == ["All signals", "VL", "RF", "BF", "ST"]
+
+
+class TestViz:
+    def test_plot_signal_returns_figure(self, df):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        fig = mst.plot_signal(df, show=False)
+        assert fig is not None
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
+    def test_plot_fft_and_heatmap(self, df):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig = mst.plot_fft(df, 200, show=False)
+        plt.close(fig)
+        comps = pd.DataFrame(RNG.random((2, 4)), columns=df.columns)
+        fig = mst.synergy_heatmap(comps, show=False)
+        plt.close(fig)
+
+    def test_plot_dims_mismatch(self, df):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        with pytest.raises(ValueError):
+            mst.plot_signal(df, plot_dims=(3, 1), show=False)
