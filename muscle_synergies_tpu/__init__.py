@@ -7,7 +7,7 @@ batched/sharded array pipelines, fused NMF solvers, and mesh-parallel
 execution.
 """
 
-from . import analysis, ops
+from . import analysis, models, ops
 from .analysis import (
     digital_filter,
     fft_spectrum,
@@ -22,6 +22,7 @@ from .analysis import (
 from .data import DeviceData, DeviceType, ViconNexusData
 from .frames import ForcesEMGFrameTracker, FrameSubfr, SamplingFreq, TrajFrameTracker
 from .io import ViconCSVError, load_vicon_file
+from .models import NMFModel, SynergyRunResult, find_synergies
 from .viz import plot_fft, plot_signal, synergy_heatmap
 
 __version__ = "0.1.0"
@@ -47,11 +48,16 @@ __all__ = [
     "time_normalize",
     "fft_spectrum",
     "vaf",
+    # synergies
+    "NMFModel",
+    "SynergyRunResult",
+    "find_synergies",
     # viz
     "plot_signal",
     "plot_fft",
     "synergy_heatmap",
     # submodules
     "analysis",
+    "models",
     "ops",
 ]

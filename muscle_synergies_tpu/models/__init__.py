@@ -1,0 +1,22 @@
+"""NMF solver suite: initialization, MU and HALS/CD solvers, selection."""
+
+from .hals import CDState, cd_pass, fit_cd
+from .init import initialize_nmf, nndsvd
+from .mu import EPSILON, MUState, fit_mu, frobenius_error, mu_update
+from .select import NMFModel, SynergyRunResult, find_synergies
+
+__all__ = [
+    "initialize_nmf",
+    "nndsvd",
+    "mu_update",
+    "fit_mu",
+    "MUState",
+    "frobenius_error",
+    "EPSILON",
+    "cd_pass",
+    "fit_cd",
+    "CDState",
+    "NMFModel",
+    "SynergyRunResult",
+    "find_synergies",
+]

@@ -1,0 +1,259 @@
+"""User-facing NMF model, VAF-based rank selection and synergy runs.
+
+Capability parity with the reference's synergy layer
+(reference src/muscle_synergies/analysis.py:597-914):
+
+- :class:`NMFModel` plays the role of ``sklearn.decomposition.NMF``
+  (attributes ``components_``, ``n_iter_``, ``reconstruction_err_``)
+  but solves on device via the JAX MU / coordinate-descent solvers;
+- :func:`find_synergies` mirrors the reference API exactly — single
+  rank or a ``n_components..max_components`` sweep, VAF per rank, and a
+  :class:`SynergyRunResult`;
+- VAF definition: ``1 - ||x - x_r||_F^2 / ||x||_F^2`` overall and per
+  muscle (reference analysis.py:597-667).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from dataclasses import dataclass
+from typing import Mapping, Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+import pandas
+
+from .hals import fit_cd
+from .init import initialize_nmf
+from .mu import fit_mu, frobenius_error
+
+__all__ = ["NMFModel", "SynergyRunResult", "find_synergies", "compute_regularization"]
+
+
+def compute_regularization(
+    alpha_w: float, alpha_h: Union[float, str], l1_ratio: float, n: int, l: int
+):
+    """sklearn's scaling of L1/L2 penalties by the opposite dimension."""
+    if alpha_h == "same":
+        alpha_h = alpha_w
+    l1_reg_w = l * alpha_w * l1_ratio
+    l1_reg_h = n * alpha_h * l1_ratio
+    l2_reg_w = l * alpha_w * (1.0 - l1_ratio)
+    l2_reg_h = n * alpha_h * (1.0 - l1_ratio)
+    return l1_reg_w, l2_reg_w, l1_reg_h, l2_reg_h
+
+
+class NMFModel:
+    """Non-negative matrix factorization ``X ~ W @ H`` on TPU.
+
+    Drop-in for the surface of ``sklearn.decomposition.NMF`` that the
+    reference relies on.  ``solver`` may be ``"cd"`` (cyclic coordinate
+    descent / HALS, sklearn's default) or ``"mu"`` (multiplicative
+    updates).  Sparsity is controlled through ``alpha_W`` / ``alpha_H``
+    / ``l1_ratio`` with sklearn's dimension-scaled penalties.
+
+    After :meth:`fit_transform`:
+
+    Attributes:
+        components_: ``(k, L)`` factor H.
+        n_components_: the rank used.
+        n_iter_: iterations run by the solver.
+        reconstruction_err_: final Frobenius error ``||X - WH||_F``.
+    """
+
+    def __init__(
+        self,
+        n_components: Optional[int] = None,
+        *,
+        solver: str = "cd",
+        init: Optional[str] = None,
+        tol: float = 1e-4,
+        max_iter: int = 200,
+        random_state: Optional[int] = None,
+        alpha_W: float = 0.0,
+        alpha_H: Union[float, str] = "same",
+        l1_ratio: float = 0.0,
+    ):
+        self.n_components = n_components
+        self.solver = solver
+        self.init = init
+        self.tol = tol
+        self.max_iter = max_iter
+        self.random_state = random_state
+        self.alpha_W = alpha_W
+        self.alpha_H = alpha_H
+        self.l1_ratio = l1_ratio
+
+    def fit_transform(
+        self,
+        x,
+        w: Optional[np.ndarray] = None,
+        h: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Factorize ``x`` and return ``W``.
+
+        Passing both ``w`` and ``h`` uses them as the starting point
+        (sklearn's ``init='custom'``).
+        """
+        x_arr = jnp.asarray(np.asarray(x, dtype=float))
+        if x_arr.ndim != 2:
+            raise ValueError(f"expected a 2-D matrix, got shape {x_arr.shape}")
+        if x_arr.size == 0:
+            raise ValueError("empty matrix passed to NMF")
+        if np.any(np.asarray(x_arr) < 0):
+            raise ValueError("Negative values in data passed to NMF")
+        n, l = x_arr.shape
+        k = self.n_components if self.n_components is not None else l
+
+        if w is not None and h is not None:
+            w0 = jnp.asarray(np.asarray(w, dtype=float))
+            h0 = jnp.asarray(np.asarray(h, dtype=float))
+        elif w is not None or h is not None:
+            raise ValueError("provide both w and h for a custom init, or neither")
+        else:
+            w0, h0 = initialize_nmf(
+                x_arr, k, init=self.init, seed=self.random_state or 0
+            )
+        w0 = w0.astype(x_arr.dtype)
+        h0 = h0.astype(x_arr.dtype)
+
+        l1_w, l2_w, l1_h, l2_h = compute_regularization(
+            self.alpha_W, self.alpha_H, self.l1_ratio, n, l
+        )
+
+        if self.solver == "mu":
+            state = fit_mu(
+                x_arr,
+                w0,
+                h0,
+                max_iter=self.max_iter,
+                tol=float(self.tol),
+                l1_reg_w=l1_w,
+                l2_reg_w=l2_w,
+                l1_reg_h=l1_h,
+                l2_reg_h=l2_h,
+            )
+            w_final, h_final = state.w, state.h
+        elif self.solver == "cd":
+            state = fit_cd(
+                x_arr,
+                w0,
+                h0,
+                max_iter=self.max_iter,
+                tol=float(self.tol),
+                l1_reg_w=l1_w,
+                l2_reg_w=l2_w,
+                l1_reg_h=l1_h,
+                l2_reg_h=l2_h,
+            )
+            w_final, h_final = state.w, state.ht.T
+        else:
+            raise ValueError(f"unknown solver: {self.solver!r}")
+
+        self.n_components_ = k
+        self.n_iter_ = int(state.n_iter)
+        self.components_ = np.asarray(h_final)
+        self.reconstruction_err_ = float(
+            frobenius_error(x_arr, w_final, h_final)
+        )
+        return np.asarray(w_final)
+
+    def fit(self, x, **kwargs) -> "NMFModel":
+        self.fit_transform(x, **kwargs)
+        return self
+
+    def transform(self, x) -> np.ndarray:
+        """Project ``x`` onto the learned components (W with H fixed)."""
+        if not hasattr(self, "components_"):
+            raise ValueError("this NMFModel instance is not fitted yet")
+        x_arr = jnp.asarray(np.asarray(x, dtype=float))
+        h = jnp.asarray(self.components_, dtype=x_arr.dtype)
+        k = h.shape[0]
+        avg = jnp.sqrt(jnp.maximum(jnp.mean(x_arr), 0.0) / k)
+        w0 = jnp.full((x_arr.shape[0], k), avg, dtype=x_arr.dtype)
+        state = fit_cd(
+            x_arr, w0, h, max_iter=self.max_iter, tol=float(self.tol),
+            update_h=False,
+        )
+        return np.asarray(state.w)
+
+    def inverse_transform(self, w) -> np.ndarray:
+        return np.asarray(w) @ self.components_
+
+
+@dataclass
+class SynergyRunResult:
+    """Result of one or several synergy factorization runs.
+
+    Attributes:
+        vaf_values: one row per rank; first column ``"All signals"``
+            then per-muscle VAF.  The index is the rank when a sweep was
+            run.
+        components: ``(k, num_muscles)`` DataFrame (single run) or a
+            dict mapping rank to DataFrame.
+        model: the fitted :class:`NMFModel` (or dict of them).
+    """
+
+    vaf_values: pandas.DataFrame
+    components: Union[pandas.DataFrame, Mapping[int, pandas.DataFrame]]
+    model: Union[NMFModel, Mapping[int, NMFModel]]
+
+
+def find_synergies(
+    processed_emg_df: pandas.DataFrame,
+    n_components: int,
+    max_components: Optional[int] = None,
+    *,
+    max_iter: int = 100_000,
+    tol: float = 1e-6,
+    **nmf_kwargs,
+) -> SynergyRunResult:
+    """Extract spatial muscle synergies by non-negative factorization.
+
+    Mirrors the reference API (analysis.py:713-914): the processed EMG
+    (``(num_measurements, num_muscles)``, non-negative) is factorized
+    at rank ``n_components`` — or at every rank from ``n_components``
+    to ``max_components`` — and each run's VAF is reported.
+
+    Raises:
+        ValueError: when the EMG frame is empty, or the rank range does
+            not satisfy ``1 <= n_components <= max_components <=
+            num_muscles``.
+    """
+    from ..analysis import vaf as _vaf
+
+    if processed_emg_df.empty:
+        raise ValueError("empty EMG DataFrame")
+    num_features = len(processed_emg_df.columns)
+    if n_components < 1 or n_components > num_features:
+        raise ValueError("invalid number of components")
+    if max_components is not None:
+        if max_components < n_components or max_components > num_features:
+            raise ValueError("invalid number of components")
+
+    def single_run(k: int) -> SynergyRunResult:
+        model = NMFModel(n_components=k, max_iter=max_iter, tol=tol, **nmf_kwargs)
+        transformed = model.fit_transform(processed_emg_df)
+        vaf_values = _vaf(
+            processed_emg_df,
+            components=model.components_,
+            transformed_signal=transformed,
+        )
+        comps = pandas.DataFrame(
+            model.components_, columns=processed_emg_df.columns
+        )
+        return SynergyRunResult(vaf_values, comps, model)
+
+    if max_components is None:
+        return single_run(n_components)
+
+    runs = OrderedDict(
+        (k, single_run(k)) for k in range(n_components, max_components + 1)
+    )
+    vaf_values = pandas.concat([r.vaf_values for r in runs.values()])
+    vaf_values.set_index(np.array(tuple(runs.keys())), inplace=True)
+    return SynergyRunResult(
+        vaf_values,
+        {k: r.components for k, r in runs.items()},
+        {k: r.model for k, r in runs.items()},
+    )

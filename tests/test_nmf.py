@@ -1,0 +1,226 @@
+"""sklearn parity for the NMF solver suite.
+
+North-star requirement (BASELINE.md): match
+``sklearn.decomposition.NMF`` reconstruction error to 1e-6.  Trajectory
+parity is checked with identical custom inits (same starting point ->
+same update rules -> same iterates); end-to-end parity via the default
+init path at loss level.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from sklearn.decomposition import NMF as SkNMF
+
+import muscle_synergies_tpu as mst
+from muscle_synergies_tpu.models import (
+    NMFModel,
+    fit_cd,
+    fit_mu,
+    frobenius_error,
+    initialize_nmf,
+)
+
+RNG = np.random.default_rng(3)
+
+N, L, K = 120, 8, 4
+
+
+def _factorizable(n=N, l=L, k=K, noise=0.02, rng=RNG):
+    w = rng.random((n, k))
+    h = rng.random((k, l))
+    x = w @ h + noise * rng.random((n, l))
+    return np.maximum(x, 0)
+
+
+@pytest.fixture(scope="module")
+def x():
+    return _factorizable()
+
+
+@pytest.fixture(scope="module")
+def custom_init(x):
+    rng = np.random.default_rng(11)
+    avg = np.sqrt(x.mean() / K)
+    w0 = avg * np.abs(rng.standard_normal((N, K)))
+    h0 = avg * np.abs(rng.standard_normal((K, L)))
+    return w0, h0
+
+
+class TestMUSolver:
+    def test_trajectory_matches_sklearn(self, x, custom_init):
+        w0, h0 = custom_init
+        for max_iter in (10, 50, 200):
+            sk = SkNMF(
+                n_components=K,
+                solver="mu",
+                init="custom",
+                max_iter=max_iter,
+                tol=1e-12,
+            )
+            w_sk = sk.fit_transform(x, W=w0.copy(), H=h0.copy())
+            state = fit_mu(x, w0, h0, max_iter=max_iter, tol=1e-12)
+            np.testing.assert_allclose(np.asarray(state.w), w_sk, rtol=1e-8)
+            np.testing.assert_allclose(
+                np.asarray(state.h), sk.components_, rtol=1e-8
+            )
+
+    def test_convergence_iteration_matches_sklearn(self, x, custom_init):
+        w0, h0 = custom_init
+        sk = SkNMF(
+            n_components=K, solver="mu", init="custom", max_iter=5000, tol=1e-6
+        )
+        sk.fit_transform(x, W=w0.copy(), H=h0.copy())
+        state = fit_mu(x, w0, h0, max_iter=5000, tol=1e-6)
+        assert int(state.n_iter) == sk.n_iter_
+
+    def test_loss_parity_1e6(self, x, custom_init):
+        w0, h0 = custom_init
+        sk = SkNMF(
+            n_components=K, solver="mu", init="custom", max_iter=2000, tol=1e-6
+        )
+        sk.fit_transform(x, W=w0.copy(), H=h0.copy())
+        state = fit_mu(x, w0, h0, max_iter=2000, tol=1e-6)
+        ours = float(frobenius_error(x, state.w, state.h))
+        assert abs(ours - sk.reconstruction_err_) < 1e-6
+
+
+class TestCDSolver:
+    def test_trajectory_matches_sklearn(self, x, custom_init):
+        w0, h0 = custom_init
+        for max_iter in (5, 50, 500):
+            sk = SkNMF(
+                n_components=K,
+                solver="cd",
+                init="custom",
+                max_iter=max_iter,
+                tol=1e-14,
+            )
+            w_sk = sk.fit_transform(x, W=w0.copy(), H=h0.copy())
+            state = fit_cd(x, w0, h0, max_iter=max_iter, tol=1e-14)
+            np.testing.assert_allclose(np.asarray(state.w), w_sk, rtol=1e-7, atol=1e-12)
+            np.testing.assert_allclose(
+                np.asarray(state.ht.T), sk.components_, rtol=1e-7, atol=1e-12
+            )
+
+    def test_convergence_iteration_matches_sklearn(self, x, custom_init):
+        w0, h0 = custom_init
+        sk = SkNMF(
+            n_components=K, solver="cd", init="custom", max_iter=5000, tol=1e-6
+        )
+        sk.fit_transform(x, W=w0.copy(), H=h0.copy())
+        state = fit_cd(x, w0, h0, max_iter=5000, tol=1e-6)
+        assert int(state.n_iter) == sk.n_iter_
+
+    def test_regularized_matches_sklearn(self, x, custom_init):
+        w0, h0 = custom_init
+        sk = SkNMF(
+            n_components=K,
+            solver="cd",
+            init="custom",
+            max_iter=300,
+            tol=1e-10,
+            alpha_W=0.01,
+            l1_ratio=0.5,
+        )
+        w_sk = sk.fit_transform(x, W=w0.copy(), H=h0.copy())
+        model = NMFModel(
+            n_components=K,
+            solver="cd",
+            max_iter=300,
+            tol=1e-10,
+            alpha_W=0.01,
+            l1_ratio=0.5,
+        )
+        w_ours = model.fit_transform(x, w=w0, h=h0)
+        np.testing.assert_allclose(w_ours, w_sk, rtol=1e-6, atol=1e-10)
+        np.testing.assert_allclose(
+            model.components_, sk.components_, rtol=1e-6, atol=1e-10
+        )
+
+
+class TestInit:
+    @pytest.mark.parametrize("variant", ["nndsvd", "nndsvda"])
+    def test_nndsvd_matches_sklearn(self, x, variant):
+        from sklearn.decomposition._nmf import _initialize_nmf
+
+        w_sk, h_sk = _initialize_nmf(x, K, init=variant, random_state=0)
+        w, h = initialize_nmf(x, K, init=variant)
+        # randomized vs exact SVD may differ slightly; factors must
+        # agree closely in this tiny, well-separated regime.
+        np.testing.assert_allclose(np.asarray(w), w_sk, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(h), h_sk, rtol=1e-5, atol=1e-6)
+
+    def test_invalid_rank_raises(self, x):
+        with pytest.raises(ValueError, match="n_components"):
+            initialize_nmf(x, L + 1, init="nndsvd")
+
+    def test_random_init_shapes_and_scale(self, x):
+        w, h = initialize_nmf(x, K, init="random", seed=1)
+        assert w.shape == (N, K) and h.shape == (K, L)
+        assert np.all(np.asarray(w) >= 0) and np.all(np.asarray(h) >= 0)
+
+
+class TestNMFModelEndToEnd:
+    def test_default_path_loss_parity(self, x):
+        # both use nndsvda init + cd solver; final loss must agree to
+        # the 1e-6 north star even though SVDs may differ in sign detail
+        sk = SkNMF(n_components=K, max_iter=2000, tol=1e-6)
+        sk.fit_transform(x)
+        model = NMFModel(n_components=K, max_iter=2000, tol=1e-6)
+        model.fit_transform(x)
+        assert abs(model.reconstruction_err_ - sk.reconstruction_err_) < 1e-6
+
+    def test_rejects_negative_input(self, x):
+        model = NMFModel(n_components=2)
+        with pytest.raises(ValueError, match="Negative"):
+            model.fit_transform(x - 1.0)
+
+    def test_transform_after_fit(self, x):
+        model = NMFModel(n_components=K, max_iter=500, tol=1e-8)
+        model.fit(x)
+        w = model.transform(x)
+        rel = np.linalg.norm(x - w @ model.components_) / np.linalg.norm(x)
+        assert rel < 0.05
+
+
+class TestFindSynergies:
+    @pytest.fixture(scope="class")
+    def emg_df(self):
+        x = _factorizable(n=200, l=8, k=3, rng=np.random.default_rng(5))
+        cols = ["VL", "RF", "GMED", "TFL", "GMAXS", "GMAXI", "BF", "ST"]
+        return pd.DataFrame(x, columns=cols)
+
+    def test_single_rank(self, emg_df):
+        res = mst.find_synergies(emg_df, 3, max_iter=3000, tol=1e-6)
+        assert res.vaf_values.shape == (1, 9)
+        assert res.components.shape == (3, 8)
+        assert list(res.components.columns) == list(emg_df.columns)
+        assert res.vaf_values["All signals"].iloc[0] > 0.99
+        assert res.model.n_iter_ > 0
+
+    def test_rank_sweep(self, emg_df):
+        res = mst.find_synergies(emg_df, 1, 4, max_iter=3000, tol=1e-6)
+        assert list(res.vaf_values.index) == [1, 2, 3, 4]
+        assert set(res.components.keys()) == {1, 2, 3, 4}
+        vafs = res.vaf_values["All signals"].to_numpy()
+        assert np.all(np.diff(vafs) >= -1e-9)  # VAF grows with rank
+        assert vafs[2] > 0.99  # true rank is 3
+
+    def test_vaf_matches_sklearn_pipeline(self, emg_df):
+        sk = SkNMF(n_components=3, max_iter=3000, tol=1e-6)
+        w = sk.fit_transform(emg_df.to_numpy())
+        res = mst.find_synergies(emg_df, 3, max_iter=3000, tol=1e-6)
+        err = emg_df.to_numpy() - w @ sk.components_
+        sk_vaf = 1 - (err**2).sum() / (emg_df.to_numpy() ** 2).sum()
+        assert abs(res.vaf_values["All signals"].iloc[0] - sk_vaf) < 1e-6
+
+    def test_validation(self, emg_df):
+        with pytest.raises(ValueError, match="invalid number"):
+            mst.find_synergies(emg_df, 0)
+        with pytest.raises(ValueError, match="invalid number"):
+            mst.find_synergies(emg_df, 9)
+        with pytest.raises(ValueError, match="invalid number"):
+            mst.find_synergies(emg_df, 3, 2)
+        with pytest.raises(ValueError, match="empty"):
+            mst.find_synergies(emg_df.iloc[:0], 2)
