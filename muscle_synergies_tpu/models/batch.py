@@ -1,0 +1,234 @@
+"""Batched NMF: whole gait datasets factorize in one device computation.
+
+The reference loops over trials and ranks in Python, one sklearn fit at
+a time (reference analysis.py:909-913).  Here the batch dimensions are
+JAX axes:
+
+- :func:`fit_mu_batch` / :func:`fit_cd_batch` vmap the fused solvers
+  over a ``(B, N, L)`` stack of trials.  Under vmap the convergence
+  ``while_loop`` keeps iterating until every trial in the batch is
+  done while already-converged trials are frozen, so per-trial stopping
+  matches the unbatched solver exactly.
+- Ragged trials are zero-padded: rows of X beyond a trial's true length
+  are zero and the matching rows of W are initialized to zero, which
+  the multiplicative updates preserve — the padded region contributes
+  exactly nothing to either factor or loss.
+- :func:`rank_sweep_batch` evaluates a whole range of ranks in one
+  vmapped computation by zero-padding factors to the maximum rank:
+  zeroed trailing components stay zero under both MU and CD updates,
+  so each sweep entry is bit-equivalent to an independent fit at that
+  rank.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hals import CDState, fit_cd
+from .init import initialize_nmf
+from .mu import MUState, fit_mu, frobenius_error
+
+__all__ = [
+    "pad_and_stack",
+    "init_batch",
+    "mu_update_batch",
+    "mu_iterations_batch",
+    "fit_mu_batch",
+    "fit_cd_batch",
+    "rank_sweep_batch",
+    "vaf_batch",
+]
+
+
+def pad_and_stack(
+    trials: Sequence[np.ndarray], pad_to: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack ragged ``(N_i, L)`` trials into ``(B, N_max, L)`` + mask.
+
+    Returns:
+        ``(batch, mask)`` where ``mask[b, n]`` is 1.0 for real samples
+        and 0.0 for padding.  Padded cells are zero.
+    """
+    lengths = [t.shape[0] for t in trials]
+    n_max = pad_to if pad_to is not None else max(lengths)
+    if any(n > n_max for n in lengths):
+        raise ValueError(f"pad_to={n_max} is smaller than the longest trial")
+    l = trials[0].shape[1]
+    batch = np.zeros((len(trials), n_max, l), dtype=np.asarray(trials[0]).dtype)
+    mask = np.zeros((len(trials), n_max), dtype=batch.dtype)
+    for b, t in enumerate(trials):
+        if t.shape[1] != l:
+            raise ValueError("all trials must share the channel count")
+        batch[b, : t.shape[0]] = t
+        mask[b, : t.shape[0]] = 1.0
+    return batch, mask
+
+
+def init_batch(
+    xs: jnp.ndarray,
+    n_components: int,
+    init: Optional[str] = None,
+    mask: Optional[jnp.ndarray] = None,
+    seed: int = 0,
+):
+    """Vmapped factor initialization over a ``(B, N, L)`` batch.
+
+    With a padding ``mask``, the padded rows of every ``W`` are zeroed
+    so they stay zero through the multiplicative updates.
+    """
+    w, h = jax.vmap(
+        lambda x: initialize_nmf(x, n_components, init=init, seed=seed)
+    )(xs)
+    if mask is not None:
+        w = w * mask[..., None]
+    return w, h
+
+
+def mu_update_batch(xs: jnp.ndarray, w: jnp.ndarray, h: jnp.ndarray):
+    """One MU iteration over a ``(B, N, L)`` batch (batched matmuls).
+
+    The per-trial matmuls contract over N or L with the batch as the
+    leading batching dimension, so XLA lowers them onto the MXU as
+    batched GEMMs and fuses the element-wise multiply/divide chain.
+    """
+    from .mu import EPSILON
+
+    ht = jnp.swapaxes(h, -1, -2)
+    numerator = xs @ ht
+    denominator = w @ (h @ ht)
+    denominator = jnp.where(denominator == 0, EPSILON, denominator)
+    w = w * (numerator / denominator)
+
+    wt = jnp.swapaxes(w, -1, -2)
+    numerator = wt @ xs
+    denominator = (wt @ w) @ h
+    denominator = jnp.where(denominator == 0, EPSILON, denominator)
+    h = h * (numerator / denominator)
+    return w, h
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def mu_iterations_batch(
+    xs: jnp.ndarray, w: jnp.ndarray, h: jnp.ndarray, n_iters: int
+):
+    """Run ``n_iters`` fused MU iterations (no convergence checks).
+
+    The benchmark primitive: one compiled program performs every
+    iteration on device, so throughput measures the update itself, not
+    dispatch overhead.
+    """
+
+    def body(_, wh):
+        return mu_update_batch(xs, *wh)
+
+    return jax.lax.fori_loop(0, n_iters, body, (w, h))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iter", "tol", "check_every")
+)
+def fit_mu_batch(
+    xs: jnp.ndarray,
+    w0: jnp.ndarray,
+    h0: jnp.ndarray,
+    max_iter: int = 200,
+    tol: float = 1e-4,
+    check_every: int = 10,
+) -> MUState:
+    """MU-NMF over a ``(B, N, L)`` batch with per-trial convergence."""
+    return jax.vmap(
+        lambda x, w, h: fit_mu(
+            x, w, h, max_iter=max_iter, tol=tol, check_every=check_every
+        )
+    )(xs, w0, h0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "tol"))
+def fit_cd_batch(
+    xs: jnp.ndarray,
+    w0: jnp.ndarray,
+    h0: jnp.ndarray,
+    max_iter: int = 200,
+    tol: float = 1e-4,
+) -> CDState:
+    """Coordinate-descent NMF over a ``(B, N, L)`` batch."""
+    return jax.vmap(
+        lambda x, w, h: fit_cd(x, w, h, max_iter=max_iter, tol=tol)
+    )(xs, w0, h0)
+
+
+def _pad_rank(w: jnp.ndarray, h: jnp.ndarray, k: int, k_max: int):
+    """Zero-pad rank-``k`` factors to ``k_max`` components."""
+    w_pad = jnp.zeros((w.shape[0], k_max - k), w.dtype)
+    h_pad = jnp.zeros((k_max - k, h.shape[1]), h.dtype)
+    return jnp.concatenate([w, w_pad], axis=1), jnp.concatenate([h, h_pad], axis=0)
+
+
+def rank_sweep_batch(
+    x: jnp.ndarray,
+    ranks: Sequence[int],
+    init: Optional[str] = None,
+    solver: str = "mu",
+    max_iter: int = 200,
+    tol: float = 1e-4,
+    seed: int = 0,
+):
+    """Factorize one trial at several ranks in a single vmapped fit.
+
+    Factors for every rank are zero-padded to ``max(ranks)``; the
+    padded components remain exactly zero under both solvers, so entry
+    ``i`` equals an independent rank-``ranks[i]`` fit.
+
+    Returns:
+        ``(states, vafs)``: the stacked solver states (leading axis =
+        rank index; slice each rank's factors as
+        ``w[i][:, :ranks[i]]``) and the overall VAF per rank.
+    """
+    k_max = max(ranks)
+    w_stack, h_stack = [], []
+    for k in ranks:
+        w0, h0 = initialize_nmf(x, k, init=init, seed=seed)
+        w0p, h0p = _pad_rank(w0, h0, k, k_max)
+        w_stack.append(w0p)
+        h_stack.append(h0p)
+    w0s = jnp.stack(w_stack)
+    h0s = jnp.stack(h_stack)
+    xs = jnp.broadcast_to(x, (len(ranks),) + x.shape)
+
+    if solver == "mu":
+        states = fit_mu_batch(xs, w0s, h0s, max_iter=max_iter, tol=tol)
+        w_final, h_final = states.w, states.h
+    elif solver == "cd":
+        states = fit_cd_batch(xs, w0s, h0s, max_iter=max_iter, tol=tol)
+        w_final, h_final = states.w, jnp.swapaxes(states.ht, -1, -2)
+    else:
+        raise ValueError(f"unknown solver: {solver!r}")
+
+    vafs = jax.vmap(lambda w, h: _vaf_overall(x, w, h))(w_final, h_final)
+    return states, vafs
+
+
+def _vaf_overall(x, w, h):
+    err = x - w @ h
+    return 1.0 - jnp.sum(err * err) / jnp.sum(x * x)
+
+
+def vaf_batch(xs: jnp.ndarray, ws: jnp.ndarray, hs: jnp.ndarray):
+    """Overall and per-channel VAF for a batch of factorizations.
+
+    Returns:
+        ``(overall, per_channel)`` with shapes ``(B,)`` and ``(B, L)``.
+    """
+
+    def one(x, w, h):
+        err = x - w @ h
+        overall = 1.0 - jnp.sum(err * err) / jnp.sum(x * x)
+        per = 1.0 - jnp.sum(err * err, axis=0) / jnp.sum(x * x, axis=0)
+        return overall, per
+
+    return jax.vmap(one)(xs, ws, hs)

@@ -141,16 +141,14 @@ def _affine_combine(left, right):
     )
 
 
-def _section_scan(x: jnp.ndarray, coeffs: jnp.ndarray, zi: jnp.ndarray):
-    """Run one second-order section over ``x`` via associative scan.
+def _section_prefix(x: jnp.ndarray, coeffs: jnp.ndarray):
+    """Cumulative affine state maps of one section over ``x``.
 
-    Args:
-        x: ``(N, C)`` input block (time major).
-        coeffs: ``(6,)`` section coefficients ``b0 b1 b2 a0 a1 a2``.
-        zi: ``(2, C)`` initial state (z1, z2 rows).
-
-    Returns:
-        ``(y, zf)``: filtered block and final state ``(2, C)``.
+    Returns ``(p11, p12, p21, p22, d1, d2)`` such that the section
+    state after sample ``n`` is ``s[n] = P[n] @ s_init + d[n]`` — the
+    building block shared by the single-device scan and the
+    time-sharded (sequence-parallel) filter in
+    :mod:`muscle_synergies_tpu.parallel.filters`.
     """
     n = x.shape[0]
     b0, b1, b2, _, a1, a2 = (coeffs[i] for i in range(6))
@@ -163,16 +161,38 @@ def _section_scan(x: jnp.ndarray, coeffs: jnp.ndarray, zi: jnp.ndarray):
     c1 = (b1 - a1 * b0) * x
     c2 = (b2 - a2 * b0) * x
 
-    p11, p12, p21, p22, d1, d2 = jax.lax.associative_scan(
+    return jax.lax.associative_scan(
         _affine_combine, (a11, a12, a21, a22, c1, c2), axis=0
     )
-    # s[n] = P[n] @ zi + d[n]
+
+
+def _emit_output(x, coeffs, prefix, zi):
+    """Section output from cumulative maps and the incoming state."""
+    b0 = coeffs[0]
+    p11, p12, p21, p22, d1, d2 = prefix
     z1 = p11 * zi[0] + p12 * zi[1] + d1
     z2 = p21 * zi[0] + p22 * zi[1] + d2
-    z1_prev = jnp.concatenate([jnp.broadcast_to(zi[0], (1,) + z1.shape[1:]), z1[:-1]])
+    z1_prev = jnp.concatenate(
+        [jnp.broadcast_to(zi[0], (1,) + z1.shape[1:]), z1[:-1]]
+    )
     y = b0 * x + z1_prev
     zf = jnp.stack([z1[-1], z2[-1]])
     return y, zf
+
+
+def _section_scan(x: jnp.ndarray, coeffs: jnp.ndarray, zi: jnp.ndarray):
+    """Run one second-order section over ``x`` via associative scan.
+
+    Args:
+        x: ``(N, C)`` input block (time major).
+        coeffs: ``(6,)`` section coefficients ``b0 b1 b2 a0 a1 a2``.
+        zi: ``(2, C)`` initial state (z1, z2 rows).
+
+    Returns:
+        ``(y, zf)``: filtered block and final state ``(2, C)``.
+    """
+    prefix = _section_prefix(x, coeffs)
+    return _emit_output(x, coeffs, prefix, zi)
 
 
 @functools.partial(jax.jit, static_argnames=("return_zf",))

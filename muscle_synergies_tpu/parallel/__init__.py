@@ -1,0 +1,17 @@
+"""Mesh-parallel execution: sharded NMF and sequence-parallel filters."""
+
+from .filters import sharded_sosfilt, sharded_sosfiltfilt
+from .mesh import DATA_AXIS, TIME_AXIS, batch_sharding, make_mesh, replicated
+from .nmf import sharded_fit_mu, sharded_mu_step
+
+__all__ = [
+    "DATA_AXIS",
+    "TIME_AXIS",
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "sharded_mu_step",
+    "sharded_fit_mu",
+    "sharded_sosfilt",
+    "sharded_sosfiltfilt",
+]

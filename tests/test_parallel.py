@@ -1,0 +1,207 @@
+"""Distributed-path tests on a virtual 8-device CPU mesh.
+
+Every sharded computation must equal its single-device counterpart
+exactly (up to float reordering): sequence parallelism here is exact,
+not approximate.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import signal as sps
+
+from muscle_synergies_tpu.models import fit_mu, initialize_nmf
+from muscle_synergies_tpu.models.batch import (
+    fit_cd_batch,
+    fit_mu_batch,
+    init_batch,
+    pad_and_stack,
+    rank_sweep_batch,
+    vaf_batch,
+)
+from muscle_synergies_tpu.ops import sos_design, sosfilt, sosfiltfilt
+from muscle_synergies_tpu.parallel import (
+    make_mesh,
+    sharded_fit_mu,
+    sharded_mu_step,
+    sharded_sosfilt,
+    sharded_sosfiltfilt,
+)
+
+RNG = np.random.default_rng(9)
+
+
+def _batch(b=8, n=64, l=6, k=3, rng=RNG):
+    w = rng.random((b, n, k))
+    h = rng.random((b, k, l))
+    return np.maximum(w @ h + 0.01 * rng.random((b, n, l)), 0)
+
+
+@pytest.fixture(scope="module")
+def mesh_2x4():
+    return make_mesh((2, 4))
+
+
+@pytest.fixture(scope="module")
+def mesh_8x1():
+    return make_mesh((8, 1))
+
+
+class TestBatchedNMF:
+    def test_fit_mu_batch_matches_sequential(self):
+        xs = _batch(b=4)
+        w0, h0 = init_batch(xs, 3, init="nndsvda")
+        batched = fit_mu_batch(xs, w0, h0, max_iter=500, tol=1e-8)
+        for b in range(4):
+            single = fit_mu(xs[b], w0[b], h0[b], max_iter=500, tol=1e-8)
+            np.testing.assert_allclose(
+                np.asarray(batched.w[b]), np.asarray(single.w), rtol=1e-10
+            )
+            assert int(batched.n_iter[b]) == int(single.n_iter)
+
+    def test_fit_cd_batch_runs(self):
+        xs = _batch(b=4)
+        w0, h0 = init_batch(xs, 3, init="nndsvda")
+        state = fit_cd_batch(xs, w0, h0, max_iter=300, tol=1e-8)
+        overall, per = vaf_batch(
+            xs, state.w, jnp.swapaxes(state.ht, -1, -2)
+        )
+        assert np.all(np.asarray(overall) > 0.99)
+        assert per.shape == (4, 6)
+
+    def test_pad_and_stack_masks(self):
+        trials = [RNG.random((50, 4)), RNG.random((30, 4))]
+        batch, mask = pad_and_stack(trials)
+        assert batch.shape == (2, 50, 4)
+        assert mask[1, 29] == 1.0 and mask[1, 30] == 0.0
+        np.testing.assert_array_equal(batch[1, 30:], 0)
+
+    def test_padded_trial_matches_unpadded(self):
+        # zero-padding + zeroed W rows must give the exact same factors
+        x_short = np.maximum(RNG.random((40, 6)), 0)
+        batch, mask = pad_and_stack([x_short], pad_to=64)
+        w0, h0 = init_batch(jnp.asarray(batch), 3, init="nndsvda",
+                            mask=jnp.asarray(mask))
+        # NOTE: init differs between padded/unpadded (SVD of padded x),
+        # so compare through a shared custom init instead.
+        w0u, h0u = initialize_nmf(x_short, 3, init="nndsvda")
+        w0p = np.zeros((64, 3)); w0p[:40] = np.asarray(w0u)
+        padded = fit_mu(batch[0], w0p, np.asarray(h0u), max_iter=300, tol=1e-8)
+        plain = fit_mu(x_short, np.asarray(w0u), np.asarray(h0u),
+                       max_iter=300, tol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(padded.w[:40]), np.asarray(plain.w), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(padded.h), np.asarray(plain.h), rtol=1e-12
+        )
+        np.testing.assert_array_equal(np.asarray(padded.w[40:]), 0)
+
+    def test_rank_sweep_matches_individual_fits(self):
+        x = _batch(b=1)[0]
+        ranks = [1, 2, 3, 4]
+        states, vafs = rank_sweep_batch(
+            x, ranks, init="nndsvda", solver="mu", max_iter=300, tol=1e-8
+        )
+        for i, k in enumerate(ranks):
+            w0, h0 = initialize_nmf(x, k, init="nndsvda")
+            single = fit_mu(x, w0, h0, max_iter=300, tol=1e-8)
+            np.testing.assert_allclose(
+                np.asarray(states.w[i][:, :k]), np.asarray(single.w),
+                rtol=1e-10,
+            )
+            # padded components stay exactly zero
+            np.testing.assert_array_equal(np.asarray(states.w[i][:, k:]), 0)
+        # VAF should broadly improve with rank; tiny decreases are
+        # legitimate (NMF converges to local optima under tol stopping)
+        vafs_np = np.asarray(vafs)
+        assert np.all(np.diff(vafs_np) >= -1e-3)
+        assert vafs_np[-1] > vafs_np[0]
+
+
+class TestShardedNMF:
+    def test_sharded_step_matches_local(self, mesh_2x4):
+        xs = _batch(b=8, n=64)
+        w0, h0 = init_batch(jnp.asarray(xs), 3, init="nndsvda")
+        from muscle_synergies_tpu.models.mu import mu_update, frobenius_error
+
+        w_s, h_s, err_s = sharded_mu_step(
+            jnp.asarray(xs), w0, h0, mesh_2x4
+        )
+        for b in range(8):
+            w_ref, h_ref = mu_update(xs[b], w0[b], h0[b])
+            np.testing.assert_allclose(np.asarray(w_s[b]), np.asarray(w_ref),
+                                       rtol=1e-10)
+            np.testing.assert_allclose(np.asarray(h_s[b]), np.asarray(h_ref),
+                                       rtol=1e-10)
+            np.testing.assert_allclose(
+                float(err_s[b]),
+                float(frobenius_error(xs[b], w_ref, h_ref)),
+                rtol=1e-10,
+            )
+
+    def test_sharded_fit_matches_vmapped(self, mesh_2x4):
+        xs = _batch(b=8, n=64)
+        w0, h0 = init_batch(jnp.asarray(xs), 3, init="nndsvda")
+        sharded = sharded_fit_mu(
+            jnp.asarray(xs), w0, h0, mesh_2x4, max_iter=200, tol=1e-6
+        )
+        local = fit_mu_batch(jnp.asarray(xs), w0, h0, max_iter=200, tol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(sharded.w), np.asarray(local.w), rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.h), np.asarray(local.h), rtol=1e-8
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded.n_iter), np.asarray(local.n_iter)
+        )
+
+    def test_data_parallel_only_mesh(self, mesh_8x1):
+        xs = _batch(b=8, n=64)
+        w0, h0 = init_batch(jnp.asarray(xs), 3, init="nndsvda")
+        w_s, h_s, err = sharded_mu_step(jnp.asarray(xs), w0, h0, mesh_8x1)
+        assert np.all(np.isfinite(np.asarray(err)))
+
+
+class TestShardedFilters:
+    def test_sharded_sosfilt_matches_local(self):
+        mesh = make_mesh((1, 8))
+        sos = sos_design(4, 10.0, 100.0)
+        x = RNG.standard_normal((512, 3))
+        y_sharded = np.asarray(sharded_sosfilt(sos, jnp.asarray(x), mesh))
+        y_local = np.asarray(sosfilt(sos, x))
+        np.testing.assert_allclose(y_sharded, y_local, rtol=1e-9, atol=1e-11)
+
+    def test_sharded_sosfiltfilt_matches_scipy(self):
+        mesh = make_mesh((1, 8))
+        sos = sos_design(4, 10.0, 100.0)
+        x = RNG.standard_normal((512, 3))
+        y_sharded = np.asarray(sharded_sosfiltfilt(sos, jnp.asarray(x), mesh))
+        ref = sps.sosfiltfilt(sos, x, axis=0)
+        scale = np.max(np.abs(ref))
+        np.testing.assert_allclose(y_sharded, ref, rtol=1e-7, atol=1e-8 * scale)
+
+    def test_sharded_sosfiltfilt_matches_local_jax(self):
+        mesh = make_mesh((1, 8))
+        sos = sos_design(4, [8.0, 16.0], 100.0, band_type="bandpass")
+        x = RNG.standard_normal((512, 3))
+        y_sharded = np.asarray(sharded_sosfiltfilt(sos, jnp.asarray(x), mesh))
+        y_local = np.asarray(sosfiltfilt(sos, x))
+        scale = np.max(np.abs(y_local))
+        np.testing.assert_allclose(
+            y_sharded, y_local, rtol=1e-7, atol=1e-8 * scale
+        )
+
+    def test_rejects_uneven_split(self):
+        mesh = make_mesh((1, 8))
+        sos = sos_design(4, 10.0, 100.0)
+        with pytest.raises(ValueError, match="divide evenly"):
+            sharded_sosfiltfilt(sos, jnp.ones((510, 3)), mesh)
+
+    def test_rejects_padlen_larger_than_block(self):
+        mesh = make_mesh((1, 8))
+        sos = sos_design(4, 10.0, 100.0)
+        with pytest.raises(ValueError, match="padlen"):
+            sharded_sosfiltfilt(sos, jnp.ones((64, 3)), mesh)
