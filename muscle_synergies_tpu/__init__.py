@@ -7,7 +7,7 @@ batched/sharded array pipelines, fused NMF solvers, and mesh-parallel
 execution.
 """
 
-from . import analysis, models, ops
+from . import analysis, models, ops, parallel, segment, utils
 from .analysis import (
     digital_filter,
     fft_spectrum,
@@ -60,4 +60,7 @@ __all__ = [
     "analysis",
     "models",
     "ops",
+    "parallel",
+    "segment",
+    "utils",
 ]

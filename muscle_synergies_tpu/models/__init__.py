@@ -4,6 +4,13 @@ from .hals import CDState, cd_pass, fit_cd
 from .init import initialize_nmf, nndsvd
 from .mu import EPSILON, MUState, fit_mu, frobenius_error, mu_update
 from .select import NMFModel, SynergyRunResult, find_synergies
+from .stability import (
+    BootstrapResult,
+    CVResult,
+    bootstrap_synergies,
+    cv_rank_selection,
+    fit_mu_masked,
+)
 
 __all__ = [
     "initialize_nmf",
@@ -19,4 +26,9 @@ __all__ = [
     "NMFModel",
     "SynergyRunResult",
     "find_synergies",
+    "bootstrap_synergies",
+    "BootstrapResult",
+    "cv_rank_selection",
+    "CVResult",
+    "fit_mu_masked",
 ]

@@ -1,0 +1,23 @@
+"""Gait segmentation from force-plate ground reactions."""
+
+from .gait import (
+    Cycle,
+    Phase,
+    Segmenter,
+    SegmentPlotter,
+    Segments,
+    Trecho,
+    reactions,
+    transition_indices,
+)
+
+__all__ = [
+    "Phase",
+    "Trecho",
+    "Cycle",
+    "Segments",
+    "reactions",
+    "transition_indices",
+    "Segmenter",
+    "SegmentPlotter",
+]

@@ -1,0 +1,389 @@
+"""Gait-phase segmentation from force-plate ground reactions.
+
+Capability parity with the reference's experiment module
+(reference project/segment.py):
+
+- :class:`Phase` / :class:`Trecho` / :class:`Cycle` vocabulary
+  (segment.py:21-88): four phases of a lateral-walk step (wide double
+  support DAA, right-leg-only AS, narrow double support DAE, swing BL),
+  four passes over the plates, two cycles per pass;
+- :func:`reactions` (segment.py:118-121): the (left, right) vertical
+  ground-reaction series;
+- :func:`transition_indices` (segment.py:667-755): sample indices where
+  the number of legs on the ground changes, debounced by requiring
+  ``min_phase_size`` consecutive samples of the new support state;
+- :class:`Segmenter` (segment.py:124-298): maps
+  ``(trecho, cycle, phase)`` queries to ``(frame, subframe)`` slices;
+- :class:`SegmentPlotter` (segment.py:301-664): shades segments over
+  signal plots.
+
+The transition scan is vectorized: support-state validity over a
+debounce window is a cumulative-sum trick and each alternating search
+is a ``searchsorted`` into the precomputed valid-index arrays — no
+per-sample Python loop.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from enum import Enum, auto
+from typing import List, Mapping, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import pandas as pd
+
+from ..data import ViconNexusData
+from ..frames import FrameSubfr
+
+__all__ = [
+    "Phase",
+    "Trecho",
+    "Cycle",
+    "Segments",
+    "reactions",
+    "transition_indices",
+    "Segmenter",
+    "SegmentPlotter",
+]
+
+
+class Phase(Enum):
+    """The 4 phases of a lateral-walk step (right-leg-centric terms).
+
+    DAA: wide double support.  AS: right leg only.  DAE: narrow double
+    support.  BL: swing (left leg only).
+    """
+
+    DAA = "DAA"
+    AS = "AS"
+    DAE = "DAE"
+    BL = "BL"
+
+    @staticmethod
+    def from_str(phase: str) -> "Phase":
+        return Phase[phase.upper()]
+
+
+class Trecho(Enum):
+    """The 4 passes over the force plates during a trial.
+
+    Passes 1 and 3 run right-to-left, passes 2 and 4 left-to-right.
+    Each contains 2 full cycles (8 phases).
+    """
+
+    FIRST = auto()
+    SECOND = auto()
+    THIRD = auto()
+    FOURTH = auto()
+
+
+class Cycle(Enum):
+    """Each of the 2 step cycles within one pass."""
+
+    FIRST = auto()
+    SECOND = auto()
+
+
+Segments = Mapping[Trecho, Mapping[Cycle, "OrderedDict[Phase, slice]"]]
+"""``{trecho: {cycle: {phase: slice((frame, subfr), (frame, subfr))}}}``.
+
+The phase dict preserves the order in which phases occur in the cycle.
+"""
+
+PhaseRef = Union[Phase, int, str]
+
+
+def reactions(vicon_nexus_data: ViconNexusData) -> Tuple[pd.Series, pd.Series]:
+    """(left, right) vertical ground reactions of the two force plates."""
+    left_fp, right_fp = vicon_nexus_data.forcepl[:2]
+    return left_fp.df["Fz"], right_fp.df["Fz"]
+
+
+def _windowed_all(flags: np.ndarray, window: int) -> np.ndarray:
+    """``out[i] = flags[i:i+window].all()`` (truncated near the end)."""
+    n = len(flags)
+    cs = np.concatenate([[0], np.cumsum(flags.astype(np.int64))])
+    ends = np.minimum(np.arange(n) + window, n)
+    lengths = ends - np.arange(n)
+    return (cs[ends] - cs[:n]) == lengths
+
+
+def transition_indices(
+    left_reaction,
+    right_reaction,
+    min_phase_size: int = 10,
+    num_segments: int = 40,
+) -> List[int]:
+    """Indices where the number of active legs changes (debounced).
+
+    Alternates between searching for a stretch with exactly one active
+    leg and one with both active, each stretch required to persist for
+    ``min_phase_size`` consecutive samples.  The first returned index
+    marks the start of the signal's single-support lead-in; every
+    subsequent one marks a support-state change.
+
+    Args:
+        num_segments: how many transitions to find; ``0`` finds as many
+            as possible.
+
+    Raises:
+        ValueError: if ``num_segments > 0`` transitions cannot be found
+            before the signal ends (try lowering ``min_phase_size``).
+    """
+    left = np.asarray(left_reaction)
+    right = np.asarray(right_reaction)
+    one_leg = np.logical_xor(left != 0, right != 0)
+    two_legs = np.logical_and(left != 0, right != 0)
+
+    valid = {
+        1: np.flatnonzero(_windowed_all(one_leg, min_phase_size)),
+        2: np.flatnonzero(_windowed_all(two_legs, min_phase_size)),
+    }
+
+    index_seq: List[int] = []
+    start = 0
+    legs = 1
+    while num_segments == 0 or len(index_seq) < num_segments:
+        candidates = valid[legs]
+        pos = np.searchsorted(candidates, start)
+        if pos == len(candidates):
+            if num_segments == 0:
+                return index_seq
+            raise ValueError(
+                f"no phase found with {min_phase_size} adjacent measurements "
+                f"with {legs} leg(s) with a nonzero reaction "
+                f"(found {len(index_seq)}/{num_segments} transitions)"
+            )
+        start = int(candidates[pos])
+        index_seq.append(start)
+        legs = 2 if legs == 1 else 1
+    return index_seq
+
+
+class Segmenter:
+    """Parse ground reactions into trechos/cycles/phases and query them.
+
+    Args:
+        data: the loaded capture (uses the first two force plates).
+        min_phase_size: debounce window for support-state changes.
+    """
+
+    def __init__(self, data: ViconNexusData, min_phase_size: int = 10):
+        self._data = data
+        left, right = reactions(data)
+        self._left = np.asarray(left)
+        self._right = np.asarray(right)
+        transitions = transition_indices(
+            self._left, self._right, min_phase_size=min_phase_size
+        )
+        self._segments = self._organize(transitions)
+
+    # -- public API --------------------------------------------------------
+    @property
+    def segments(self) -> Segments:
+        return self._segments
+
+    def ith_phase(self, trecho: Union[Trecho, int], i: int) -> Phase:
+        """The i-th (1-based) phase of cycles in a given trecho."""
+        if i not in range(1, 5):
+            raise IndexError("i should be a number between 1 and 4")
+        trecho = self._parse_trecho(trecho)
+        phases = tuple(self._segments[trecho][Cycle.FIRST].keys())
+        return phases[i - 1]
+
+    def get_times_of(
+        self,
+        trecho,
+        cycle: Optional[Union[Cycle, int]] = None,
+        phase: Optional[PhaseRef] = None,
+    ) -> slice:
+        """``(frame, subframe)`` slice of a trecho / cycle / phase.
+
+        ``trecho`` may also be a ``(trecho, cycle[, phase])`` tuple, in
+        which case the other arguments must be omitted.  Integer
+        arguments are 1-based; a phase may be named (``"BL"``) or given
+        by its position in the cycle.
+
+        Returns:
+            a ``slice`` whose ``start``/``stop`` are ``(frame,
+            subframe)`` pairs, directly usable to index
+            :class:`~muscle_synergies_tpu.data.DeviceData`.
+        """
+        trecho, cycle, phase = self._parse_args(trecho, cycle, phase)
+        seg = self._segments[trecho]
+        if phase is not None:
+            return seg[cycle][phase]
+        if cycle is not None:
+            phases = list(seg[cycle].values())
+            return slice(phases[0].start, phases[-1].stop)
+        first = list(seg[Cycle.FIRST].values())
+        last = list(seg[Cycle.SECOND].values())
+        return slice(first[0].start, last[-1].stop)
+
+    # -- argument parsing --------------------------------------------------
+    def _parse_args(self, trecho, cycle, phase_ref):
+        if phase_ref is not None and cycle is None:
+            raise ValueError("if a phase is given, a cycle should also be")
+        extras_given = cycle is not None or phase_ref is not None
+        if isinstance(trecho, tuple):
+            if extras_given:
+                raise ValueError(
+                    "the optional arguments should be omitted if a "
+                    "(trecho, cycle, phase) tuple is given"
+                )
+            if len(trecho) == 3:
+                trecho, cycle, phase_ref = trecho
+            elif len(trecho) == 2:
+                trecho, cycle = trecho
+            else:
+                raise ValueError("expected (trecho, cycle[, phase]) tuple")
+        trecho = self._parse_trecho(trecho)
+        cycle = self._parse_cycle(cycle)
+        phase = self._parse_phase(trecho, phase_ref)
+        return trecho, cycle, phase
+
+    @staticmethod
+    def _parse_trecho(trecho) -> Trecho:
+        if isinstance(trecho, Trecho):
+            return trecho
+        return tuple(Trecho)[trecho - 1]
+
+    @staticmethod
+    def _parse_cycle(cycle) -> Optional[Cycle]:
+        if cycle is None or isinstance(cycle, Cycle):
+            return cycle
+        return tuple(Cycle)[cycle - 1]
+
+    def _parse_phase(self, trecho: Trecho, phase_ref) -> Optional[Phase]:
+        if phase_ref is None or isinstance(phase_ref, Phase):
+            return phase_ref
+        if isinstance(phase_ref, str):
+            return Phase.from_str(phase_ref)
+        return self.ith_phase(trecho, phase_ref)
+
+    # -- segmentation ------------------------------------------------------
+    def _to_framesubfr(self, index: int) -> FrameSubfr:
+        return self._data.forcepl[0].to_framesubfr(index)
+
+    def _single_leg_phase(self, ind: int) -> Phase:
+        """BL if only the left plate is loaded at ``ind``, else AS."""
+        left_on = self._left[ind] != 0
+        right_on = self._right[ind] != 0
+        if left_on == right_on:
+            raise ValueError(
+                "expected index corresponding to a phase in which there is "
+                "ground reaction for exactly one leg."
+            )
+        return Phase.BL if left_on else Phase.AS
+
+    def _phase_order(self, second_phase_ind: int, trecho: Trecho) -> List[Phase]:
+        """Order of phases in this trecho's cycles.
+
+        Passes 1/3 start wide (DAA first) when the second phase is
+        swing; passes 2/4 start narrow.  (reference segment.py:822-850)
+        """
+        second = self._single_leg_phase(second_phase_ind)
+        if trecho in {Trecho.FIRST, Trecho.THIRD}:
+            if second is Phase.BL:
+                return [Phase.DAA, Phase.BL, Phase.DAE, Phase.AS]
+            return [Phase.DAE, Phase.AS, Phase.DAA, Phase.BL]
+        if second is Phase.BL:
+            return [Phase.DAE, Phase.BL, Phase.DAA, Phase.AS]
+        return [Phase.DAA, Phase.AS, Phase.DAE, Phase.BL]
+
+    def _cycle_dict(
+        self, order: Sequence[Phase], indices: Sequence[int]
+    ) -> "OrderedDict[Phase, slice]":
+        slices = [
+            slice(
+                self._to_framesubfr(indices[i]),
+                self._to_framesubfr(indices[i + 1] - 1),
+            )
+            for i in range(len(indices) - 1)
+        ]
+        return OrderedDict(zip(order, slices))
+
+    def _organize(self, transitions: Sequence[int]) -> Segments:
+        """8 phase transitions + trecho end per pass -> nested mapping.
+
+        The trechos' transition indices sit at fixed offsets in the
+        40-transition sequence (reference segment.py:906-917).
+        """
+        spans = {
+            Trecho.FIRST: (transitions[1:9], transitions[9]),
+            Trecho.SECOND: (transitions[11:19], transitions[19]),
+            Trecho.THIRD: (transitions[21:29], transitions[29]),
+            Trecho.FOURTH: (transitions[31:39], transitions[39]),
+        }
+        segments = {}
+        for trecho, (phase_indices, end) in spans.items():
+            phase_indices = list(phase_indices)
+            order = self._phase_order(phase_indices[1], trecho)
+            segments[trecho] = {
+                Cycle.FIRST: self._cycle_dict(order, phase_indices[:5]),
+                Cycle.SECOND: self._cycle_dict(order, phase_indices[4:] + [end]),
+            }
+        return segments
+
+
+class SegmentPlotter:
+    """Shade gait segments over signal plots.
+
+    Args:
+        data: the loaded capture.
+        segmenter: a fitted :class:`Segmenter` (built from ``data`` when
+            omitted).
+    """
+
+    def __init__(
+        self, data: ViconNexusData, segmenter: Optional[Segmenter] = None
+    ):
+        self.data = data
+        self.segmenter = segmenter if segmenter is not None else Segmenter(data)
+
+    def plot_reactions(self, show: bool = True, **plot_kwargs):
+        """Plot both plates' vertical reactions against time."""
+        import matplotlib.pyplot as plt
+
+        left, right = reactions(self.data)
+        time = self.data.time_seq("fp")
+        fig, ax = plt.subplots()
+        ax.plot(time, left, label="left plate Fz", **plot_kwargs)
+        ax.plot(time, right, label="right plate Fz", **plot_kwargs)
+        ax.set(xlabel="time (s)", ylabel="Fz")
+        ax.legend()
+        if show:  # pragma: no cover - interactive path
+            plt.show()
+            return None
+        return fig, ax
+
+    def plot_segment(
+        self,
+        trecho,
+        cycle=None,
+        phase=None,
+        device_type: str = "fp",
+        col: str = "Fz",
+        device_inds: Optional[Sequence[int]] = None,
+        alpha: float = 0.3,
+        show: bool = True,
+        **plot_kwargs,
+    ):
+        """Plot a column of some devices, shading the requested segment."""
+        import matplotlib.pyplot as plt
+
+        seg = self.segmenter.get_times_of(trecho, cycle, phase)
+        dev = self.data._device_of_type(device_type)
+        start = dev.to_index(seg.start)
+        stop = dev.to_index(seg.stop)
+
+        fig_ax = self.data.plot_cols(
+            device_type, col, device_inds=device_inds, show=False, **plot_kwargs
+        )
+        fig, ax = fig_ax
+        time = dev.time_seq()
+        ax.axvspan(time.iloc[start], time.iloc[stop], alpha=alpha)
+        if show:  # pragma: no cover - interactive path
+            plt.show()
+            return None
+        return fig, ax

@@ -1,0 +1,16 @@
+"""Auxiliary subsystems: config presets, checkpointing, profiling."""
+
+from .checkpoint import SweepCheckpoint, find_synergies_checkpointed
+from .config import FilterSpec, PipelineConfig
+from .profiling import Timer, annotate, debug_nans, solver_report
+
+__all__ = [
+    "FilterSpec",
+    "PipelineConfig",
+    "SweepCheckpoint",
+    "find_synergies_checkpointed",
+    "Timer",
+    "annotate",
+    "debug_nans",
+    "solver_report",
+]

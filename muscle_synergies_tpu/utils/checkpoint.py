@@ -1,0 +1,145 @@
+"""Factor checkpointing and rank-sweep resume.
+
+The reference keeps everything in memory and persists nothing (SURVEY
+§5 "checkpoint/resume": absent).  Here every completed rank of a sweep
+saves its factors, VAF table and solver telemetry as a compressed npz,
+so long multi-rank / multi-trial jobs restart from completed work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Dict, Mapping, Optional, Union
+
+import numpy as np
+import pandas
+
+__all__ = ["SweepCheckpoint", "find_synergies_checkpointed"]
+
+
+class SweepCheckpoint:
+    """Directory-backed store of per-rank factorization results.
+
+    Layout: ``<dir>/rank_<k>.npz`` with arrays ``w``, ``h``, ``vaf``
+    plus JSON-encoded metadata (columns, iterations, loss).
+    """
+
+    def __init__(self, directory: Union[str, os.PathLike]):
+        self.directory = Path(directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+
+    def _path(self, rank: int) -> Path:
+        return self.directory / f"rank_{rank}.npz"
+
+    def completed_ranks(self):
+        ranks = []
+        for p in self.directory.glob("rank_*.npz"):
+            try:
+                ranks.append(int(p.stem.split("_")[1]))
+            except (IndexError, ValueError):
+                continue
+        return sorted(ranks)
+
+    def has(self, rank: int) -> bool:
+        return self._path(rank).exists()
+
+    def save(
+        self,
+        rank: int,
+        w: np.ndarray,
+        h: np.ndarray,
+        vaf_values: pandas.DataFrame,
+        meta: Optional[Mapping] = None,
+    ):
+        tmp = self._path(rank).with_suffix(".tmp.npz")
+        np.savez_compressed(
+            tmp,
+            w=np.asarray(w),
+            h=np.asarray(h),
+            vaf=vaf_values.to_numpy(),
+            vaf_columns=np.array(list(vaf_values.columns), dtype=object),
+            meta=np.array(json.dumps(dict(meta or {})), dtype=object),
+        )
+        os.replace(tmp, self._path(rank))  # atomic publish
+
+    def load(self, rank: int) -> Dict:
+        with np.load(self._path(rank), allow_pickle=True) as data:
+            vaf = pandas.DataFrame(
+                data["vaf"], columns=list(data["vaf_columns"])
+            )
+            return {
+                "w": data["w"],
+                "h": data["h"],
+                "vaf_values": vaf,
+                "meta": json.loads(str(data["meta"])),
+            }
+
+
+def find_synergies_checkpointed(
+    processed_emg_df: pandas.DataFrame,
+    n_components: int,
+    max_components: int,
+    checkpoint_dir: Union[str, os.PathLike],
+    *,
+    max_iter: int = 100_000,
+    tol: float = 1e-6,
+    **nmf_kwargs,
+):
+    """Rank sweep that resumes from previously completed ranks.
+
+    Ranks already present in ``checkpoint_dir`` are loaded instead of
+    re-fit; every newly fitted rank is saved before moving on.  Returns
+    the same :class:`~muscle_synergies_tpu.models.SynergyRunResult`
+    shape as ``find_synergies`` (with ``model`` holding per-rank
+    metadata dicts for restored ranks).
+    """
+    from collections import OrderedDict
+
+    from ..analysis import vaf as _vaf
+    from ..models import NMFModel
+    from ..models.select import SynergyRunResult
+
+    ckpt = SweepCheckpoint(checkpoint_dir)
+    runs = OrderedDict()
+    for k in range(n_components, max_components + 1):
+        if ckpt.has(k):
+            stored = ckpt.load(k)
+            comps = pandas.DataFrame(
+                stored["h"], columns=processed_emg_df.columns
+            )
+            runs[k] = SynergyRunResult(
+                stored["vaf_values"], comps, stored["meta"]
+            )
+            continue
+        model = NMFModel(n_components=k, max_iter=max_iter, tol=tol, **nmf_kwargs)
+        w = model.fit_transform(processed_emg_df)
+        vaf_values = _vaf(
+            processed_emg_df,
+            components=model.components_,
+            transformed_signal=w,
+        )
+        comps = pandas.DataFrame(
+            model.components_, columns=processed_emg_df.columns
+        )
+        ckpt.save(
+            k,
+            w,
+            model.components_,
+            vaf_values,
+            meta={
+                "n_iter": model.n_iter_,
+                "reconstruction_err": model.reconstruction_err_,
+                "solver": getattr(model, "solver", "cd"),
+            },
+        )
+        runs[k] = SynergyRunResult(vaf_values, comps, model)
+
+    vaf_values = pandas.concat([r.vaf_values for r in runs.values()])
+    vaf_values.set_index(np.array(tuple(runs.keys())), inplace=True)
+    return SynergyRunResult(
+        vaf_values,
+        {k: r.components for k, r in runs.items()},
+        {k: r.model for k, r in runs.items()},
+    )

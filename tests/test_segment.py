@@ -1,0 +1,193 @@
+"""Tests for gait segmentation on a synthetic lateral-walk trial.
+
+Builds a force-plate Fz pair encoding the reference experiment's
+structure — a single-support lead-in, then 4 passes (trechos) of
+8 alternating double/single-support phases plus a 9th closing phase,
+separated by single-support gaps — and checks transition detection,
+phase ordering and (frame, subframe) slice queries.
+"""
+
+import numpy as np
+import pytest
+
+from muscle_synergies_tpu import DeviceData, DeviceType, SamplingFreq, ViconNexusData
+from muscle_synergies_tpu.frames import ForcesEMGFrameTracker, TrajFrameTracker
+from muscle_synergies_tpu.segment import (
+    Cycle,
+    Phase,
+    Segmenter,
+    SegmentPlotter,
+    Trecho,
+    reactions,
+    transition_indices,
+)
+
+STATE_LEN = 20  # samples per support state
+
+# support states: L = left only, R = right only, B = both
+LEAD = ["L"]
+TRECHO = ["B", "L", "B", "R", "B", "L", "B", "R", "B"]
+GAP = ["L"]
+SEQUENCE = LEAD + (TRECHO + GAP) * 4
+
+
+def _fz_signals():
+    left, right = [], []
+    for state in SEQUENCE:
+        left += [-100.0 if state in "LB" else 0.0] * STATE_LEN
+        right += [-50.0 if state in "RB" else 0.0] * STATE_LEN
+    return np.array(left), np.array(right)
+
+
+def _capture():
+    left, right = _fz_signals()
+    n = len(left)
+    # fast rate 300 Hz, slow 100 Hz -> 3 subframes; pad to full frames
+    pad = (-n) % 3
+    left = np.pad(left, (0, pad))
+    right = np.pad(right, (0, pad))
+    n = len(left)
+    sf = SamplingFreq(300, 100, num_frames=n // 3)
+    fast = ForcesEMGFrameTracker(sf)
+    slow = TrajFrameTracker(sf)
+
+    def plate(name, fz):
+        return DeviceData(
+            name, DeviceType.FORCE_PLATE, ("N",), fast,
+            array=fz[:, None], coords=("Fz",),
+        )
+
+    emg = DeviceData(
+        "EMG", DeviceType.EMG, ("V",), fast,
+        array=np.zeros((n, 2)), coords=("E1", "E2"),
+    )
+    marker = DeviceData(
+        "M:1", DeviceType.TRAJECTORY_MARKER, ("mm",) * 3, slow,
+        array=np.zeros((n // 3, 3)), coords=("X", "Y", "Z"),
+    )
+    return ViconNexusData(
+        [plate("Left", left), plate("Right", right)], emg, [marker], sf
+    )
+
+
+@pytest.fixture(scope="module")
+def capture():
+    return _capture()
+
+
+@pytest.fixture(scope="module")
+def segmenter(capture):
+    return Segmenter(capture)
+
+
+class TestTransitionIndices:
+    def test_finds_40_transitions_at_state_boundaries(self, capture):
+        left, right = reactions(capture)
+        idx = transition_indices(left, right)
+        assert len(idx) == 40
+        assert idx[0] == 0
+        assert all(i % STATE_LEN == 0 for i in idx)
+        # consecutive transitions are one state apart
+        assert all(b - a == STATE_LEN for a, b in zip(idx, idx[1:]))
+
+    def test_num_segments_zero_finds_all(self, capture):
+        left, right = reactions(capture)
+        idx = transition_indices(left, right, num_segments=0)
+        assert len(idx) >= 40
+
+    def test_truncated_signal_raises(self, capture):
+        left, right = reactions(capture)
+        with pytest.raises(ValueError, match="transitions"):
+            transition_indices(left[:200], right[:200])
+
+    def test_debounce_skips_glitches(self):
+        # a 3-sample double-support glitch inside single support must
+        # not register as a transition
+        left = np.full(200, -100.0)
+        right = np.zeros(200)
+        right[50:53] = -50.0
+        right[100:] = -50.0
+        idx = transition_indices(left, right, num_segments=2)
+        assert idx == [0, 100]
+
+
+class TestSegmenter:
+    def test_phase_order_trecho1(self, segmenter):
+        # second phase is left-only -> swing -> wide-start ordering
+        assert segmenter.ith_phase(1, 1) is Phase.DAA
+        assert segmenter.ith_phase(1, 2) is Phase.BL
+        assert segmenter.ith_phase(1, 3) is Phase.DAE
+        assert segmenter.ith_phase(1, 4) is Phase.AS
+
+    def test_phase_order_trecho2(self, segmenter):
+        assert segmenter.ith_phase(2, 1) is Phase.DAE
+        assert segmenter.ith_phase(Trecho.SECOND, 2) is Phase.BL
+
+    def test_ith_phase_validation(self, segmenter):
+        with pytest.raises(IndexError):
+            segmenter.ith_phase(1, 0)
+        with pytest.raises(IndexError):
+            segmenter.ith_phase(1, 5)
+
+    def test_phase_slice_frames(self, segmenter, capture):
+        # trecho 1, cycle 1, phase BL = samples 40..59
+        seg = segmenter.get_times_of(1, 1, "BL")
+        dev = capture.forcepl[0]
+        assert dev.to_index(seg.start) == 40
+        assert dev.to_index(seg.stop) == 59
+
+    def test_phase_by_position_matches_by_name(self, segmenter):
+        by_name = segmenter.get_times_of(1, 1, "BL")
+        by_pos = segmenter.get_times_of(1, 1, 2)
+        assert by_name == by_pos
+
+    def test_cycle_slice_spans_phases(self, segmenter, capture):
+        seg = segmenter.get_times_of(1, 1)
+        dev = capture.forcepl[0]
+        assert dev.to_index(seg.start) == STATE_LEN  # first B state
+        assert dev.to_index(seg.stop) == 5 * STATE_LEN - 1
+
+    def test_trecho_slice_spans_cycles(self, segmenter, capture):
+        seg = segmenter.get_times_of(1)
+        dev = capture.forcepl[0]
+        assert dev.to_index(seg.start) == STATE_LEN
+        # trecho ends right before its 9th phase
+        assert dev.to_index(seg.stop) == 9 * STATE_LEN - 1
+
+    def test_tuple_argument_form(self, segmenter):
+        assert segmenter.get_times_of((1, 1, "BL")) == segmenter.get_times_of(
+            1, 1, "BL"
+        )
+        assert segmenter.get_times_of((2, 2)) == segmenter.get_times_of(2, 2)
+
+    def test_arg_validation(self, segmenter):
+        with pytest.raises(ValueError, match="cycle"):
+            segmenter.get_times_of(1, None, "BL")
+        with pytest.raises(ValueError, match="omitted"):
+            segmenter.get_times_of((1, 1, "BL"), 1)
+
+    def test_slices_index_device_data(self, segmenter, capture):
+        seg = segmenter.get_times_of(1, 1, "BL")
+        rows = capture.forcepl[0][seg]
+        # BL = left-only support: left plate loaded over the whole span
+        assert (rows["Fz"] == -100.0).all()
+
+    def test_second_cycle_follows_first(self, segmenter, capture):
+        dev = capture.forcepl[0]
+        c1 = segmenter.get_times_of(1, 1)
+        c2 = segmenter.get_times_of(1, 2)
+        assert dev.to_index(c2.start) == dev.to_index(c1.stop) + 1
+
+
+class TestSegmentPlotter:
+    def test_plot_reactions_and_segment(self, capture, segmenter):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plotter = SegmentPlotter(capture, segmenter)
+        fig, ax = plotter.plot_reactions(show=False)
+        plt.close(fig)
+        fig, ax = plotter.plot_segment(1, 1, "BL", show=False)
+        plt.close(fig)

@@ -1,0 +1,158 @@
+"""Tests for config presets, checkpoint/resume, telemetry and stability."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from muscle_synergies_tpu.models import (
+    bootstrap_synergies,
+    cv_rank_selection,
+    fit_mu,
+    fit_mu_masked,
+    initialize_nmf,
+)
+from muscle_synergies_tpu.utils import (
+    FilterSpec,
+    PipelineConfig,
+    SweepCheckpoint,
+    Timer,
+    debug_nans,
+    find_synergies_checkpointed,
+    solver_report,
+)
+
+RNG = np.random.default_rng(21)
+
+
+def _emg_df(n=300, l=6, k=2):
+    w = RNG.random((n, k))
+    h = RNG.random((k, l))
+    x = np.maximum(w @ h + 0.02 * RNG.random((n, l)), 0)
+    return pd.DataFrame(x, columns=[f"M{i}" for i in range(l)])
+
+
+class TestPipelineConfig:
+    def test_roundtrip_json(self):
+        cfg = PipelineConfig(
+            envelope=FilterSpec(order=2, critical_freqs=(5.0,)),
+            use_rms=True,
+            max_rank=3,
+        )
+        restored = PipelineConfig.from_json(cfg.to_json())
+        assert restored == cfg
+
+    def test_hashable(self):
+        assert hash(PipelineConfig()) == hash(PipelineConfig())
+
+    def test_preprocess_rms_path(self):
+        cfg = PipelineConfig(use_rms=True, rms_window_s=0.05, reduce_to=50)
+        x = RNG.standard_normal((400, 4))
+        out = np.asarray(cfg.preprocess(x, sampling_frequency=200))
+        assert out.shape == (50, 4)
+        assert np.all(out >= 0)
+        assert np.allclose(np.max(np.abs(out), axis=0), 1.0)
+
+    def test_preprocess_envelope_path(self):
+        cfg = PipelineConfig(
+            envelope=FilterSpec(order=2, critical_freqs=(5.0,)), reduce_to=None
+        )
+        x = RNG.standard_normal((400, 4))
+        out = np.asarray(cfg.preprocess(x, sampling_frequency=200))
+        assert out.shape == (400, 4)
+
+    def test_find_synergies_through_config(self):
+        cfg = PipelineConfig(min_rank=1, max_rank=2, max_iter=2000, tol=1e-6)
+        res = cfg.find_synergies(_emg_df())
+        assert list(res.vaf_values.index) == [1, 2]
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        ckpt = SweepCheckpoint(tmp_path / "sweep")
+        vaf = pd.DataFrame({"All signals": [0.9], "M0": [0.91]})
+        ckpt.save(3, np.ones((10, 3)), np.ones((3, 4)), vaf, meta={"n_iter": 7})
+        assert ckpt.has(3) and not ckpt.has(2)
+        stored = ckpt.load(3)
+        assert stored["meta"]["n_iter"] == 7
+        assert stored["vaf_values"].equals(vaf)
+        assert ckpt.completed_ranks() == [3]
+
+    def test_resume_skips_completed(self, tmp_path):
+        df = _emg_df()
+        res1 = find_synergies_checkpointed(
+            df, 1, 3, tmp_path / "ck", max_iter=2000, tol=1e-6
+        )
+        ckpt = SweepCheckpoint(tmp_path / "ck")
+        assert ckpt.completed_ranks() == [1, 2, 3]
+        # poison rank 2's stored VAF to prove it is loaded, not re-fit
+        stored = ckpt.load(2)
+        poisoned = stored["vaf_values"].copy()
+        poisoned["All signals"] = 0.123456
+        ckpt.save(2, stored["w"], stored["h"], poisoned, stored["meta"])
+        res2 = find_synergies_checkpointed(
+            df, 1, 3, tmp_path / "ck", max_iter=2000, tol=1e-6
+        )
+        assert res2.vaf_values.loc[2, "All signals"] == 0.123456
+        assert (
+            res1.vaf_values.loc[3, "All signals"]
+            == res2.vaf_values.loc[3, "All signals"]
+        )
+
+
+class TestProfiling:
+    def test_timer(self):
+        with Timer("t") as t:
+            sum(range(1000))
+        assert t.elapsed is not None and t.elapsed >= 0
+
+    def test_solver_report(self):
+        df = _emg_df()
+        x = df.to_numpy()
+        w0, h0 = initialize_nmf(x, 2, init="nndsvda")
+        state = fit_mu(x, w0, h0, max_iter=500, tol=1e-6)
+        report = solver_report(state, x)
+        assert report["n_iter"] > 0
+        assert 0.0 <= report["converged_fraction"] <= 1.0
+        assert np.isfinite(report["final_error"])
+
+    def test_debug_nans_restores(self):
+        import jax
+
+        before = jax.config.jax_debug_nans
+        with debug_nans(True):
+            assert jax.config.jax_debug_nans
+        assert jax.config.jax_debug_nans == before
+
+
+class TestStability:
+    def test_bootstrap_recovers_stable_components(self):
+        df = _emg_df(n=400, l=8, k=3)
+        res = bootstrap_synergies(
+            df.to_numpy(), 3, n_boot=12, max_iter=300, tol=1e-6
+        )
+        assert res.similarities.shape == (12, 3)
+        # clean low-rank data: components should be highly stable
+        assert np.all(res.mean > 0.95)
+        assert res.reference_components.shape == (3, 8)
+
+    def test_masked_fit_ignores_heldout(self):
+        x = _emg_df(n=200, l=6, k=2).to_numpy()
+        rng = np.random.default_rng(0)
+        mask = (rng.random(x.shape) >= 0.2).astype(float)
+        w0, h0 = initialize_nmf(x * mask, 2, init="nndsvda")
+        state = fit_mu_masked(x, mask, w0, h0, max_iter=500, tol=1e-8)
+        rec = np.asarray(state.w) @ np.asarray(state.h)
+        # low-rank structure lets held-out entries be recovered
+        err = np.linalg.norm((1 - mask) * (x - rec)) / np.linalg.norm(x)
+        assert err < 0.05
+
+    def test_cv_picks_true_rank(self):
+        x = _emg_df(n=300, l=8, k=3).to_numpy()
+        res = cv_rank_selection(
+            x, ranks=(1, 2, 3, 4, 5), n_repeats=3, max_iter=400, tol=1e-7
+        )
+        assert res.test_error.shape == (3, 5)
+        # held-out error should drop sharply up to the true rank
+        assert res.best_rank >= 3
+        means = res.mean_test_error
+        assert means[2] < means[0]
