@@ -1,5 +1,13 @@
 """Ingest layer: Vicon Nexus CSV parsing and trial batching."""
 
+from .batch import TrialBatch, batch_iterator, device_prefetch, stack_trials
 from .vicon import ViconCSVError, load_vicon_file
 
-__all__ = ["load_vicon_file", "ViconCSVError"]
+__all__ = [
+    "load_vicon_file",
+    "ViconCSVError",
+    "TrialBatch",
+    "stack_trials",
+    "batch_iterator",
+    "device_prefetch",
+]

@@ -1,0 +1,141 @@
+"""Trial batching and host->device feeding.
+
+Bridges the ingest layer to the batched solvers: ragged trials become
+padded ``(B, N, L)`` device arrays with masks, placed under an explicit
+sharding, and an asynchronous prefetcher overlaps host preprocessing /
+transfers with device compute (the pipeline-parallelism analog for this
+workload — SURVEY §2.5 maps the reference's absent PP row to exactly
+this ingest->preprocess->factorize pipelining).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterable, Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.batch import pad_and_stack
+
+__all__ = ["TrialBatch", "stack_trials", "batch_iterator", "device_prefetch"]
+
+
+@dataclass
+class TrialBatch:
+    """A padded batch of trials ready for the batched solvers.
+
+    Attributes:
+        data: ``(B, N, L)`` padded measurements.
+        mask: ``(B, N)`` validity mask (1 = real sample).
+        lengths: original per-trial lengths.
+        names: optional per-trial identifiers.
+    """
+
+    data: jnp.ndarray
+    mask: jnp.ndarray
+    lengths: np.ndarray
+    names: Optional[List[str]] = None
+
+    @property
+    def batch_size(self) -> int:
+        return self.data.shape[0]
+
+
+def stack_trials(
+    trials: Sequence[np.ndarray],
+    pad_to: Optional[int] = None,
+    names: Optional[Sequence[str]] = None,
+    sharding=None,
+    dtype=None,
+) -> TrialBatch:
+    """Pad/stack ragged trials and place them on device.
+
+    Args:
+        trials: ``(N_i, L)`` arrays sharing the channel count.
+        pad_to: pad every trial to this length (defaults to the max).
+        sharding: optional ``jax.sharding.Sharding`` for the batch.
+        dtype: cast target (e.g. ``jnp.float32`` for TPU runs).
+    """
+    data, mask = pad_and_stack(trials, pad_to=pad_to)
+    if dtype is not None:
+        data = data.astype(dtype)
+        mask = mask.astype(dtype)
+    if sharding is not None:
+        data = jax.device_put(data, sharding)
+        mask = jax.device_put(mask, sharding)
+    else:
+        data = jnp.asarray(data)
+        mask = jnp.asarray(mask)
+    return TrialBatch(
+        data=data,
+        mask=mask,
+        lengths=np.array([t.shape[0] for t in trials]),
+        names=list(names) if names is not None else None,
+    )
+
+
+def batch_iterator(
+    trials: Sequence[np.ndarray],
+    batch_size: int,
+    pad_to: Optional[int] = None,
+    drop_remainder: bool = False,
+    **stack_kwargs,
+) -> Iterator[TrialBatch]:
+    """Yield :class:`TrialBatch` chunks of ``batch_size`` trials."""
+    if pad_to is None:
+        pad_to = max(t.shape[0] for t in trials)
+    for start in range(0, len(trials), batch_size):
+        chunk = trials[start : start + batch_size]
+        if drop_remainder and len(chunk) < batch_size:
+            return
+        yield stack_trials(chunk, pad_to=pad_to, **stack_kwargs)
+
+
+def device_prefetch(
+    iterable: Iterable,
+    buffer_size: int = 2,
+    sharding=None,
+) -> Iterator:
+    """Asynchronously stage upcoming items onto device.
+
+    A background thread pulls from ``iterable`` and issues
+    ``device_put`` (async under JAX) for up to ``buffer_size`` items
+    ahead of the consumer, so host-side parsing/padding and the PCIe/
+    ICI transfer overlap with device compute on the current batch.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
+    _END = object()
+
+    def put(item):
+        if sharding is not None:
+            return jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, sharding)
+                if isinstance(a, (np.ndarray, jnp.ndarray))
+                else a,
+                item,
+            )
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a)
+            if isinstance(a, (np.ndarray, jnp.ndarray))
+            else a,
+            item,
+        )
+
+    def producer():
+        try:
+            for item in iterable:
+                q.put(put(item))
+        finally:
+            q.put(_END)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

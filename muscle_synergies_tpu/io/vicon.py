@@ -183,13 +183,28 @@ def _decode_data_block(
     """Bulk-decode the numeric block of a section into float64.
 
     Empty cells become NaN.  Columns beyond ``num_cols`` are ignored
-    (they are padding in the Vicon export).
+    (they are padding in the Vicon export).  Uses the native C++
+    decoder when available (built on demand; see
+    :mod:`muscle_synergies_tpu.native`), falling back to the pandas C
+    reader.
     """
     if not lines:
         return np.empty((0, num_cols), dtype=float)
+    text = "\n".join(lines)
+
+    if os.environ.get("MST_DISABLE_NATIVE") != "1":
+        from .. import native
+
+        try:
+            arr = native.decode_block(text.encode(), num_cols)
+        except ValueError as exc:
+            raise _err(first_lineno, str(exc)) from exc
+        if arr is not None:
+            return arr
+
     try:
         frame = pd.read_csv(
-            io.StringIO("\n".join(lines)),
+            io.StringIO(text),
             header=None,
             dtype=float,
             na_filter=True,

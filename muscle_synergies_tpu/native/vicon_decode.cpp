@@ -1,0 +1,161 @@
+// Fast numeric-block decoder for Vicon Nexus CSV exports.
+//
+// The ingest hot path is turning ~130k lines x ~130 columns of ASCII
+// floats into a dense float64 matrix (the reference burns this time in
+// a per-cell Python loop, reader.py:927-955; our Python fallback uses
+// pandas' C reader).  This decoder is a single zero-copy pass over the
+// file buffer: cells split on ',', rows on '\n', empty cells -> NaN,
+// columns beyond num_cols ignored, short rows padded with NaN.
+//
+// Built as a plain shared library (no Python.h); bound via ctypes.
+
+#include <algorithm>
+#include <charconv>
+#include <cmath>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// Count data rows (non-empty lines) in the buffer.
+long msk_count_rows(const char* buf, long len) {
+    long rows = 0;
+    bool has_content = false;
+    for (long i = 0; i < len; ++i) {
+        char c = buf[i];
+        if (c == '\n') {
+            if (has_content) ++rows;
+            has_content = false;
+        } else if (c != '\r') {
+            has_content = true;
+        }
+    }
+    if (has_content) ++rows;
+    return rows;
+}
+
+// Decode the numeric block.
+//
+// Returns 0 on success, or the 1-based row number of the first cell
+// that failed to parse as a float (for error reporting).
+//
+//   buf, len:   raw bytes of the data block (ASCII)
+//   num_cols:   columns to keep per row (extra columns are ignored)
+//   out:        preallocated [max_rows * num_cols] float64 array
+//   max_rows:   capacity of `out`
+//   out_rows:   receives the number of decoded rows
+static long decode_range(const char* buf, long len, long num_cols,
+                         double* out, long max_rows, long* out_rows,
+                         long row_base) {
+    const double nan_val = std::nan("");
+    long row = 0;
+    long i = 0;
+    while (i < len && row < max_rows) {
+        // find end of line
+        long line_start = i;
+        long line_end = i;
+        while (line_end < len && buf[line_end] != '\n') ++line_end;
+        long content_end = line_end;
+        while (content_end > line_start && buf[content_end - 1] == '\r')
+            --content_end;
+
+        // skip blank lines (cells all empty)
+        bool blank = true;
+        for (long j = line_start; j < content_end; ++j) {
+            char c = buf[j];
+            if (c != ',' && c != ' ' && c != '\t') { blank = false; break; }
+        }
+        if (blank) { i = line_end + 1; continue; }
+
+        double* out_row = out + row * num_cols;
+        long col = 0;
+        long cell_start = line_start;
+        for (long j = line_start; j <= content_end && col < num_cols; ++j) {
+            if (j == content_end || buf[j] == ',') {
+                if (j == cell_start) {
+                    out_row[col] = nan_val;  // empty cell
+                } else {
+                    const char* cs = buf + cell_start;
+                    const char* ce = buf + j;
+                    while (cs < ce && (*cs == ' ' || *cs == '\t')) ++cs;
+                    while (ce > cs && (ce[-1] == ' ' || ce[-1] == '\t')) --ce;
+                    double v;
+                    // from_chars rejects a leading '+'; Vicon never
+                    // emits one, but accept it for robustness.
+                    if (cs < ce && *cs == '+') ++cs;
+                    auto res = std::from_chars(cs, ce, v);
+                    if (res.ec != std::errc() || res.ptr != ce) {
+                        if (cs == ce) { out_row[col] = nan_val; ++col;
+                                        cell_start = j + 1; continue; }
+                        return row_base + row + 1;  // parse error
+                    }
+                    out_row[col] = v;
+                }
+                ++col;
+                cell_start = j + 1;
+            }
+        }
+        // short row: pad with NaN
+        for (; col < num_cols; ++col) out_row[col] = nan_val;
+        ++row;
+        i = line_end + 1;
+    }
+    *out_rows = row;
+    return 0;
+}
+
+// Decode the numeric block (parallel over row ranges).
+//
+// Same contract as decode_range with row_base = 0: returns 0 on
+// success or the 1-based row number of the first unparseable cell.
+long msk_decode_block(const char* buf, long len, long num_cols,
+                      double* out, long max_rows, long* out_rows) {
+    unsigned hw = std::thread::hardware_concurrency();
+    long n_threads = std::min<long>(hw ? hw : 1, 16);
+    if (len < (1 << 20) || n_threads <= 1) {
+        return decode_range(buf, len, num_cols, out, max_rows, out_rows, 0);
+    }
+
+    // split at line boundaries
+    std::vector<long> starts{0};
+    for (long t = 1; t < n_threads; ++t) {
+        long pos = len * t / n_threads;
+        while (pos < len && buf[pos - 1] != '\n') ++pos;
+        starts.push_back(pos);
+    }
+    starts.push_back(len);
+
+    // rows before each chunk (so each thread writes at its offset)
+    std::vector<long> row_offset(n_threads + 1, 0);
+    for (long t = 0; t < n_threads; ++t) {
+        row_offset[t + 1] = row_offset[t] +
+            msk_count_rows(buf + starts[t], starts[t + 1] - starts[t]);
+    }
+
+    std::vector<long> status(n_threads, 0), got(n_threads, 0);
+    std::vector<std::thread> workers;
+    for (long t = 0; t < n_threads; ++t) {
+        workers.emplace_back([&, t]() {
+            long rows_cap = std::min(max_rows - row_offset[t],
+                                     row_offset[t + 1] - row_offset[t]);
+            if (rows_cap < 0) rows_cap = 0;
+            status[t] = decode_range(
+                buf + starts[t], starts[t + 1] - starts[t], num_cols,
+                out + row_offset[t] * num_cols, rows_cap, &got[t],
+                row_offset[t]);
+        });
+    }
+    for (auto& w : workers) w.join();
+
+    long total = 0;
+    for (long t = 0; t < n_threads; ++t) total += got[t];
+    *out_rows = total;
+    for (long t = 0; t < n_threads; ++t) {
+        if (status[t] != 0) return status[t];
+    }
+    return 0;
+}
+
+}  // extern "C"
