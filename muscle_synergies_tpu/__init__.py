@@ -7,7 +7,7 @@ batched/sharded array pipelines, fused NMF solvers, and mesh-parallel
 execution.
 """
 
-from . import analysis, models, ops, parallel, segment, utils
+from . import analysis, dataset, models, ops, parallel, segment, utils
 from .analysis import (
     digital_filter,
     fft_spectrum,
@@ -21,6 +21,7 @@ from .analysis import (
 )
 from .data import DeviceData, DeviceType, ViconNexusData
 from .frames import ForcesEMGFrameTracker, FrameSubfr, SamplingFreq, TrajFrameTracker
+from .dataset import DatasetResult, analyze_dataset
 from .io import ViconCSVError, load_vicon_file
 from .models import NMFModel, SynergyRunResult, find_synergies
 from .viz import plot_fft, plot_signal, synergy_heatmap
@@ -52,12 +53,15 @@ __all__ = [
     "NMFModel",
     "SynergyRunResult",
     "find_synergies",
+    "analyze_dataset",
+    "DatasetResult",
     # viz
     "plot_signal",
     "plot_fft",
     "synergy_heatmap",
     # submodules
     "analysis",
+    "dataset",
     "models",
     "ops",
     "parallel",

@@ -1,0 +1,203 @@
+"""Whole-dataset synergy analysis: many trials, many ranks, one solve.
+
+The reference factorizes one matrix at a time in a Python loop
+(reference analysis.py:909-913).  Here the full ``(rank, trial)`` grid
+becomes a single batched device computation:
+
+1. every trial is preprocessed through a
+   :class:`~muscle_synergies_tpu.utils.PipelineConfig` (time
+   normalization lands all trials on a common length);
+2. factors for every rank are zero-padded to the maximum rank — padded
+   components stay exactly zero under the MU updates, so each grid
+   entry is equivalent to an independent fit;
+3. one vmapped (or mesh-sharded) solver call fits all ``R x B``
+   problems with per-problem convergence.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas
+
+from .models.batch import _pad_rank, fit_mu_batch, vaf_batch
+from .models.init import initialize_nmf
+from .utils.config import PipelineConfig
+
+__all__ = ["DatasetResult", "analyze_dataset", "preprocess_trials"]
+
+
+def _as_array(trial) -> np.ndarray:
+    if isinstance(trial, pandas.DataFrame):
+        return trial.to_numpy(dtype=float)
+    if hasattr(trial, "array"):  # DeviceData
+        return np.asarray(trial.array, dtype=float)
+    return np.asarray(trial, dtype=float)
+
+
+def preprocess_trials(
+    trials: Sequence,
+    sampling_frequency: float,
+    config: PipelineConfig = PipelineConfig(),
+    dtype=None,
+) -> jnp.ndarray:
+    """Run the configured preprocessing on every trial and stack them.
+
+    ``config.reduce_to`` must be set (it is what makes ragged trials
+    stack into one ``(B, reduce_to, L)`` batch).
+    """
+    if config.reduce_to is None:
+        raise ValueError(
+            "preprocess_trials needs config.reduce_to so trials share a "
+            "common length"
+        )
+    processed = [
+        config.preprocess(_as_array(t), sampling_frequency) for t in trials
+    ]
+    batch = jnp.stack(processed)
+    if dtype is not None:
+        batch = batch.astype(dtype)
+    return batch
+
+
+@dataclass
+class DatasetResult:
+    """Synergies for every ``(rank, trial)`` pair of a dataset.
+
+    Attributes:
+        ranks: the swept ranks.
+        w: ``(R, B, N, k_max)`` transformed signals (rank-padded).
+        h: ``(R, B, k_max, L)`` components (rank-padded).
+        vaf_overall: ``(R, B)`` total VAF.
+        vaf_per_channel: ``(R, B, L)``.
+        n_iter: ``(R, B)`` solver iterations.
+        converged: ``(R, B)`` convergence flags.
+        channel_names: channel labels when the inputs carried them.
+    """
+
+    ranks: tuple
+    w: np.ndarray
+    h: np.ndarray
+    vaf_overall: np.ndarray
+    vaf_per_channel: np.ndarray
+    n_iter: np.ndarray
+    converged: np.ndarray
+    channel_names: Optional[List[str]] = None
+
+    def components(self, rank: int, trial: int) -> pandas.DataFrame:
+        """``(rank, L)`` components of one fit, labeled."""
+        r = self.ranks.index(rank)
+        h = self.h[r, trial][:rank]
+        cols = self.channel_names or range(h.shape[1])
+        return pandas.DataFrame(h, columns=list(cols))
+
+    def vaf_table(self) -> pandas.DataFrame:
+        """Trials x ranks table of overall VAF."""
+        return pandas.DataFrame(
+            self.vaf_overall.T,
+            columns=list(self.ranks),
+            index=pandas.RangeIndex(self.vaf_overall.shape[1], name="trial"),
+        )
+
+    def min_rank_reaching(self, vaf_threshold: float = 0.9) -> np.ndarray:
+        """Per trial: smallest swept rank whose VAF >= threshold (-1 if none)."""
+        reached = self.vaf_overall >= vaf_threshold  # (R, B)
+        out = np.full(reached.shape[1], -1, dtype=int)
+        for i, rank in enumerate(self.ranks):
+            newly = reached[i] & (out == -1)
+            out[newly] = rank
+        return out
+
+
+def analyze_dataset(
+    trials: Sequence,
+    sampling_frequency: float,
+    ranks: Union[int, Sequence[int]] = (1, 2, 3, 4),
+    config: PipelineConfig = PipelineConfig(),
+    mesh=None,
+    init: Optional[str] = None,
+    max_iter: Optional[int] = None,
+    tol: Optional[float] = None,
+    dtype=None,
+    seed: int = 0,
+) -> DatasetResult:
+    """Preprocess and factorize a whole multi-trial dataset at once.
+
+    Args:
+        trials: sequence of ``(N_i, L)`` arrays / DataFrames /
+            ``DeviceData`` (e.g. the EMG of several captures).
+        ranks: rank or ranks to sweep.
+        config: preprocessing + solver preset.
+        mesh: optional ``(data, time)`` mesh — the solve runs through
+            :func:`~muscle_synergies_tpu.parallel.sharded_fit_mu` when
+            the grid divides evenly over the data axis.
+        dtype: computation dtype (e.g. ``jnp.float32`` on TPU).
+
+    Returns:
+        :class:`DatasetResult` over the full ``(rank, trial)`` grid.
+    """
+    if isinstance(ranks, int):
+        ranks = (ranks,)
+    ranks = tuple(ranks)
+    max_iter = max_iter if max_iter is not None else config.max_iter
+    tol = tol if tol is not None else config.tol
+
+    channel_names = None
+    first = trials[0]
+    if isinstance(first, pandas.DataFrame):
+        channel_names = list(first.columns)
+    elif hasattr(first, "coords"):
+        channel_names = list(first.coords)
+
+    xs = preprocess_trials(trials, sampling_frequency, config, dtype=dtype)
+    b = xs.shape[0]
+    k_max = max(ranks)
+
+    # (R * B) problem grid with rank-padded factors
+    w0s, h0s = [], []
+    for k in ranks:
+        for t in range(b):
+            w0, h0 = initialize_nmf(xs[t], k, init=init, seed=seed)
+            w0p, h0p = _pad_rank(w0, h0, k, k_max)
+            w0s.append(w0p.astype(xs.dtype))
+            h0s.append(h0p.astype(xs.dtype))
+    grid_x = jnp.tile(xs, (len(ranks), 1, 1))
+    grid_w = jnp.stack(w0s)
+    grid_h = jnp.stack(h0s)
+
+    if mesh is not None and grid_x.shape[0] % mesh.shape["data"] == 0:
+        from .parallel import sharded_fit_mu
+        from .parallel.mesh import DATA_AXIS, TIME_AXIS
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        grid_x = jax.device_put(
+            grid_x, NamedSharding(mesh, P(DATA_AXIS, TIME_AXIS, None))
+        )
+        grid_w = jax.device_put(
+            grid_w, NamedSharding(mesh, P(DATA_AXIS, TIME_AXIS, None))
+        )
+        grid_h = jax.device_put(
+            grid_h, NamedSharding(mesh, P(DATA_AXIS, None, None))
+        )
+        state = sharded_fit_mu(
+            grid_x, grid_w, grid_h, mesh, max_iter=max_iter, tol=tol
+        )
+    else:
+        state = fit_mu_batch(grid_x, grid_w, grid_h, max_iter=max_iter, tol=tol)
+
+    overall, per_channel = vaf_batch(grid_x, state.w, state.h)
+    r, = (len(ranks),)
+    return DatasetResult(
+        ranks=ranks,
+        w=np.asarray(state.w).reshape(r, b, *state.w.shape[1:]),
+        h=np.asarray(state.h).reshape(r, b, *state.h.shape[1:]),
+        vaf_overall=np.asarray(overall).reshape(r, b),
+        vaf_per_channel=np.asarray(per_channel).reshape(r, b, -1),
+        n_iter=np.asarray(state.n_iter).reshape(r, b),
+        converged=np.asarray(state.converged).reshape(r, b),
+        channel_names=channel_names,
+    )

@@ -155,7 +155,7 @@ def sharded_sosfilt(
     def run(xb):
         c = xb.shape[1]
         zeros = jnp.zeros((sos_j.shape[0], 2, c), xb.dtype)
-        zeros = jax.lax.pvary(zeros, (axis_name,))
+        zeros = jax.lax.pcast(zeros, (axis_name,), to="varying")
         y, _ = _sharded_pass(xb, sos_j, zeros, axis_name, reverse=False)
         return y
 

@@ -180,9 +180,9 @@ def sharded_fit_mu(
         init = MUState(
             w=wb,
             h=hb,
-            n_iter=jax.lax.pvary(jnp.zeros((b,), jnp.int32), (DATA_AXIS,)),
+            n_iter=jax.lax.pcast(jnp.zeros((b,), jnp.int32), (DATA_AXIS,), to="varying"),
             previous_error=error_at_init,
-            converged=jax.lax.pvary(jnp.zeros((b,), bool), (DATA_AXIS,)),
+            converged=jax.lax.pcast(jnp.zeros((b,), bool), (DATA_AXIS,), to="varying"),
         )
         return jax.lax.while_loop(cond, chunk, init)
 

@@ -1,0 +1,100 @@
+"""Tests for whole-dataset analysis over the (rank, trial) grid."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from muscle_synergies_tpu import analyze_dataset
+from muscle_synergies_tpu.dataset import preprocess_trials
+from muscle_synergies_tpu.parallel import make_mesh
+from muscle_synergies_tpu.utils import PipelineConfig
+
+RNG = np.random.default_rng(17)
+
+
+def _trials(b=4, l=6, k=2):
+    out = []
+    for i in range(b):
+        n = 500 + 40 * i  # ragged lengths
+        w = np.abs(RNG.standard_normal((n, k)))
+        h = RNG.random((k, l))
+        out.append(
+            pd.DataFrame(
+                np.maximum(w @ h + 0.02 * RNG.random((n, l)), 0),
+                columns=[f"M{j}" for j in range(l)],
+            )
+        )
+    return out
+
+
+CFG = PipelineConfig(use_rms=True, rms_window_s=0.05, reduce_to=100)
+
+
+class TestPreprocess:
+    def test_ragged_trials_stack(self):
+        xs = preprocess_trials(_trials(), 200, CFG)
+        assert xs.shape == (4, 100, 6)
+        assert np.all(np.asarray(xs) >= 0)
+
+    def test_requires_reduce_to(self):
+        with pytest.raises(ValueError, match="reduce_to"):
+            preprocess_trials(
+                _trials(), 200, PipelineConfig(reduce_to=None)
+            )
+
+
+class TestAnalyzeDataset:
+    @pytest.fixture(scope="class")
+    def result(self):
+        return analyze_dataset(
+            _trials(),
+            200,
+            ranks=(1, 2, 3),
+            config=CFG,
+            max_iter=500,
+            tol=1e-7,
+        )
+
+    def test_grid_shapes(self, result):
+        assert result.vaf_overall.shape == (3, 4)
+        assert result.vaf_per_channel.shape == (3, 4, 6)
+        assert result.h.shape == (3, 4, 3, 6)
+        assert result.n_iter.shape == (3, 4)
+
+    def test_rank_padding_is_exact(self, result):
+        # rank-1 fits must have zero components beyond the first
+        np.testing.assert_array_equal(result.h[0][:, 1:, :], 0)
+
+    def test_vaf_reasonable(self, result):
+        # data has true rank 2: rank-2 VAF should be high for all trials
+        assert np.all(result.vaf_overall[1] > 0.98)
+
+    def test_components_accessor(self, result):
+        comps = result.components(rank=2, trial=0)
+        assert comps.shape == (2, 6)
+        assert list(comps.columns) == [f"M{j}" for j in range(6)]
+
+    def test_vaf_table_and_threshold(self, result):
+        table = result.vaf_table()
+        assert table.shape == (4, 3)
+        min_ranks = result.min_rank_reaching(0.95)
+        assert min_ranks.shape == (4,)
+        assert np.all(min_ranks <= 2)
+        assert np.all(min_ranks >= 1)
+
+    def test_single_rank_int(self):
+        res = analyze_dataset(
+            _trials(b=2), 200, ranks=2, config=CFG, max_iter=300, tol=1e-6
+        )
+        assert res.vaf_overall.shape == (1, 2)
+
+    def test_sharded_matches_local(self):
+        trials = _trials(b=4)
+        kwargs = dict(ranks=(1, 2), config=CFG, max_iter=300, tol=1e-6)
+        local = analyze_dataset(trials, 200, **kwargs)
+        mesh = make_mesh((4, 2))
+        sharded = analyze_dataset(trials, 200, mesh=mesh, **kwargs)
+        np.testing.assert_allclose(
+            sharded.vaf_overall, local.vaf_overall, rtol=1e-6
+        )
+        np.testing.assert_array_equal(sharded.n_iter, local.n_iter)
