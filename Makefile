@@ -1,0 +1,30 @@
+# Development targets.
+
+PYTHON ?= python
+
+.PHONY: test test-fast bench bench-quick entry native clean
+
+test:
+	$(PYTHON) -m pytest tests/ -q
+
+test-fast:
+	$(PYTHON) -m pytest tests/ -q -x --ignore=tests/test_parallel.py
+
+bench:
+	$(PYTHON) bench.py
+
+bench-quick:
+	$(PYTHON) bench.py --quick
+
+entry:
+	JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+		$(PYTHON) __graft_entry__.py
+
+native:
+	g++ -O3 -shared -fPIC -pthread \
+		-o muscle_synergies_tpu/native/libvicon_decode.so \
+		muscle_synergies_tpu/native/vicon_decode.cpp
+
+clean:
+	rm -rf muscle_synergies_tpu/native/libvicon_decode.so \
+		$$(find . -name __pycache__ -type d) .pytest_cache
