@@ -1,5 +1,6 @@
 """Mesh-parallel execution: sharded NMF and sequence-parallel filters."""
 
+from . import collectives
 from .filters import sharded_sosfilt, sharded_sosfiltfilt
 from .mesh import DATA_AXIS, TIME_AXIS, batch_sharding, make_mesh, replicated
 from .nmf import sharded_fit_mu, sharded_mu_step
@@ -14,4 +15,5 @@ __all__ = [
     "sharded_fit_mu",
     "sharded_sosfilt",
     "sharded_sosfiltfilt",
+    "collectives",
 ]

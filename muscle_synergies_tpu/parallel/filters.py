@@ -43,6 +43,7 @@ from ..ops.filters import (
     default_padlen,
     sosfilt_zi,
 )
+from .collectives import axis_index, axis_size, gather_time, mark_varying
 from .mesh import TIME_AXIS
 
 __all__ = ["sharded_sosfilt", "sharded_sosfiltfilt"]
@@ -91,9 +92,9 @@ def _section_block(x, coeffs, s_init, axis_name, reverse: bool):
         p11[-1] * ones, p12[-1] * ones, p21[-1] * ones, p22[-1] * ones,
         d1[-1], d2[-1],
     )
-    gathered = jax.lax.all_gather(boundary_local, axis_name)
-    my_idx = jax.lax.axis_index(axis_name)
-    n_dev = jax.lax.axis_size(axis_name)
+    gathered = gather_time(boundary_local, axis_name)
+    my_idx = axis_index(axis_name)
+    n_dev = axis_size(axis_name)
     s_in = _compose_incoming(gathered, my_idx, n_dev, s_init, reverse)
     y, zf = _emit_output(x, coeffs, prefix, s_in)
     if reverse:
@@ -130,7 +131,7 @@ def _cascade_block(block, sos_j, entry_states):
 
 def _owned(states: jnp.ndarray, owner: int, axis_name: str) -> jnp.ndarray:
     """Broadcast ``(n_sections, 2, C)`` states from their owning device."""
-    return jax.lax.all_gather(states, axis_name)[owner]
+    return gather_time(states, axis_name)[owner]
 
 
 def sharded_sosfilt(
@@ -155,7 +156,7 @@ def sharded_sosfilt(
     def run(xb):
         c = xb.shape[1]
         zeros = jnp.zeros((sos_j.shape[0], 2, c), xb.dtype)
-        zeros = jax.lax.pcast(zeros, (axis_name,), to="varying")
+        zeros = mark_varying(zeros, axis_name)
         y, _ = _sharded_pass(xb, sos_j, zeros, axis_name, reverse=False)
         return y
 

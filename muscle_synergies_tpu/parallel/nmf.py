@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.mu import EPSILON, MUState
+from .collectives import mark_varying, time_sum
 from .mesh import DATA_AXIS, TIME_AXIS
 
 __all__ = ["sharded_mu_step", "sharded_fit_mu"]
@@ -49,8 +50,8 @@ def _local_mu_step(x, w, h, axis_name: str):
 
     # --- H update: time-reduced Grams ---
     wt = jnp.swapaxes(w, -1, -2)
-    wtx = jax.lax.psum(wt @ x, axis_name)
-    wtw = jax.lax.psum(wt @ w, axis_name)
+    wtx = time_sum(wt @ x, axis_name)
+    wtw = time_sum(wt @ w, axis_name)
     denominator = wtw @ h
     denominator = jnp.where(denominator == 0, EPSILON, denominator)
     h = h * (wtx / denominator)
@@ -60,7 +61,7 @@ def _local_mu_step(x, w, h, axis_name: str):
 def _local_error(x, w, h, axis_name: str):
     """Per-trial Frobenius error with the sum-of-squares psum'd."""
     diff = x - w @ h
-    sq = jax.lax.psum(jnp.sum(diff * diff, axis=(-1, -2)), axis_name)
+    sq = time_sum(jnp.sum(diff * diff, axis=(-1, -2)), axis_name)
     return jnp.sqrt(sq)
 
 
@@ -180,9 +181,9 @@ def sharded_fit_mu(
         init = MUState(
             w=wb,
             h=hb,
-            n_iter=jax.lax.pcast(jnp.zeros((b,), jnp.int32), (DATA_AXIS,), to="varying"),
+            n_iter=mark_varying(jnp.zeros((b,), jnp.int32), DATA_AXIS),
             previous_error=error_at_init,
-            converged=jax.lax.pcast(jnp.zeros((b,), bool), (DATA_AXIS,), to="varying"),
+            converged=mark_varying(jnp.zeros((b,), bool), DATA_AXIS),
         )
         return jax.lax.while_loop(cond, chunk, init)
 
