@@ -47,27 +47,39 @@ def mu_update(
     l2_reg_w: float = 0.0,
     l1_reg_h: float = 0.0,
     l2_reg_h: float = 0.0,
+    inner_iter: int = 1,
 ):
-    """One multiplicative update of W then H (sklearn's order)."""
-    # W update
-    numerator = x @ h.T
-    denominator = w @ (h @ h.T)
-    if l1_reg_w > 0:
-        denominator = denominator + l1_reg_w
-    if l2_reg_w > 0:
-        denominator = denominator + l2_reg_w * w
-    denominator = jnp.where(denominator == 0, EPSILON, denominator)
-    w = w * (numerator / denominator)
+    """One multiplicative update of W then H (sklearn's order).
 
-    # H update
-    numerator = w.T @ x
-    denominator = (w.T @ w) @ h
-    if l1_reg_h > 0:
-        denominator = denominator + l1_reg_h
-    if l2_reg_h > 0:
-        denominator = denominator + l2_reg_h * h
-    denominator = jnp.where(denominator == 0, EPSILON, denominator)
-    h = h * (numerator / denominator)
+    ``inner_iter > 1`` repeats each factor's update while reusing the
+    expensive cross products ``X Ht`` / ``Wt X`` and the Gram of the
+    fixed factor (the accelerated MU of Gillis & Glineur 2012,
+    arXiv:1107.5194) — more objective decrease per byte of X touched.
+    ``inner_iter=1`` is exactly sklearn's update.
+    """
+    # W updates: X Ht and H Ht are constant while H is fixed
+    xht = x @ h.T
+    hht = h @ h.T
+    for _ in range(inner_iter):
+        denominator = w @ hht
+        if l1_reg_w > 0:
+            denominator = denominator + l1_reg_w
+        if l2_reg_w > 0:
+            denominator = denominator + l2_reg_w * w
+        denominator = jnp.where(denominator == 0, EPSILON, denominator)
+        w = w * (xht / denominator)
+
+    # H updates: Wt X and Wt W are constant while W is fixed
+    wtx = w.T @ x
+    wtw = w.T @ w
+    for _ in range(inner_iter):
+        denominator = wtw @ h
+        if l1_reg_h > 0:
+            denominator = denominator + l1_reg_h
+        if l2_reg_h > 0:
+            denominator = denominator + l2_reg_h * h
+        denominator = jnp.where(denominator == 0, EPSILON, denominator)
+        h = h * (wtx / denominator)
     return w, h
 
 
@@ -82,7 +94,7 @@ class MUState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("max_iter", "tol", "check_every", "l1_reg_w", "l2_reg_w",
-                     "l1_reg_h", "l2_reg_h"),
+                     "l1_reg_h", "l2_reg_h", "inner_iter"),
 )
 def fit_mu(
     x: jnp.ndarray,
@@ -95,6 +107,7 @@ def fit_mu(
     l2_reg_w: float = 0.0,
     l1_reg_h: float = 0.0,
     l2_reg_h: float = 0.0,
+    inner_iter: int = 1,
 ) -> MUState:
     """Run MU-NMF to convergence on device.
 
@@ -121,7 +134,8 @@ def fit_mu(
 
         def body(_, wh):
             w, h = wh
-            return mu_update(x, w, h, l1_reg_w, l2_reg_w, l1_reg_h, l2_reg_h)
+            return mu_update(x, w, h, l1_reg_w, l2_reg_w,
+                             l1_reg_h, l2_reg_h, inner_iter)
 
         w, h = jax.lax.fori_loop(0, steps, body, (state.w, state.h))
         n_iter = state.n_iter + steps
