@@ -1,0 +1,72 @@
+"""Pallas kernel parity (interpret mode on CPU) vs the XLA solvers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from muscle_synergies_tpu.models.batch import mu_iterations_batch
+from muscle_synergies_tpu.models.hals import fit_cd
+from muscle_synergies_tpu.models.kernels import (
+    cd_iterations_pallas,
+    mu_iterations_pallas,
+)
+
+RNG = np.random.default_rng(55)
+B, N, L, K = 8, 16, 8, 4
+
+
+@pytest.fixture(scope="module")
+def problem():
+    xs = jnp.asarray(RNG.random((B, N, L)), dtype=jnp.float32)
+    w = jnp.asarray(RNG.random((B, N, K)), dtype=jnp.float32)
+    h = jnp.asarray(RNG.random((B, K, L)), dtype=jnp.float32)
+    return xs, w, h
+
+
+class TestMUKernel:
+    def test_matches_xla_updates(self, problem):
+        xs, w, h = problem
+        wp, hp = mu_iterations_pallas(xs, w, h, 5, block_b=B, interpret=True)
+        wx, hx = mu_iterations_batch(xs, w, h, 5)
+        np.testing.assert_allclose(np.asarray(wp), np.asarray(wx),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(hp), np.asarray(hx),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_loss_decreases(self, problem):
+        xs, w, h = problem
+        w1, h1 = mu_iterations_pallas(xs, w, h, 1, block_b=B, interpret=True)
+        w9, h9 = mu_iterations_pallas(xs, w, h, 30, block_b=B, interpret=True)
+        l1 = float(jnp.linalg.norm(xs - w1 @ h1))
+        l9 = float(jnp.linalg.norm(xs - w9 @ h9))
+        assert l9 < l1
+
+    def test_bad_block_size(self, problem):
+        xs, w, h = problem
+        with pytest.raises(ValueError, match="multiple"):
+            mu_iterations_pallas(xs, w, h, 1, block_b=3)
+
+
+class TestCDKernel:
+    def test_matches_xla_solver(self, problem):
+        xs, w, h = problem
+        wp, hp = cd_iterations_pallas(xs, w, h, 5, block_b=B, interpret=True)
+        ref = jax.vmap(
+            lambda x, w0, h0: fit_cd(x, w0, h0, max_iter=5, tol=0.0)
+        )(xs, w, h)
+        np.testing.assert_allclose(
+            np.asarray(wp), np.asarray(ref.w), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(hp),
+            np.asarray(jnp.swapaxes(ref.ht, -1, -2)),
+            rtol=1e-4,
+            atol=1e-5,
+        )
+
+    def test_nonnegative_outputs(self, problem):
+        xs, w, h = problem
+        wp, hp = cd_iterations_pallas(xs, w, h, 10, block_b=B, interpret=True)
+        assert float(jnp.min(wp)) >= 0.0
+        assert float(jnp.min(hp)) >= 0.0
