@@ -12,6 +12,16 @@ from .emg import (
     zero_center,
 )
 from .filters import default_padlen, sos_design, sosfilt, sosfilt_zi, sosfiltfilt
+from .kinematics import (
+    cop_path_length,
+    finite_difference,
+    grf_impulse,
+    loading_rate,
+    marker_acceleration,
+    marker_speed,
+    marker_velocity,
+    upsample_to_fast,
+)
 
 __all__ = [
     "zero_center",
@@ -28,4 +38,12 @@ __all__ = [
     "sosfilt_zi",
     "sosfiltfilt",
     "default_padlen",
+    "finite_difference",
+    "marker_velocity",
+    "marker_acceleration",
+    "marker_speed",
+    "upsample_to_fast",
+    "cop_path_length",
+    "grf_impulse",
+    "loading_rate",
 ]

@@ -1,5 +1,6 @@
 """Gait segmentation from force-plate ground reactions."""
 
+from .joint import phase_summary
 from .gait import (
     Cycle,
     Phase,
@@ -20,4 +21,5 @@ __all__ = [
     "transition_indices",
     "Segmenter",
     "SegmentPlotter",
+    "phase_summary",
 ]

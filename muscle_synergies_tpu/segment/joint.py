@@ -1,0 +1,82 @@
+"""Joint analysis: per-phase force-plate and EMG summaries.
+
+Combines the gait :class:`~muscle_synergies_tpu.segment.Segmenter`
+with the kinematics ops to produce a tidy per-phase table — impulse
+and CoP excursion per plate, per-muscle EMG activity — the
+"kinematics/force-plate joint analysis" deliverable of BASELINE
+config 5.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from ..data import ViconNexusData
+from ..ops.kinematics import cop_path_length, grf_impulse
+from .gait import Cycle, Phase, Segmenter, Trecho
+
+__all__ = ["phase_summary"]
+
+
+def phase_summary(
+    data: ViconNexusData,
+    segmenter: Optional[Segmenter] = None,
+    emg_df: Optional[pd.DataFrame] = None,
+) -> pd.DataFrame:
+    """Per-(trecho, cycle, phase) summary of reactions and EMG.
+
+    Args:
+        data: the loaded capture.
+        segmenter: fitted segmenter (built from ``data`` if omitted).
+        emg_df: processed EMG aligned to the fast time base (defaults
+            to the raw EMG frame; pass an envelope for meaningful
+            activity numbers).
+
+    Returns:
+        a DataFrame with one row per phase occurrence: its span in
+        samples, per-plate vertical impulse and CoP path length, and
+        the mean of each EMG column over the phase.
+    """
+    if segmenter is None:
+        segmenter = Segmenter(data)
+    if emg_df is None:
+        emg_df = data.emg.df
+    fs = data.sampling_frequency("fp")
+    dev = data.forcepl[0]
+
+    rows = []
+    for trecho in Trecho:
+        for cyc in Cycle:
+            for phase in segmenter.segments[trecho][cyc]:
+                seg = segmenter.segments[trecho][cyc][phase]
+                start = dev.to_index(seg.start)
+                stop = dev.to_index(seg.stop) + 1
+                row = {
+                    "trecho": trecho.name,
+                    "cycle": cyc.name,
+                    "phase": phase.value,
+                    "start_index": start,
+                    "stop_index": stop,
+                    "duration_s": (stop - start) / fs,
+                }
+                for p, plate in enumerate(data.forcepl[:2]):
+                    arr = plate.array[start:stop]
+                    cols = {c: j for j, c in enumerate(plate.coords)}
+                    fz = arr[:, cols["Fz"]] if "Fz" in cols else arr[:, -1]
+                    row[f"plate{p}_impulse_z"] = float(
+                        grf_impulse(fz, fs)
+                    )
+                    if {"Cx", "Cy"} <= set(cols):
+                        cop = arr[:, [cols["Cx"], cols["Cy"]]]
+                        loaded = (fz != 0).astype(float)
+                        row[f"plate{p}_cop_path"] = float(
+                            cop_path_length(cop, loaded)
+                        )
+                emg_slice = emg_df.iloc[start:stop]
+                for col in emg_df.columns:
+                    row[f"emg_{col}_mean"] = float(emg_slice[col].mean())
+                rows.append(row)
+    return pd.DataFrame(rows)
