@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Head-to-head: full workflow vs the reference implementation.
+
+Synthesizes a realistic Vicon Nexus export (2 force plates + 8-channel
+EMG at 2000 Hz, 40 markers at 100 Hz — the dynamic_trial.csv geometry
+from SURVEY §6), then times the complete workflow on both stacks:
+
+    load CSV -> envelope pipeline -> rank-4 synergies (MU, tol=1e-6)
+
+The reference implementation is imported read-only from
+``/root/reference/src`` when present.  Use ``--scale`` to shrink the
+trial (the reference's per-cell parser is slow on the full file).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_SRC = "/root/reference/src"
+
+
+def synthesize_csv(path, n_frames_slow, subframes=20):
+    """Write a Vicon-format CSV with gait-like content."""
+    rng = np.random.default_rng(0)
+    n_fast = n_frames_slow * subframes
+
+    plates = []
+    for p in range(2):
+        t = np.arange(n_fast) / 2000.0
+        fz = -400.0 * np.clip(np.sin(2 * np.pi * 0.9 * t + p * np.pi), 0, None)
+        data = rng.standard_normal((n_fast, 9)) * 5.0
+        data[:, 2] = fz
+        plates.append(data)
+    acts = np.stack(
+        [np.abs(np.sin(2 * np.pi * f * np.arange(n_fast) / 2000.0 + ph))
+         for f, ph in [(0.9, 0), (1.3, 1), (0.6, 2)]],
+        axis=1,
+    )
+    weights = rng.random((3, 8))
+    emg = (acts @ weights) * rng.standard_normal((n_fast, 8)) * 1e-3
+
+    markers = rng.standard_normal((n_frames_slow, 40 * 3)) * 10 + 500
+
+    with open(path, "w") as f:
+        muscles = ["VL", "RF", "GMED", "TFL", "GMAXS", "GMAXI", "BF", "ST"]
+        headers = []
+        for p in range(1, 3):
+            for kind in ("Force", "Moment", "CoP"):
+                headers.append(f"Plate #{p} - {kind}")
+        header_cells = [""] * 2
+        for h in headers:
+            header_cells += [h, "", ""]
+        header_cells += ["EMG2000 - Voltage"]
+        f.write("Devices\n2000\n")
+        f.write(",".join(header_cells) + "\n")
+        coords = ["Frame", "Sub Frame"] + ["Fx", "Fy", "Fz", "Mx", "My", "Mz",
+                                           "Cx", "Cy", "Cz"] * 2 + muscles
+        f.write(",".join(coords) + "\n")
+        units = ["", ""] + ["N"] * 3 + ["N.mm"] * 3 + ["mm"] * 3
+        units = units + units[2:] + ["V"] * 8
+        f.write(",".join(units) + "\n")
+        block = np.concatenate([plates[0], plates[1], emg], axis=1)
+        frames = np.repeat(np.arange(1, n_frames_slow + 1), subframes)
+        subs = np.tile(np.arange(subframes), n_frames_slow)
+        lines = []
+        for i in range(n_fast):
+            row = [str(frames[i]), str(subs[i])]
+            row += [f"{v:.6g}" for v in block[i]]
+            lines.append(",".join(row))
+        f.write("\n".join(lines) + "\n")
+        f.write("," * 130 + "\n")
+
+        f.write("Trajectories\n100\n")
+        cells = [""] * 2
+        for m in range(1, 41):
+            cells += [f"Subj:M{m}", "", ""]
+        f.write(",".join(cells) + "\n")
+        f.write(",".join(["Frame", "Sub Frame"] + ["X", "Y", "Z"] * 40) + "\n")
+        f.write(",".join(["", ""] + ["mm"] * 120) + "\n")
+        lines = []
+        for i in range(n_frames_slow):
+            row = [str(i + 1), "0"] + [f"{v:.6g}" for v in markers[i]]
+            lines.append(",".join(row))
+        f.write("\n".join(lines) + "\n")
+
+
+def run_ours(path, warm: bool = True):
+    import muscle_synergies_tpu as mst
+
+    def once():
+        t0 = time.perf_counter()
+        data = mst.load_vicon_file(path)
+        t_load = time.perf_counter() - t0
+
+        emg = data.emg.df
+        fs = data.emg.sampling_frequency
+        t0 = time.perf_counter()
+        proc = mst.rms(emg, window_size=0.5, sampling_frequency=fs)
+        proc = mst.time_normalize(proc, reduce_to=200)
+        proc = mst.normalize(proc)
+        float(np.asarray(proc.to_numpy()).sum())  # force execution
+        t_pre = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        res = mst.find_synergies(proc.abs(), 4, solver="mu",
+                                 max_iter=50_000, tol=1e-6)
+        vaf = float(res.vaf_values["All signals"].iloc[0])
+        t_nmf = time.perf_counter() - t0
+        return t_load, t_pre, t_nmf, vaf
+
+    if warm:
+        once()  # compile warm-up; jits cache across calls
+    return once()
+
+
+def run_reference(path):
+    sys.path.insert(0, REFERENCE_SRC)
+    import muscle_synergies as ref  # noqa: the reference package
+
+    if not getattr(ref, "__file__", "").startswith(REFERENCE_SRC):
+        raise RuntimeError("did not import the reference implementation")
+
+    t0 = time.perf_counter()
+    data = ref.load_vicon_file(path)
+    t_load = time.perf_counter() - t0
+
+    emg = data.emg.df
+    fs = data.emg.sampling_frequency
+    t0 = time.perf_counter()
+    proc = ref.rms(emg, window_size=0.5, sampling_frequency=fs)
+    proc = ref.time_normalize(proc, reduce_to=200)
+    proc = ref.normalize(proc)
+    t_pre = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    res = ref.find_synergies(proc.abs(), 4, solver="mu",
+                             max_iter=50_000, tol=1e-6)
+    vaf = float(res.vaf_values["All signals"].iloc[0])
+    t_nmf = time.perf_counter() - t0
+    return t_load, t_pre, t_nmf, vaf
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=1600,
+                        help="slow-rate frames (1600 -> 32k fast samples)")
+    parser.add_argument("--skip-reference", action="store_true")
+    parser.add_argument("--csv", default="/tmp/mst_end_to_end.csv")
+    parser.add_argument(
+        "--platform", default=None,
+        help="force a JAX platform (e.g. 'cpu' for a same-core "
+             "comparison against the reference)",
+    )
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    if not os.path.exists(args.csv):
+        print(f"synthesizing {args.frames}-frame trial...", file=sys.stderr)
+        synthesize_csv(args.csv, args.frames)
+
+    ours = run_ours(args.csv)
+    print(
+        f"ours:      load={ours[0]:.2f}s preprocess={ours[1]:.2f}s "
+        f"nmf={ours[2]:.2f}s total={sum(ours[:3]):.2f}s vaf={ours[3]:.4f}",
+        file=sys.stderr,
+    )
+
+    speedup = None
+    if not args.skip_reference and os.path.isdir(REFERENCE_SRC):
+        ref = run_reference(args.csv)
+        print(
+            f"reference: load={ref[0]:.2f}s preprocess={ref[1]:.2f}s "
+            f"nmf={ref[2]:.2f}s total={sum(ref[:3]):.2f}s vaf={ref[3]:.4f}",
+            file=sys.stderr,
+        )
+        speedup = sum(ref[:3]) / sum(ours[:3])
+
+    print(json.dumps({
+        "metric": "end_to_end_workflow_speedup_vs_reference",
+        "value": round(speedup, 2) if speedup else round(sum(ours[:3]), 2),
+        "unit": "x (load+preprocess+rank4 NMF)" if speedup else "s (ours)",
+        "vs_baseline": round(speedup, 2) if speedup else 1.0,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
