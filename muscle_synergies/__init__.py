@@ -7,6 +7,12 @@ keeps working unchanged on top of the TPU-native framework:
     from muscle_synergies import load_vicon_file, find_synergies
 
 Everything re-exports from :mod:`muscle_synergies_tpu`.
+
+One deliberate behavioral divergence: ``subsample`` implements the
+reference's *documented* semantics (keep every i-th row).  The
+reference's code head-slices instead (reference analysis.py:548
+contradicts its own docstring); scripts relying on that bug will see
+decimation here.
 """
 
 from muscle_synergies_tpu import (

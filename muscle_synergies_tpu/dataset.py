@@ -24,8 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas
 
-from .models.batch import _pad_rank, fit_mu_batch, vaf_batch
-from .models.init import initialize_nmf
+from .models.batch import fit_mu_batch, vaf_batch
 from .utils.config import PipelineConfig
 
 __all__ = ["DatasetResult", "analyze_dataset", "preprocess_trials"]
@@ -107,9 +106,11 @@ class DatasetResult:
         """Per trial: smallest swept rank whose VAF >= threshold (-1 if none)."""
         reached = self.vaf_overall >= vaf_threshold  # (R, B)
         out = np.full(reached.shape[1], -1, dtype=int)
-        for i, rank in enumerate(self.ranks):
+        # visit ranks smallest-first so the answer is the minimum rank
+        # even when the sweep order is not ascending
+        for i in sorted(range(len(self.ranks)), key=lambda j: self.ranks[j]):
             newly = reached[i] & (out == -1)
-            out[newly] = rank
+            out[newly] = self.ranks[i]
         return out
 
 
@@ -157,17 +158,21 @@ def analyze_dataset(
     b = xs.shape[0]
     k_max = max(ranks)
 
-    # (R * B) problem grid with rank-padded factors
-    w0s, h0s = [], []
+    # (R * B) problem grid with rank-padded factors; one vmapped init
+    # batch per rank (a single device dispatch each) instead of R*B
+    # host-side SVD round-trips
+    from .models.batch import init_batch
+
+    w_blocks, h_blocks = [], []
     for k in ranks:
-        for t in range(b):
-            w0, h0 = initialize_nmf(xs[t], k, init=init, seed=seed)
-            w0p, h0p = _pad_rank(w0, h0, k, k_max)
-            w0s.append(w0p.astype(xs.dtype))
-            h0s.append(h0p.astype(xs.dtype))
+        w0, h0 = init_batch(xs, k, init=init, seed=seed)
+        pad_w = jnp.zeros((b, xs.shape[1], k_max - k), xs.dtype)
+        pad_h = jnp.zeros((b, k_max - k, xs.shape[2]), xs.dtype)
+        w_blocks.append(jnp.concatenate([w0.astype(xs.dtype), pad_w], axis=2))
+        h_blocks.append(jnp.concatenate([h0.astype(xs.dtype), pad_h], axis=1))
     grid_x = jnp.tile(xs, (len(ranks), 1, 1))
-    grid_w = jnp.stack(w0s)
-    grid_h = jnp.stack(h0s)
+    grid_w = jnp.concatenate(w_blocks, axis=0)
+    grid_h = jnp.concatenate(h_blocks, axis=0)
 
     if mesh is not None and grid_x.shape[0] % mesh.shape["data"] == 0:
         from .parallel import sharded_fit_mu

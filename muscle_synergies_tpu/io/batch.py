@@ -109,6 +109,7 @@ def device_prefetch(
     """
     q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
     _END = object()
+    _ERROR = object()
 
     def put(item):
         if sharding is not None:
@@ -129,7 +130,9 @@ def device_prefetch(
         try:
             for item in iterable:
                 q.put(put(item))
-        finally:
+        except BaseException as exc:  # propagate to the consumer
+            q.put((_ERROR, exc))
+        else:
             q.put(_END)
 
     thread = threading.Thread(target=producer, daemon=True)
@@ -138,4 +141,6 @@ def device_prefetch(
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERROR:
+            raise item[1]
         yield item

@@ -52,9 +52,10 @@ def load_decoder() -> Optional[ctypes.CDLL]:
             or _LIB.stat().st_mtime < _SRC.stat().st_mtime
         )
         if stale and not _build():
-            if not _LIB.exists():
-                _load_failed = True
-                return None
+            # never load a library older than its source — fall back
+            # to the (correct) pandas path instead
+            _load_failed = True
+            return None
         try:
             lib = ctypes.CDLL(str(_LIB))
             lib.msk_count_rows.restype = ctypes.c_long

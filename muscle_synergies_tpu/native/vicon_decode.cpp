@@ -19,7 +19,15 @@
 
 extern "C" {
 
-// Count data rows (non-empty lines) in the buffer.
+// A cell character that constitutes content.  Lines whose cells are
+// all empty (only separators/whitespace) are "blank" and skipped by
+// both the row counter and the decoder — the two MUST agree or the
+// threaded decode writes rows at wrong offsets.
+static inline bool is_content(char c) {
+    return c != ',' && c != ' ' && c != '\t' && c != '\r';
+}
+
+// Count data rows (non-blank lines) in the buffer.
 long msk_count_rows(const char* buf, long len) {
     long rows = 0;
     bool has_content = false;
@@ -28,7 +36,7 @@ long msk_count_rows(const char* buf, long len) {
         if (c == '\n') {
             if (has_content) ++rows;
             has_content = false;
-        } else if (c != '\r') {
+        } else if (is_content(c)) {
             has_content = true;
         }
     }
@@ -61,11 +69,10 @@ static long decode_range(const char* buf, long len, long num_cols,
         while (content_end > line_start && buf[content_end - 1] == '\r')
             --content_end;
 
-        // skip blank lines (cells all empty)
+        // skip blank lines (cells all empty); must match msk_count_rows
         bool blank = true;
         for (long j = line_start; j < content_end; ++j) {
-            char c = buf[j];
-            if (c != ',' && c != ' ' && c != '\t') { blank = false; break; }
+            if (is_content(buf[j])) { blank = false; break; }
         }
         if (blank) { i = line_end + 1; continue; }
 

@@ -98,3 +98,14 @@ class TestAnalyzeDataset:
             sharded.vaf_overall, local.vaf_overall, rtol=1e-6
         )
         np.testing.assert_array_equal(sharded.n_iter, local.n_iter)
+
+
+def test_min_rank_reaching_unordered_sweep():
+    from muscle_synergies_tpu.dataset import DatasetResult
+
+    res = DatasetResult(
+        ranks=(4, 3, 2), w=None, h=None,
+        vaf_overall=np.array([[0.95], [0.95], [0.95]]),
+        vaf_per_channel=None, n_iter=None, converged=None,
+    )
+    assert res.min_rank_reaching(0.9).tolist() == [2]

@@ -111,3 +111,18 @@ class TestTrialBatching:
         assert len(out) == 6
         for i, arr in enumerate(out):
             np.testing.assert_array_equal(np.asarray(arr), items[i])
+
+
+class TestReviewRegressions:
+    @pytest.mark.skipif(not native_available, reason="no C++ toolchain")
+    def test_whitespace_blank_lines_agree_with_counter(self):
+        out = decode_block(b"1,2\n , ,\n,,\n3,4\n", 2)
+        assert np.array_equal(out, np.array([[1.0, 2.0], [3.0, 4.0]]))
+
+    def test_prefetch_propagates_producer_error(self):
+        def bad_iter():
+            yield np.ones((2, 2))
+            raise ValueError("boom in producer")
+
+        with pytest.raises(ValueError, match="boom"):
+            list(device_prefetch(bad_iter()))
