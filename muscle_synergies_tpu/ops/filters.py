@@ -180,6 +180,75 @@ def _emit_output(x, coeffs, prefix, zi):
     return y, zf
 
 
+def _section_scan_blocked(
+    x: jnp.ndarray, coeffs: jnp.ndarray, zi: jnp.ndarray, n_chunks: int
+):
+    """Blocked variant of :func:`_section_scan` for long signals.
+
+    A ``(N, C)`` array with few channels wastes almost the whole
+    128-wide lane tile, which makes the naive scan memory-layout bound.
+    This path splits time into ``n_chunks`` chunks and lays the signal
+    out as ``(L, n_chunks * C)`` — chunks ride the lane dimension at
+    full width — then:
+
+    1. one associative scan of length ``L = ceil(N / n_chunks)``
+       computes every chunk's cumulative maps in parallel;
+    2. a tiny ``lax.scan`` over the ``n_chunks`` boundary transforms
+       chains the chunks' incoming states exactly (the same
+       composition the mesh-sharded filter does across devices);
+    3. the outputs are emitted per chunk and restitched.
+
+    Bit-equivalent to the sequential recurrence up to float reordering.
+    """
+    n, c = x.shape
+    l = -(-n // n_chunks)  # ceil
+    pad = l * n_chunks - n
+    x_p = jnp.pad(x, ((0, pad), (0, 0)))
+    # (L, M*C): row i holds sample i of every chunk
+    xb = jnp.transpose(
+        x_p.reshape(n_chunks, l, c), (1, 0, 2)
+    ).reshape(l, n_chunks * c)
+
+    prefix = _section_prefix(xb, coeffs)
+    p11, p12, p21, p22, d1, d2 = prefix
+
+    # chunk boundary transforms: A_tot is data-independent (same A^L
+    # for every chunk); d_tot differs per chunk
+    a_tot = jnp.stack(
+        [p11[-1, 0], p12[-1, 0], p21[-1, 0], p22[-1, 0]]
+    )  # (4,)
+    d_tot = jnp.stack(
+        [d1[-1].reshape(n_chunks, c), d2[-1].reshape(n_chunks, c)], axis=1
+    )  # (M, 2, C)
+
+    def compose(s, d):
+        s1 = a_tot[0] * s[0] + a_tot[1] * s[1] + d[0]
+        s2 = a_tot[2] * s[0] + a_tot[3] * s[1] + d[1]
+        return jnp.stack([s1, s2]), s
+
+    _, s_in = jax.lax.scan(compose, zi, d_tot)  # (M, 2, C) entry states
+    s_in_flat = jnp.transpose(s_in, (1, 0, 2)).reshape(2, n_chunks * c)
+
+    y, _ = _emit_output(xb, coeffs, prefix, s_in_flat)
+    y = jnp.transpose(
+        y.reshape(l, n_chunks, c), (1, 0, 2)
+    ).reshape(l * n_chunks, c)[:n]
+
+    # exact final state: sample n-1 lives in chunk (n-1)//L (padding can
+    # span whole trailing chunks)
+    chunk_idx = (n - 1) // l
+    row = (n - 1) % l
+    lanes = slice(chunk_idx * c, (chunk_idx + 1) * c)
+    s_chunk_in = s_in[chunk_idx]  # (2, C)
+    z1_f = p11[row, 0] * s_chunk_in[0] + p12[row, 0] * s_chunk_in[1] + d1[row, lanes]
+    z2_f = p21[row, 0] * s_chunk_in[0] + p22[row, 0] * s_chunk_in[1] + d2[row, lanes]
+    return y, jnp.stack([z1_f, z2_f])
+
+
+# Below this many samples the plain scan's layout waste is irrelevant.
+_BLOCKED_SCAN_MIN_SAMPLES = 8192
+
+
 def _section_scan(x: jnp.ndarray, coeffs: jnp.ndarray, zi: jnp.ndarray):
     """Run one second-order section over ``x`` via associative scan.
 
@@ -191,6 +260,12 @@ def _section_scan(x: jnp.ndarray, coeffs: jnp.ndarray, zi: jnp.ndarray):
     Returns:
         ``(y, zf)``: filtered block and final state ``(2, C)``.
     """
+    n, c = x.shape
+    if n >= _BLOCKED_SCAN_MIN_SAMPLES:
+        # pick chunks so chunk*channels fills the 128-wide lanes
+        n_chunks = max(1, min(256, -(-128 // c) * 8))
+        if n // n_chunks >= 64:
+            return _section_scan_blocked(x, coeffs, zi, n_chunks)
     prefix = _section_prefix(x, coeffs)
     return _emit_output(x, coeffs, prefix, zi)
 
