@@ -47,7 +47,7 @@ import pandas as pd
 from ..data import DeviceData, DeviceType, ViconNexusData
 from ..frames import ForcesEMGFrameTracker, SamplingFreq, TrajFrameTracker
 
-__all__ = ["load_vicon_file", "ViconCSVError"]
+__all__ = ["load_vicon_file", "load_vicon_files", "ViconCSVError"]
 
 
 class ViconCSVError(ValueError):
@@ -363,3 +363,22 @@ def load_vicon_file(csv_filename: Union[str, os.PathLike]) -> ViconNexusData:
         traj=markers,
         sampling_freq=sampling_freq,
     )
+
+
+def load_vicon_files(
+    csv_filenames: Sequence[Union[str, os.PathLike]],
+    max_workers: Optional[int] = None,
+) -> List[ViconNexusData]:
+    """Load several Vicon Nexus exports concurrently.
+
+    Parsing is host-side and independent per file, so a thread pool
+    (the native decoder releases the GIL inside ctypes) overlaps file
+    I/O and decoding across captures.  Results keep the input order.
+    """
+    import concurrent.futures
+
+    paths = list(csv_filenames)
+    if len(paths) == 1:
+        return [load_vicon_file(paths[0])]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return list(ex.map(load_vicon_file, paths))

@@ -32,7 +32,7 @@ from ..models.mu import EPSILON, MUState
 from .collectives import mark_varying, time_sum
 from .mesh import DATA_AXIS, TIME_AXIS
 
-__all__ = ["sharded_mu_step", "sharded_fit_mu"]
+__all__ = ["sharded_mu_step", "sharded_fit_mu", "sharded_fit_cd"]
 
 
 def _local_mu_step(x, w, h, axis_name: str):
@@ -186,5 +186,141 @@ def sharded_fit_mu(
             converged=mark_varying(jnp.zeros((b,), bool), DATA_AXIS),
         )
         return jax.lax.while_loop(cond, chunk, init)
+
+    return fit(x, w0, h0)
+
+
+def _local_cd_pass_w(x, w, h, axis_name: str):
+    """One cyclic CD pass over W's components (H fixed), time-sharded.
+
+    The Gram ``H Ht`` and the rows of ``X Ht`` are local to each time
+    shard (W rows live with their samples), so only the violation
+    statistic crosses shards.  Shapes: x ``(b, n_loc, L)``,
+    w ``(b, n_loc, k)``, h ``(b, k, L)`` (replicated in the time group).
+    """
+    k = w.shape[-1]
+    ht = jnp.swapaxes(h, -1, -2)
+    hht = h @ ht  # (b, k, k), replicated over time
+    xht = x @ ht  # (b, n_loc, k), local rows
+    violation = jnp.zeros(w.shape[0], x.dtype)
+    for s in range(k):
+        grad = jnp.einsum("bnk,bk->bn", w, hht[:, :, s]) - xht[:, :, s]
+        pg = jnp.where(w[:, :, s] == 0.0, jnp.minimum(grad, 0.0), grad)
+        violation = violation + jnp.sum(jnp.abs(pg), axis=1)
+        hess = hht[:, s, s][:, None]
+        new_col = jnp.maximum(
+            w[:, :, s] - grad / jnp.where(hess == 0, 1.0, hess), 0.0
+        )
+        w = w.at[:, :, s].set(jnp.where(hess != 0, new_col, w[:, :, s]))
+    return w, time_sum(violation, axis_name)
+
+
+def _local_cd_pass_h(x, w, h, axis_name: str):
+    """One cyclic CD pass over H's components (W fixed), time-sharded.
+
+    H's update is the W-pass on ``X.T`` (sklearn's symmetry): the Grams
+    ``Wt W`` and cross products ``Wt X`` reduce over the sharded time
+    axis, so each needs one ``psum``; the per-component updates are
+    then identical on every shard of a time group.
+    """
+    k = w.shape[-1]
+    wt = jnp.swapaxes(w, -1, -2)
+    wtw = time_sum(wt @ w, axis_name)  # (b, k, k)
+    wtx = time_sum(wt @ x, axis_name)  # (b, k, L)
+    violation = jnp.zeros(h.shape[0], x.dtype)
+    for s in range(k):
+        grad = jnp.einsum("bk,bkl->bl", wtw[:, s, :], h) - wtx[:, s, :]
+        pg = jnp.where(h[:, s, :] == 0.0, jnp.minimum(grad, 0.0), grad)
+        violation = violation + jnp.sum(jnp.abs(pg), axis=1)
+        hess = wtw[:, s, s][:, None]
+        new_row = jnp.maximum(
+            h[:, s, :] - grad / jnp.where(hess == 0, 1.0, hess), 0.0
+        )
+        h = h.at[:, s, :].set(jnp.where(hess != 0, new_row, h[:, s, :]))
+    # the violation from the H pass is already identical on every time
+    # shard (inputs to it were psum'd), so no further reduction
+    return h, violation
+
+
+def sharded_fit_cd(
+    x: jnp.ndarray,
+    w0: jnp.ndarray,
+    h0: jnp.ndarray,
+    mesh: Mesh,
+    max_iter: int = 200,
+    tol: float = 1e-4,
+):
+    """Run coordinate-descent NMF to convergence on a ``(data, time)`` mesh.
+
+    Semantics match :func:`muscle_synergies_tpu.models.hals.fit_cd`
+    (sklearn's 'cd' solver with ``shuffle=False``): per outer iteration
+    one cyclic pass over W then H, stopping when the summed |projected
+    gradient| falls below ``tol`` relative to the first iteration's.
+
+    Args:
+        x: ``(B, N, L)`` batch, sharded ``P(data, time, None)``.
+        w0: ``(B, N, k)``, sharded like ``x``.
+        h0: ``(B, k, L)``, sharded ``P(data, None, None)``.
+
+    Returns:
+        a :class:`~muscle_synergies_tpu.models.hals.CDState`-shaped
+        tuple ``(w, ht, n_iter, violation_init, converged)`` with
+        batched leading axes (``ht`` is ``(B, L, k)``).
+    """
+    from ..models.hals import CDState
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, TIME_AXIS, None),
+            P(DATA_AXIS, TIME_AXIS, None),
+            P(DATA_AXIS, None, None),
+        ),
+        out_specs=CDState(
+            w=P(DATA_AXIS, TIME_AXIS, None),
+            ht=P(DATA_AXIS, None, None),
+            n_iter=P(DATA_AXIS),
+            violation_init=P(DATA_AXIS),
+            converged=P(DATA_AXIS),
+        ),
+    )
+    def fit(xb, wb, hb):
+        b = xb.shape[0]
+
+        def body(state: CDState) -> CDState:
+            h = jnp.swapaxes(state.ht, -1, -2)
+            w_new, violation_w = _local_cd_pass_w(xb, state.w, h, TIME_AXIS)
+            h_new, violation_h = _local_cd_pass_h(xb, w_new, h, TIME_AXIS)
+            violation = violation_w + violation_h
+            keep = state.converged
+            w = jnp.where(keep[:, None, None], state.w, w_new)
+            ht = jnp.where(
+                keep[:, None, None], state.ht, jnp.swapaxes(h_new, -1, -2)
+            )
+            n_iter = jnp.where(keep, state.n_iter, state.n_iter + 1)
+            violation_init = jnp.where(
+                n_iter == 1, violation, state.violation_init
+            )
+            newly = jnp.logical_or(
+                violation_init == 0, violation / violation_init <= tol
+            )
+            converged = jnp.logical_or(keep, newly)
+            return CDState(w, ht, n_iter, violation_init, converged)
+
+        def cond(state: CDState) -> jnp.ndarray:
+            return jnp.logical_and(
+                jnp.max(state.n_iter) < max_iter,
+                ~jnp.all(state.converged),
+            )
+
+        init = CDState(
+            w=wb,
+            ht=jnp.swapaxes(hb, -1, -2),
+            n_iter=mark_varying(jnp.zeros((b,), jnp.int32), DATA_AXIS),
+            violation_init=mark_varying(jnp.zeros((b,), xb.dtype), DATA_AXIS),
+            converged=mark_varying(jnp.zeros((b,), bool), DATA_AXIS),
+        )
+        return jax.lax.while_loop(cond, body, init)
 
     return fit(x, w0, h0)

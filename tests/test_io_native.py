@@ -126,3 +126,18 @@ class TestReviewRegressions:
 
         with pytest.raises(ValueError, match="boom"):
             list(device_prefetch(bad_iter()))
+
+
+def test_load_vicon_files_parallel(tmp_path):
+    from muscle_synergies_tpu.io import load_vicon_files
+    from tests.test_ingest import GOLDEN_CSV
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"t{i}.csv"
+        p.write_text(GOLDEN_CSV)
+        paths.append(p)
+    captures = load_vicon_files(paths)
+    assert len(captures) == 3
+    for cap in captures:
+        assert cap.emg.array.shape == (6, 4)

@@ -205,3 +205,25 @@ class TestShardedFilters:
         sos = sos_design(4, 10.0, 100.0)
         with pytest.raises(ValueError, match="padlen"):
             sharded_sosfiltfilt(sos, jnp.ones((64, 3)), mesh)
+
+
+class TestShardedCD:
+    def test_sharded_cd_matches_vmapped(self, mesh_2x4):
+        from muscle_synergies_tpu.parallel import sharded_fit_cd
+
+        xs = _batch(b=8, n=64)
+        w0, h0 = init_batch(jnp.asarray(xs), 3, init="nndsvda")
+        sharded = sharded_fit_cd(
+            jnp.asarray(xs), w0, h0, mesh_2x4, max_iter=200, tol=1e-6
+        )
+        local = fit_cd_batch(jnp.asarray(xs), w0, h0, max_iter=200, tol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(sharded.w), np.asarray(local.w), rtol=1e-7, atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.ht), np.asarray(local.ht), rtol=1e-7,
+            atol=1e-10,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded.n_iter), np.asarray(local.n_iter)
+        )
