@@ -113,20 +113,43 @@ def mu_update_batch(xs: jnp.ndarray, w: jnp.ndarray, h: jnp.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters",))
-def mu_iterations_batch(
+def _mu_iterations_xla(
     xs: jnp.ndarray, w: jnp.ndarray, h: jnp.ndarray, n_iters: int
 ):
-    """Run ``n_iters`` fused MU iterations (no convergence checks).
-
-    The benchmark primitive: one compiled program performs every
-    iteration on device, so throughput measures the update itself, not
-    dispatch overhead.
-    """
-
     def body(_, wh):
         return mu_update_batch(xs, *wh)
 
     return jax.lax.fori_loop(0, n_iters, body, (w, h))
+
+
+def mu_iterations_batch(
+    xs: jnp.ndarray,
+    w: jnp.ndarray,
+    h: jnp.ndarray,
+    n_iters: int,
+    impl: str = "xla",
+):
+    """Run ``n_iters`` fused MU iterations (no convergence checks).
+
+    The throughput primitive: one compiled program performs every
+    iteration on device, so timing measures the update itself, not
+    dispatch overhead.
+
+    Args:
+        impl: ``"xla"`` (batched GEMMs, any batch size) or ``"pallas"``
+            (the VMEM-resident lane-packed kernel, ~2x on TPU; batch
+            must divide by 128 — see
+            :mod:`muscle_synergies_tpu.models.kernels`).
+    """
+    if impl == "pallas":
+        from .kernels import mu_iterations_pallas
+
+        return mu_iterations_pallas(
+            xs, w, h, n_iters, block_b=min(128, xs.shape[0])
+        )
+    if impl != "xla":
+        raise ValueError(f"unknown impl: {impl!r}")
+    return _mu_iterations_xla(xs, w, h, n_iters)
 
 
 @functools.partial(

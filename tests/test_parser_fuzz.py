@@ -1,0 +1,109 @@
+"""Randomized parser fuzzing: native and fallback paths must agree.
+
+Generates random grammar-conforming Vicon exports (random device
+counts, channel counts, rates, missing cells, trailing padding,
+scientific notation) and checks that the native C++ decode path and
+the pandas fallback produce identical captures.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from muscle_synergies_tpu import load_vicon_file
+from muscle_synergies_tpu.native import load_decoder
+
+RNG = np.random.default_rng(2024)
+
+
+def _random_capture_text(rng):
+    n_plates = int(rng.integers(0, 4))
+    n_emg = int(rng.integers(1, 10))
+    n_markers = int(rng.integers(1, 6))
+    subframes = int(rng.integers(1, 5))
+    n_frames = int(rng.integers(2, 10))
+    slow = int(rng.integers(50, 200))
+    fast = slow * subframes
+
+    def fmt(v):
+        style = rng.integers(0, 3)
+        if style == 0:
+            return f"{v:.6g}"
+        if style == 1:
+            return f"{v:.3E}"
+        return f"{v:.4f}"
+
+    lines = []
+    trailing = "," * int(rng.integers(0, 6))
+    # Devices section
+    lines.append("Devices" + trailing)
+    lines.append(f"{fast}" + trailing)
+    headers = [""] * 2
+    for p in range(n_plates):
+        for kind in ("Force", "Moment", "CoP"):
+            headers += [f"Plate {p} - {kind}", "", ""]
+    headers += [f"EMG unit {n_emg} - Voltage"]
+    lines.append(",".join(headers) + trailing)
+    coords = ["Frame", "Sub Frame"] + (
+        ["Fx", "Fy", "Fz", "Mx", "My", "Mz", "Cx", "Cy", "Cz"] * n_plates
+    ) + [f"M{i}" for i in range(n_emg)]
+    lines.append(",".join(coords) + trailing)
+    units = ["", ""] + (["N"] * 3 + ["N.mm"] * 3 + ["mm"] * 3) * n_plates + (
+        ["V"] * n_emg
+    )
+    lines.append(",".join(units) + trailing)
+    n_cols = len(coords)
+    for i in range(n_frames * subframes):
+        vals = rng.standard_normal(n_cols - 2)
+        cells = [str(i // subframes + 1), str(i % subframes)]
+        for v in vals:
+            cells.append("" if rng.random() < 0.08 else fmt(v))
+        lines.append(",".join(cells) + trailing)
+    lines.append("," * max(3, n_cols))
+    # Trajectories section
+    lines.append("Trajectories" + trailing)
+    lines.append(f"{slow}" + trailing)
+    headers = [""] * 2
+    for m in range(n_markers):
+        headers += [f"S:{m}", "", ""]
+    lines.append(",".join(headers) + trailing)
+    lines.append(
+        ",".join(["Frame", "Sub Frame"] + ["X", "Y", "Z"] * n_markers)
+        + trailing
+    )
+    lines.append(",".join(["", ""] + ["mm"] * (3 * n_markers)) + trailing)
+    for i in range(n_frames):
+        vals = rng.standard_normal(3 * n_markers)
+        cells = [str(i + 1), "0"]
+        for v in vals:
+            cells.append("" if rng.random() < 0.15 else fmt(v))
+        lines.append(",".join(cells) + trailing)
+    return "\n".join(lines) + "\n", n_plates, n_emg, n_markers
+
+
+@pytest.mark.skipif(load_decoder() is None, reason="no C++ toolchain")
+@pytest.mark.parametrize("seed", range(12))
+def test_native_and_fallback_paths_agree(tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    text, n_plates, n_emg, n_markers = _random_capture_text(rng)
+    path = tmp_path / f"fuzz_{seed}.csv"
+    path.write_text(text)
+
+    native = load_vicon_file(path)
+    os.environ["MST_DISABLE_NATIVE"] = "1"
+    try:
+        fallback = load_vicon_file(path)
+    finally:
+        del os.environ["MST_DISABLE_NATIVE"]
+
+    assert len(native.forcepl) == n_plates
+    assert len(native.traj) == n_markers
+    assert native.emg.array.shape[1] == n_emg
+    for a, b in zip(
+        [native.emg] + native.forcepl + native.traj,
+        [fallback.emg] + fallback.forcepl + fallback.traj,
+    ):
+        assert a.name == b.name
+        assert a.units == b.units
+        np.testing.assert_array_equal(a.array, b.array)
