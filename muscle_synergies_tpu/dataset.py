@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas
 
-from .models.batch import fit_mu_batch, vaf_batch
+from .models.batch import fit_cd_batch, fit_mu_batch, vaf_batch
 from .utils.config import PipelineConfig
 
 __all__ = ["DatasetResult", "analyze_dataset", "preprocess_trials"]
@@ -121,6 +121,7 @@ def analyze_dataset(
     config: PipelineConfig = PipelineConfig(),
     mesh=None,
     init: Optional[str] = None,
+    solver: Optional[str] = None,
     max_iter: Optional[int] = None,
     tol: Optional[float] = None,
     dtype=None,
@@ -144,6 +145,9 @@ def analyze_dataset(
     if isinstance(ranks, int):
         ranks = (ranks,)
     ranks = tuple(ranks)
+    solver = solver if solver is not None else config.solver
+    if solver not in {"mu", "cd"}:
+        raise ValueError(f"unknown solver: {solver!r}")
     max_iter = max_iter if max_iter is not None else config.max_iter
     tol = tol if tol is not None else config.tol
 
@@ -175,7 +179,7 @@ def analyze_dataset(
     grid_h = jnp.concatenate(h_blocks, axis=0)
 
     if mesh is not None and grid_x.shape[0] % mesh.shape["data"] == 0:
-        from .parallel import sharded_fit_mu
+        from .parallel import sharded_fit_cd, sharded_fit_mu
         from .parallel.mesh import DATA_AXIS, TIME_AXIS
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -188,18 +192,19 @@ def analyze_dataset(
         grid_h = jax.device_put(
             grid_h, NamedSharding(mesh, P(DATA_AXIS, None, None))
         )
-        state = sharded_fit_mu(
-            grid_x, grid_w, grid_h, mesh, max_iter=max_iter, tol=tol
-        )
+        fit = sharded_fit_mu if solver == "mu" else sharded_fit_cd
+        state = fit(grid_x, grid_w, grid_h, mesh, max_iter=max_iter, tol=tol)
     else:
-        state = fit_mu_batch(grid_x, grid_w, grid_h, max_iter=max_iter, tol=tol)
+        fit = fit_mu_batch if solver == "mu" else fit_cd_batch
+        state = fit(grid_x, grid_w, grid_h, max_iter=max_iter, tol=tol)
 
-    overall, per_channel = vaf_batch(grid_x, state.w, state.h)
+    h_final = state.h if solver == "mu" else jnp.swapaxes(state.ht, -1, -2)
+    overall, per_channel = vaf_batch(grid_x, state.w, h_final)
     r, = (len(ranks),)
     return DatasetResult(
         ranks=ranks,
         w=np.asarray(state.w).reshape(r, b, *state.w.shape[1:]),
-        h=np.asarray(state.h).reshape(r, b, *state.h.shape[1:]),
+        h=np.asarray(h_final).reshape(r, b, *h_final.shape[1:]),
         vaf_overall=np.asarray(overall).reshape(r, b),
         vaf_per_channel=np.asarray(per_channel).reshape(r, b, -1),
         n_iter=np.asarray(state.n_iter).reshape(r, b),
