@@ -20,7 +20,6 @@ import numpy as np
 import pandas
 
 from .ops import emg as _emg
-from .ops import filters as _filters
 
 __all__ = [
     "zero_center",

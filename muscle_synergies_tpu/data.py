@@ -15,7 +15,7 @@ can grab device-ready arrays without a pandas round-trip.
 from __future__ import annotations
 
 from enum import Enum
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 import pandas as pd

@@ -23,7 +23,7 @@ JAX axes:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,7 @@ import numpy as np
 
 from .hals import CDState, fit_cd
 from .init import initialize_nmf
-from .mu import MUState, fit_mu, frobenius_error
+from .mu import MUState, fit_mu
 
 __all__ = [
     "pad_and_stack",

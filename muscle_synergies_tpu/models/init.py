@@ -15,7 +15,6 @@ handled with the same sign convention as ``sklearn.utils.svd_flip``).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -22,7 +22,7 @@ per-trial Python loop (analysis.py:909-913).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .init import initialize_nmf
-from .mu import EPSILON, MUState, frobenius_error
+from .mu import EPSILON, MUState
 from .batch import _pad_rank
 
 __all__ = [

@@ -12,11 +12,10 @@ devices/trials.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = [
     "finite_difference",

@@ -22,11 +22,11 @@ approximate (SURVEY §5 "long-context" requirement):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.mu import EPSILON, MUState
 from .collectives import mark_varying, time_sum

@@ -11,12 +11,11 @@ from __future__ import annotations
 
 from typing import Optional
 
-import numpy as np
 import pandas as pd
 
 from ..data import ViconNexusData
 from ..ops.kinematics import cop_path_length, grf_impulse
-from .gait import Cycle, Phase, Segmenter, Trecho
+from .gait import Cycle, Segmenter, Trecho
 
 __all__ = ["phase_summary"]
 
