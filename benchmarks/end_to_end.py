@@ -33,7 +33,11 @@ def synthesize_csv(path, n_frames_slow, subframes=20):
     plates = []
     for p in range(2):
         t = np.arange(n_fast) / 2000.0
-        fz = -400.0 * np.clip(np.sin(2 * np.pi * 0.9 * t + p * np.pi), 0, None)
+        # 0.75*pi phase offset: single-support and double-support
+        # stretches alternate, like the lateral-walk protocol
+        fz = -400.0 * np.clip(
+            np.sin(2 * np.pi * 3.0 * t + p * 0.75 * np.pi), 0, None
+        )
         data = rng.standard_normal((n_fast, 9)) * 5.0
         data[:, 2] = fz
         plates.append(data)
