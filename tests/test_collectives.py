@@ -47,3 +47,27 @@ def test_gather_and_indexing():
 def test_ring_shift():
     out = _run(lambda xb: ring_shift(xb, "time", 1), jnp.arange(8.0))
     np.testing.assert_array_equal(out, np.roll(np.arange(8.0), 1))
+
+
+def test_mesh_helpers_and_sharding_specs():
+    from jax.sharding import PartitionSpec
+    from muscle_synergies_tpu.parallel import batch_sharding, replicated
+
+    mesh = make_mesh((2, 4))
+    assert mesh.shape["data"] == 2 and mesh.shape["time"] == 4
+    s = batch_sharding(mesh)
+    assert s.spec == PartitionSpec("data", None, None)
+    s = batch_sharding(mesh, time_sharded=True)
+    assert s.spec == PartitionSpec("data", "time", None)
+    assert replicated(mesh).spec == PartitionSpec()
+
+    import pytest
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh((3, 4))
+
+
+def test_profiling_annotate_scope():
+    from muscle_synergies_tpu.utils import annotate
+
+    with annotate("test-scope"):
+        _ = jnp.sum(jnp.ones((8,))).block_until_ready()
