@@ -64,10 +64,13 @@ def main():
         samples.append((t2 - t1) / 50)
     ours = max(float(np.median(samples)), 1e-5)
 
-    # scipy (host)
-    t0 = time.perf_counter()
-    ref = sps.sosfiltfilt(sos, x.astype(np.float64), axis=0)
-    scipy_time = time.perf_counter() - t0
+    # scipy (host), same dtype as the device path, best of repeats
+    scipy_samples = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        sps.sosfiltfilt(sos, x, axis=0)
+        scipy_samples.append(time.perf_counter() - t0)
+    scipy_time = float(np.median(scipy_samples))
 
     print(
         f"ours {ours * 1e3:.1f} ms vs scipy {scipy_time * 1e3:.1f} ms "

@@ -11,8 +11,6 @@ import os
 import sys
 import tempfile
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -48,7 +46,6 @@ def main():
     result = mst.find_synergies(proc.abs(), 2, 4, max_iter=20_000, tol=1e-6)
     print("\nVAF per rank:")
     print(result.vaf_values.round(4).to_string())
-    best = int(result.vaf_values["All signals"].idxmin())  # lowest rank row
     print(f"\nrank-3 components:\n{result.components[3].round(3).to_string()}")
 
     # --- 4. stability + cross-validated rank ------------------------------

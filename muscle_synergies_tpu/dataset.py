@@ -135,8 +135,11 @@ def analyze_dataset(
         ranks: rank or ranks to sweep.
         config: preprocessing + solver preset.
         mesh: optional ``(data, time)`` mesh — the solve runs through
-            :func:`~muscle_synergies_tpu.parallel.sharded_fit_mu` when
-            the grid divides evenly over the data axis.
+            the sharded solvers when the grid divides evenly over the
+            data axis.
+        solver: ``"mu"`` or ``"cd"``; defaults to ``config.solver``
+            (the :class:`PipelineConfig` default is ``"cd"``, matching
+            the reference's sklearn default).
         dtype: computation dtype (e.g. ``jnp.float32`` on TPU).
 
     Returns:

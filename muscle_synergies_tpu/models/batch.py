@@ -128,6 +128,7 @@ def mu_iterations_batch(
     h: jnp.ndarray,
     n_iters: int,
     impl: str = "xla",
+    block_b: Optional[int] = None,
 ):
     """Run ``n_iters`` fused MU iterations (no convergence checks).
 
@@ -137,16 +138,19 @@ def mu_iterations_batch(
 
     Args:
         impl: ``"xla"`` (batched GEMMs, any batch size) or ``"pallas"``
-            (the VMEM-resident lane-packed kernel, ~2x on TPU; batch
-            must divide by 128 — see
+            (the VMEM-resident lane-packed kernel, ~2x on TPU — see
             :mod:`muscle_synergies_tpu.models.kernels`).
+        block_b: trials per kernel block for the Pallas path; defaults
+            to the largest divisor of the batch size up to 128.
     """
     if impl == "pallas":
         from .kernels import mu_iterations_pallas
 
-        return mu_iterations_pallas(
-            xs, w, h, n_iters, block_b=min(128, xs.shape[0])
-        )
+        if block_b is None:
+            # largest divisor of the batch size <= 128
+            b = xs.shape[0]
+            block_b = next(d for d in range(min(128, b), 0, -1) if b % d == 0)
+        return mu_iterations_pallas(xs, w, h, n_iters, block_b=block_b)
     if impl != "xla":
         raise ValueError(f"unknown impl: {impl!r}")
     return _mu_iterations_xla(xs, w, h, n_iters)

@@ -110,6 +110,11 @@ class NMFModel:
             h0 = jnp.asarray(np.asarray(h, dtype=float))
         elif w is not None or h is not None:
             raise ValueError("provide both w and h for a custom init, or neither")
+        elif self.init == "custom":
+            # sklearn API: init='custom' requires explicit W and H
+            raise ValueError(
+                "init='custom' requires passing both w and h to fit_transform"
+            )
         else:
             w0, h0 = initialize_nmf(
                 x_arr, k, init=self.init, seed=self.random_state or 0

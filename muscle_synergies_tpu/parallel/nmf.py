@@ -300,7 +300,9 @@ def sharded_fit_cd(
             )
             n_iter = jnp.where(keep, state.n_iter, state.n_iter + 1)
             violation_init = jnp.where(
-                n_iter == 1, violation, state.violation_init
+                jnp.logical_and(n_iter == 1, ~keep),
+                violation,
+                state.violation_init,
             )
             newly = jnp.logical_or(
                 violation_init == 0, violation / violation_init <= tol

@@ -257,3 +257,18 @@ class TestAcceleratedMU:
             cur = float(frobenius_error(x, w, h))
             assert cur <= prev + 1e-9
             prev = cur
+
+
+def test_custom_init_requires_factors():
+    from muscle_synergies_tpu.models import NMFModel
+
+    rng = np.random.default_rng(0)
+    data = np.abs(rng.random((30, 5)))
+    model = NMFModel(n_components=2, init="custom")
+    with pytest.raises(ValueError, match="custom"):
+        model.fit_transform(data)
+    # with factors, works like sklearn's init='custom'
+    w0 = np.abs(rng.random((30, 2)))
+    h0 = np.abs(rng.random((2, 5)))
+    w = model.fit_transform(data, w=w0, h=h0)
+    assert w.shape == (30, 2)

@@ -14,9 +14,6 @@ import pytest
 from muscle_synergies_tpu import load_vicon_file
 from muscle_synergies_tpu.native import load_decoder
 
-RNG = np.random.default_rng(2024)
-
-
 def _random_capture_text(rng):
     n_plates = int(rng.integers(0, 4))
     n_emg = int(rng.integers(1, 10))
@@ -91,11 +88,15 @@ def test_native_and_fallback_paths_agree(tmp_path, seed):
     path.write_text(text)
 
     native = load_vicon_file(path)
+    prior = os.environ.get("MST_DISABLE_NATIVE")
     os.environ["MST_DISABLE_NATIVE"] = "1"
     try:
         fallback = load_vicon_file(path)
     finally:
-        del os.environ["MST_DISABLE_NATIVE"]
+        if prior is None:
+            del os.environ["MST_DISABLE_NATIVE"]
+        else:
+            os.environ["MST_DISABLE_NATIVE"] = prior
 
     assert len(native.forcepl) == n_plates
     assert len(native.traj) == n_markers
