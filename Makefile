@@ -2,7 +2,7 @@
 
 PYTHON ?= python
 
-.PHONY: test test-fast bench bench-quick entry native clean
+.PHONY: test test-fast bench bench-quick entry native dist clean
 
 test:
 	$(PYTHON) -m pytest tests/ -q
@@ -24,6 +24,9 @@ native:
 	g++ -O3 -shared -fPIC -pthread \
 		-o muscle_synergies_tpu/native/libvicon_decode.so \
 		muscle_synergies_tpu/native/vicon_decode.cpp
+
+dist:
+	./scripts/check_dist.sh
 
 clean:
 	rm -rf muscle_synergies_tpu/native/libvicon_decode.so \
