@@ -1,6 +1,6 @@
 """Pallas TPU kernels for the NMF hot loops."""
 
 from .cd_pallas import cd_iterations_pallas
-from .mu_pallas import mu_iterations_pallas
+from .mu_pallas import fit_mu_pallas, mu_iterations_pallas
 
-__all__ = ["mu_iterations_pallas", "cd_iterations_pallas"]
+__all__ = ["mu_iterations_pallas", "fit_mu_pallas", "cd_iterations_pallas"]

@@ -31,52 +31,135 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..mu import EPSILON
 
-__all__ = ["mu_iterations_pallas"]
+__all__ = ["mu_iterations_pallas", "fit_mu_pallas"]
+
+
+def _mu_step(x, w, h, k: int, l: int):
+    """One lane-parallel MU update (W then H, sklearn's order)."""
+    # ---- W update: W *= (X Ht) / (W (H Ht)) ----
+    hht = [
+        [sum(h[i, m] * h[j, m] for m in range(l)) for j in range(k)]
+        for i in range(k)
+    ]  # k x k entries, each (B,)
+    num_rows = []
+    den_rows = []
+    for i in range(k):
+        num = sum(h[i, m][None, :] * x[m] for m in range(l))  # (N, B)
+        den = sum(hht[j][i][None, :] * w[j] for j in range(k))
+        num_rows.append(num)
+        den_rows.append(den)
+    w_new = []
+    for i in range(k):
+        den = jnp.where(den_rows[i] == 0, EPSILON, den_rows[i])
+        w_new.append(w[i] * (num_rows[i] / den))
+    w = jnp.stack(w_new)
+
+    # ---- H update: H *= (Wt X) / ((Wt W) H) ----
+    wtw = [
+        [jnp.sum(w[i] * w[j], axis=0) for j in range(k)] for i in range(k)
+    ]  # each (B,)
+    h_new = []
+    for i in range(k):
+        rows = []
+        for m in range(l):
+            num = jnp.sum(w[i] * x[m], axis=0)  # (B,)
+            den = sum(wtw[i][j] * h[j, m] for j in range(k))
+            den = jnp.where(den == 0, EPSILON, den)
+            rows.append(h[i, m] * (num / den))
+        h_new.append(jnp.stack(rows))
+    h = jnp.stack(h_new)
+    return w, h
+
+
+def _lane_error(x, w, h, k: int, l: int):
+    """Per-trial Frobenius error across lanes, shape ``(1, B)``.
+
+    Kept 2-D throughout: Mosaic's vector layouts want the lane
+    dimension paired with a (here singleton) sublane dimension.
+    """
+    total = None
+    for m in range(l):
+        rec = sum(w[j] * h[j, m][None, :] for j in range(k))  # (N, B)
+        diff = x[m] - rec
+        part = jnp.sum(diff * diff, axis=0, keepdims=True)  # (1, B)
+        total = part if total is None else total + part
+    return jnp.sqrt(total)
 
 
 def _mu_kernel(x_ref, w_ref, h_ref, w_out, h_out, *, n_iters: int, k: int, l: int):
     x = x_ref[:]  # (L, N, Bblk)
 
     def body(_, carry):
-        w, h = carry  # (k, N, B), (k, L, B)
-
-        # ---- W update: W *= (X Ht) / (W (H Ht)) ----
-        hht = [
-            [sum(h[i, m] * h[j, m] for m in range(l)) for j in range(k)]
-            for i in range(k)
-        ]  # k x k entries, each (B,)
-        num_rows = []
-        den_rows = []
-        for i in range(k):
-            num = sum(h[i, m][None, :] * x[m] for m in range(l))  # (N, B)
-            den = sum(hht[j][i][None, :] * w[j] for j in range(k))
-            num_rows.append(num)
-            den_rows.append(den)
-        w_new = []
-        for i in range(k):
-            den = jnp.where(den_rows[i] == 0, EPSILON, den_rows[i])
-            w_new.append(w[i] * (num_rows[i] / den))
-        w = jnp.stack(w_new)
-
-        # ---- H update: H *= (Wt X) / ((Wt W) H) ----
-        wtw = [
-            [jnp.sum(w[i] * w[j], axis=0) for j in range(k)] for i in range(k)
-        ]  # each (B,)
-        h_new = []
-        for i in range(k):
-            rows = []
-            for m in range(l):
-                num = jnp.sum(w[i] * x[m], axis=0)  # (B,)
-                den = sum(wtw[i][j] * h[j, m] for j in range(k))
-                den = jnp.where(den == 0, EPSILON, den)
-                rows.append(h[i, m] * (num / den))
-            h_new.append(jnp.stack(rows))
-        h = jnp.stack(h_new)
-        return w, h
+        return _mu_step(x, *carry, k=k, l=l)
 
     w, h = jax.lax.fori_loop(0, n_iters, body, (w_ref[:], h_ref[:]))
     w_out[:] = w
     h_out[:] = h
+
+
+def _fit_mu_kernel(
+    x_ref, w_ref, h_ref, zero_ref, w_out, h_out, n_iter_out, converged_out,
+    *, max_iter: int, tol: float, check_every: int, k: int, l: int,
+):
+    """MU solve to convergence, entirely in VMEM.
+
+    Replicates :func:`muscle_synergies_tpu.models.mu.fit_mu`'s stopping
+    semantics per lane (trial): chunks of ``check_every`` updates with
+    frozen converged lanes, Frobenius-improvement test at check points.
+
+    ``zero_ref`` is a ``(1, B)`` int32 zero block: while-loop carries
+    must start lane-varying (a constant init would pin Mosaic's carry
+    layout to replicated, which the loop body cannot produce), so the
+    zeros come in through memory.
+    """
+    x = x_ref[:]
+    w0 = w_ref[:]
+    h0 = h_ref[:]
+    # every per-trial scalar lives as a (1, B) row (2-D lane vectors)
+    err0 = _lane_error(x, w0, h0, k, l)
+    zero_i = zero_ref[:]
+
+    # convergence flags carried as int32 0/1 (i1 vector carries do not
+    # legalize through Mosaic's loop lowering)
+    def cond(state):
+        _, _, n_iter, _, conv_i = state
+        return jnp.logical_and(
+            jnp.max(n_iter) < max_iter, jnp.min(conv_i) < 1
+        )
+
+    def chunk(state):
+        w, h, n_iter, prev_err, conv_i = state
+        steps = jnp.minimum(check_every, max_iter - jnp.max(n_iter))
+
+        def body(_, carry):
+            wc, hc = carry
+            w_new, h_new = _mu_step(x, wc, hc, k=k, l=l)
+            keep = (conv_i != 0)[None]  # (1, 1, B)
+            return (
+                jnp.where(keep, wc, w_new),
+                jnp.where(keep, hc, h_new),
+            )
+
+        w, h = jax.lax.fori_loop(0, steps, body, (w, h))
+        # arithmetic masking instead of an int select: Mosaic cannot
+        # relayout select_n between a replicated scalar add and the
+        # lane-vector carry
+        n_iter = n_iter + steps * (1 - conv_i)
+        err = _lane_error(x, w, h, k, l)
+        at_checkpoint = n_iter % check_every == 0
+        newly = jnp.logical_and(
+            (prev_err - err) / err0 < tol, at_checkpoint
+        )
+        new_conv = jnp.maximum(conv_i, newly.astype(jnp.int32))
+        prev_err = jnp.where(conv_i != 0, prev_err, err)
+        return w, h, n_iter, prev_err, new_conv
+
+    init = (w0, h0, zero_i, err0, zero_i)
+    w, h, n_iter, _, conv_i = jax.lax.while_loop(cond, chunk, init)
+    w_out[:] = w
+    h_out[:] = h
+    n_iter_out[:] = n_iter
+    converged_out[:] = conv_i
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "block_b", "interpret"))
@@ -133,3 +216,82 @@ def mu_iterations_pallas(
     w_out = jnp.transpose(wt_out, (2, 1, 0))
     h_out = jnp.transpose(ht_out, (2, 0, 1))
     return w_out, h_out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "tol", "check_every", "block_b", "interpret"),
+)
+def fit_mu_pallas(
+    xs: jnp.ndarray,
+    w0: jnp.ndarray,
+    h0: jnp.ndarray,
+    max_iter: int = 200,
+    tol: float = 1e-4,
+    check_every: int = 10,
+    block_b: int = 128,
+    interpret: bool = False,
+):
+    """MU-NMF to convergence on a ``(B, N, L)`` batch, fused in VMEM.
+
+    The solver counterpart of :func:`mu_iterations_pallas`: same
+    trials-on-lanes layout and VMEM residency, plus the exact stopping
+    semantics of :func:`muscle_synergies_tpu.models.mu.fit_mu`
+    (sklearn's rule, per trial, with converged trials frozen).
+
+    Returns:
+        ``(w, h, n_iter, converged)`` with per-trial ``(B,)`` iteration
+        counts and convergence flags.
+    """
+    b, n, l = xs.shape
+    k = w0.shape[-1]
+    if b % block_b != 0:
+        raise ValueError(f"batch {b} must be a multiple of block_b={block_b}")
+
+    xt = jnp.transpose(xs, (2, 1, 0))
+    wt = jnp.transpose(w0, (2, 1, 0))
+    ht = jnp.transpose(h0, (1, 2, 0))
+    zeros = jnp.zeros((1, b), jnp.int32)
+
+    kernel = functools.partial(
+        _fit_mu_kernel, max_iter=max_iter, tol=float(tol),
+        check_every=check_every, k=k, l=l,
+    )
+    wt_out, ht_out, n_iter, converged = pl.pallas_call(
+        kernel,
+        grid=(b // block_b,),
+        in_specs=[
+            pl.BlockSpec((l, n, block_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n, block_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, l, block_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((k, n, block_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, l, block_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, n, b), w0.dtype),
+            jax.ShapeDtypeStruct((k, l, b), h0.dtype),
+            jax.ShapeDtypeStruct((1, b), jnp.int32),
+            jax.ShapeDtypeStruct((1, b), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xt, wt, ht, zeros)
+
+    return (
+        jnp.transpose(wt_out, (2, 1, 0)),
+        jnp.transpose(ht_out, (2, 0, 1)),
+        n_iter[0],
+        converged[0].astype(bool),
+    )

@@ -70,3 +70,40 @@ class TestCDKernel:
         wp, hp = cd_iterations_pallas(xs, w, h, 10, block_b=B, interpret=True)
         assert float(jnp.min(wp)) >= 0.0
         assert float(jnp.min(hp)) >= 0.0
+
+
+class TestFitMUKernel:
+    def test_exact_stopping_parity_with_xla_fit(self, problem):
+        from muscle_synergies_tpu.models.batch import fit_mu_batch
+        from muscle_synergies_tpu.models.kernels import fit_mu_pallas
+
+        xs, w, h = problem
+        # structured data so trials converge at different iterations
+        rng = np.random.default_rng(4)
+        wt = rng.random((B, N, 2))
+        ht = rng.random((B, 2, L))
+        xs2 = jnp.asarray(wt @ ht + 0.01 * rng.random((B, N, L)),
+                          dtype=jnp.float32)
+        wp, hp, n_iter, conv = fit_mu_pallas(
+            xs2, w, h, max_iter=2000, tol=1e-5, block_b=B, interpret=True
+        )
+        ref = fit_mu_batch(xs2, w, h, max_iter=2000, tol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(n_iter), np.asarray(ref.n_iter)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(conv), np.asarray(ref.converged)
+        )
+        np.testing.assert_allclose(
+            np.asarray(wp), np.asarray(ref.w), rtol=1e-4, atol=1e-5
+        )
+
+    def test_max_iter_cap(self, problem):
+        from muscle_synergies_tpu.models.kernels import fit_mu_pallas
+
+        xs, w, h = problem
+        _, _, n_iter, conv = fit_mu_pallas(
+            xs, w, h, max_iter=30, tol=1e-12, block_b=B, interpret=True
+        )
+        assert np.all(np.asarray(n_iter) == 30)
+        assert not np.any(np.asarray(conv))
