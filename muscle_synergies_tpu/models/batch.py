@@ -159,6 +159,14 @@ def mu_iterations_batch(
 @functools.partial(
     jax.jit, static_argnames=("max_iter", "tol", "check_every")
 )
+def _fit_mu_batch_xla(xs, w0, h0, max_iter, tol, check_every) -> MUState:
+    return jax.vmap(
+        lambda x, w, h: fit_mu(
+            x, w, h, max_iter=max_iter, tol=tol, check_every=check_every
+        )
+    )(xs, w0, h0)
+
+
 def fit_mu_batch(
     xs: jnp.ndarray,
     w0: jnp.ndarray,
@@ -166,13 +174,31 @@ def fit_mu_batch(
     max_iter: int = 200,
     tol: float = 1e-4,
     check_every: int = 10,
+    impl: str = "xla",
+    block_b: Optional[int] = None,
 ) -> MUState:
-    """MU-NMF over a ``(B, N, L)`` batch with per-trial convergence."""
-    return jax.vmap(
-        lambda x, w, h: fit_mu(
-            x, w, h, max_iter=max_iter, tol=tol, check_every=check_every
+    """MU-NMF over a ``(B, N, L)`` batch with per-trial convergence.
+
+    ``impl="pallas"`` routes through the VMEM-resident fused solver
+    (:func:`muscle_synergies_tpu.models.kernels.fit_mu_pallas`) —
+    same stopping semantics, pure-f32 arithmetic.
+    """
+    if impl == "pallas":
+        from .mu import frobenius_error
+        from .kernels import fit_mu_pallas
+
+        if block_b is None:
+            b = xs.shape[0]
+            block_b = next(d for d in range(min(128, b), 0, -1) if b % d == 0)
+        w, h, n_iter, converged = fit_mu_pallas(
+            xs, w0, h0, max_iter=max_iter, tol=tol,
+            check_every=check_every, block_b=block_b,
         )
-    )(xs, w0, h0)
+        err = jax.vmap(frobenius_error)(xs, w, h)
+        return MUState(w, h, n_iter, err, converged)
+    if impl != "xla":
+        raise ValueError(f"unknown impl: {impl!r}")
+    return _fit_mu_batch_xla(xs, w0, h0, max_iter, tol, check_every)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "tol"))

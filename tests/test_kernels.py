@@ -107,3 +107,29 @@ class TestFitMUKernel:
         )
         assert np.all(np.asarray(n_iter) == 30)
         assert not np.any(np.asarray(conv))
+
+
+def test_fit_mu_batch_pallas_impl(problem=None):
+    from muscle_synergies_tpu.models.batch import fit_mu_batch, init_batch
+
+    rng = np.random.default_rng(7)
+    wt = rng.random((8, 32, 2))
+    ht = rng.random((8, 2, 6))
+    xs = jnp.asarray(wt @ ht + 0.01 * rng.random((8, 32, 6)),
+                     dtype=jnp.float32)
+    w0, h0 = init_batch(xs, 2, init="nndsvda")
+    w0, h0 = w0.astype(jnp.float32), h0.astype(jnp.float32)
+    # interpret path not plumbed through fit_mu_batch; on CPU tests the
+    # pallas backend runs in Mosaic-interpret via force flag
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        state_p = fit_mu_batch(xs, w0, h0, max_iter=500, tol=1e-5,
+                               impl="pallas")
+    state_x = fit_mu_batch(xs, w0, h0, max_iter=500, tol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(state_p.n_iter), np.asarray(state_x.n_iter)
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_p.w), np.asarray(state_x.w), rtol=1e-4, atol=1e-5
+    )
