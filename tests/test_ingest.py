@@ -242,3 +242,11 @@ class TestMalformedInput:
         head = GOLDEN_CSV.split("Trajectories")[0].rstrip(", \n")
         with pytest.raises(ViconCSVError, match="2 sections"):
             self._load(tmp_path, head)
+
+
+def test_crlf_line_endings(tmp_path):
+    path = tmp_path / "crlf.csv"
+    path.write_bytes(GOLDEN_CSV.replace("\n", "\r\n").encode())
+    data = load_vicon_file(path)
+    np.testing.assert_array_equal(data.emg.array, EXP_EMG)
+    assert data.emg.units == ("V",) * 4
