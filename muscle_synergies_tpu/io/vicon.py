@@ -288,10 +288,22 @@ def _split_into_sections(lines: List[str]) -> List[Tuple[int, List[str]]]:
     return sections
 
 
+def _read_text(csv_filename: Union[str, os.PathLike]) -> str:
+    """Read the capture, transparently decompressing gzip archives."""
+    with open(csv_filename, "rb") as stream:
+        head = stream.read(2)
+        stream.seek(0)
+        if head == b"\x1f\x8b":  # gzip magic
+            import gzip
+
+            with gzip.open(stream, "rt", newline="") as gz:
+                return gz.read()
+        return stream.read().decode()
+
+
 def parse_vicon_csv(csv_filename: Union[str, os.PathLike]) -> List[_Section]:
     """Parse the file into its two sections (Devices, Trajectories)."""
-    with open(csv_filename, "r", newline="") as stream:
-        lines = stream.read().splitlines()
+    lines = _read_text(csv_filename).splitlines()
     chunks = _split_into_sections(lines)
     if len(chunks) != 2:
         raise ViconCSVError(

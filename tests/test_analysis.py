@@ -216,3 +216,38 @@ class TestViz:
         matplotlib.use("Agg")
         with pytest.raises(ValueError):
             mst.plot_signal(df, plot_dims=(3, 1), show=False)
+
+
+class TestInplaceSemantics:
+    """Every transform honors inplace=True/False like the reference."""
+
+    @pytest.mark.parametrize(
+        "call",
+        [
+            lambda df: mst.rms(df, 8, inplace=True),
+            lambda df: mst.normalize(df, inplace=True),
+            lambda df: mst.digital_filter(
+                df, 10.0, 100.0, 4, inplace=True
+            ),
+            lambda df: mst.linear_envelope(
+                df, 10.0, 100.0, 4, inplace=True
+            ),
+        ],
+    )
+    def test_inplace_returns_same_object(self, df, call):
+        out = call(df)
+        assert out is df
+
+    @pytest.mark.parametrize(
+        "call",
+        [
+            lambda df: mst.rms(df, 8),
+            lambda df: mst.normalize(df),
+            lambda df: mst.digital_filter(df, 10.0, 100.0, 4),
+        ],
+    )
+    def test_pure_leaves_original(self, df, call):
+        before = df.to_numpy().copy()
+        out = call(df)
+        assert out is not df
+        np.testing.assert_array_equal(df.to_numpy(), before)

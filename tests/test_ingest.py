@@ -250,3 +250,13 @@ def test_crlf_line_endings(tmp_path):
     data = load_vicon_file(path)
     np.testing.assert_array_equal(data.emg.array, EXP_EMG)
     assert data.emg.units == ("V",) * 4
+
+
+def test_gzip_transparent(tmp_path):
+    import gzip
+
+    path = tmp_path / "trial.csv.gz"
+    with gzip.open(path, "wt") as f:
+        f.write(GOLDEN_CSV)
+    data = load_vicon_file(path)
+    np.testing.assert_array_equal(data.emg.array, EXP_EMG)
