@@ -11,6 +11,13 @@ from .emg import (
     time_normalize,
     zero_center,
 )
+from .batched import (
+    linear_envelope_batch,
+    moving_rms_batch,
+    normalize_batch,
+    time_normalize_batch,
+    zero_center_batch,
+)
 from .filters import default_padlen, sos_design, sosfilt, sosfilt_zi, sosfiltfilt
 from .kinematics import (
     cop_path_length,
@@ -46,4 +53,9 @@ __all__ = [
     "cop_path_length",
     "grf_impulse",
     "loading_rate",
+    "zero_center_batch",
+    "moving_rms_batch",
+    "time_normalize_batch",
+    "normalize_batch",
+    "linear_envelope_batch",
 ]
