@@ -1,0 +1,49 @@
+"""The driver-facing scripts keep emitting their contracts.
+
+Runs ``bench.py --quick`` and ``__graft_entry__.py`` as subprocesses on
+the CPU platform and validates their outputs, so regressions in the
+benchmark/entry plumbing surface in CI rather than at round end.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=420):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    env["PYTHONPATH"] = REPO
+    return subprocess.run(
+        [sys.executable] + args,
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+def test_bench_quick_emits_json_contract():
+    result = _run(["bench.py", "--quick", "--impl", "xla"])
+    assert result.returncode == 0, result.stderr[-2000:]
+    line = result.stdout.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert payload["metric"] == "mu_nmf_iterations_per_sec_per_chip"
+    assert payload["value"] > 0
+
+
+def test_graft_entry_runs_single_and_multichip():
+    result = _run(["__graft_entry__.py"])
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "entry(): compiled and ran" in result.stdout
+    assert "dryrun_multichip(8): OK" in result.stdout
