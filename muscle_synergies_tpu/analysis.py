@@ -67,12 +67,15 @@ def digital_filter(
     zero_lag: bool = True,
     cheby_param: Optional[float] = None,
     inplace: bool = False,
+    padtype: Optional[str] = "odd",
 ) -> pandas.DataFrame:
     """Apply a Butterworth/Chebyshev filter to each column.
 
     ``zero_lag=True`` applies the filter forward and backward
     (zero-phase); otherwise one causal pass.  ``cheby_param`` is the
     passband ripple (cheby1) or stopband attenuation (cheby2) in dB.
+    ``padtype`` selects the zero-lag edge extension
+    (``"odd"``/``"even"``/``"constant"``/``None``, scipy semantics).
     """
     if filter_type not in {"butter", "cheby1", "cheby2"}:
         raise ValueError("filter type not understood.")
@@ -85,6 +88,7 @@ def digital_filter(
         band_type=band_type,
         zero_lag=zero_lag,
         cheby_param=cheby_param,
+        padtype=padtype,
     )
     return _recreate_signal(signal_df, inplace, arr)
 

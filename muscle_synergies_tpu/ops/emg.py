@@ -65,12 +65,15 @@ def digital_filter(
     band_type: str = "lowpass",
     zero_lag: bool = True,
     cheby_param: Optional[float] = None,
+    padtype: Optional[str] = "odd",
 ) -> jnp.ndarray:
     """Butterworth/Chebyshev filtering of a ``(N, C)`` block.
 
     ``zero_lag=True`` applies the filter forward and backward
     (zero-phase, scipy ``sosfiltfilt`` semantics); otherwise a single
-    causal pass.
+    causal pass.  ``padtype`` selects the zero-lag edge extension
+    (``"odd"``/``"even"``/``"constant"``/``None``, scipy semantics);
+    ignored for causal filtering.
     """
     sos = sos_design(
         order,
@@ -81,7 +84,7 @@ def digital_filter(
         cheby_param=cheby_param,
     )
     if zero_lag:
-        return sosfiltfilt(sos, x)
+        return sosfiltfilt(sos, x, padtype=padtype)
     return sosfilt(sos, x)
 
 

@@ -341,25 +341,59 @@ def _odd_ext(x: jnp.ndarray, padlen: int) -> jnp.ndarray:
     return jnp.concatenate([left, x, right], axis=0)
 
 
+def _even_ext(x: jnp.ndarray, padlen: int) -> jnp.ndarray:
+    """Even (mirror) extension along axis 0 (scipy ``even_ext``)."""
+    if padlen == 0:
+        return x
+    left = x[padlen:0:-1]
+    right = x[-2 : -padlen - 2 : -1]
+    return jnp.concatenate([left, x, right], axis=0)
+
+
+def _const_ext(x: jnp.ndarray, padlen: int) -> jnp.ndarray:
+    """Constant (edge-value) extension along axis 0 (scipy ``const_ext``)."""
+    if padlen == 0:
+        return x
+    left = jnp.broadcast_to(x[0], (padlen,) + x.shape[1:])
+    right = jnp.broadcast_to(x[-1], (padlen,) + x.shape[1:])
+    return jnp.concatenate([left, x, right], axis=0)
+
+
+_EXTENSIONS = {"odd": _odd_ext, "even": _even_ext, "constant": _const_ext}
+
+
 def sosfiltfilt(
     sos: np.ndarray,
     x: jnp.ndarray,
+    padtype: Optional[str] = "odd",
     padlen: Optional[int] = None,
 ) -> jnp.ndarray:
     """Zero-phase forward-backward filtering (scipy ``sosfiltfilt``).
 
-    Uses odd-reflection edge padding and steady-state initial
-    conditions scaled by the first/last sample, matching scipy's
-    defaults so results agree to floating-point accuracy.
+    Edge handling replicates scipy exactly: the signal is extended by
+    ``padlen`` samples at both ends (odd reflection by default; also
+    ``"even"``, ``"constant"`` or ``None`` for no extension, in which
+    case ``padlen`` is forced to 0), and each pass starts from
+    steady-state initial conditions scaled by the first sample of its
+    input, so results agree to floating-point accuracy.
 
     Args:
         sos: ``(n_sections, 6)`` cascade.
         x: ``(N,)`` or ``(N, C)`` block, time major.
+        padtype: ``"odd"`` (default), ``"even"``, ``"constant"`` or
+            ``None``.
         padlen: edge extension length; defaults to scipy's formula.
     """
     x2, squeeze = _as_2d(x)
     sos_np = _normalize_sos(sos)
-    if padlen is None:
+    if padtype not in ("odd", "even", "constant", None):
+        raise ValueError(
+            "padtype must be 'odd', 'even', 'constant', or None; "
+            f"got {padtype!r}"
+        )
+    if padtype is None:
+        padlen = 0
+    elif padlen is None:
         padlen = default_padlen(sos_np)
     if padlen >= x2.shape[0]:
         raise ValueError(
@@ -373,13 +407,14 @@ def sosfiltfilt(
         x2,
         jnp.asarray(zi_unit, dtype=x2.dtype),
         padlen,
+        padtype if padlen > 0 else None,
     )
     return y[:, 0] if squeeze else y
 
 
-@functools.partial(jax.jit, static_argnames=("padlen",))
-def _sosfiltfilt_jit(sos, x, zi_unit, padlen):
-    ext = _odd_ext(x, padlen)
+@functools.partial(jax.jit, static_argnames=("padlen", "padtype"))
+def _sosfiltfilt_jit(sos, x, zi_unit, padlen, padtype="odd"):
+    ext = _EXTENSIONS[padtype](x, padlen) if padtype is not None else x
     zi = zi_unit[:, :, None] * ext[0]
     fwd = _sosfilt_jit(sos, ext, zi)
     rev = fwd[::-1]

@@ -154,6 +154,31 @@ def test_sosfiltfilt_explicit_padlen():
     np.testing.assert_allclose(mine, ref, rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.parametrize("padtype", ["even", "constant", None])
+def test_sosfiltfilt_padtype_variants_match_scipy(padtype):
+    sos = sos_design(4, 10.0, 100.0)
+    x = _sig(300, 2)
+    mine = np.asarray(sosfiltfilt(sos, x, padtype=padtype))
+    ref = sps.sosfiltfilt(sos, x, axis=0, padtype=padtype)
+    np.testing.assert_allclose(mine, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_sosfiltfilt_padtype_none_allows_short_signal():
+    # With padtype=None scipy forces padlen=0, so a signal shorter than
+    # the default pad length is accepted.
+    sos = sos_design(4, 10.0, 100.0)
+    x = _sig(20, 2)
+    mine = np.asarray(sosfiltfilt(sos, x, padtype=None))
+    ref = sps.sosfiltfilt(sos, x, axis=0, padtype=None)
+    np.testing.assert_allclose(mine, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_sosfiltfilt_rejects_bad_padtype():
+    sos = sos_design(4, 10.0, 100.0)
+    with pytest.raises(ValueError, match="padtype"):
+        sosfiltfilt(sos, np.ones((300, 2)), padtype="reflect")
+
+
 def test_sosfiltfilt_rejects_short_signal():
     sos = sos_design(4, 10.0, 100.0)
     with pytest.raises(ValueError, match="padlen"):
