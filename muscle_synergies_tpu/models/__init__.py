@@ -3,6 +3,7 @@
 from .hals import CDState, cd_pass, fit_cd
 from .init import initialize_nmf, nndsvd
 from .mu import EPSILON, MUState, fit_mu, frobenius_error, mu_update
+from .rsvd import initialize_nmf_sklearn, randomized_svd
 from .select import NMFModel, SynergyRunResult, find_synergies
 from .stability import (
     BootstrapResult,
@@ -14,7 +15,9 @@ from .stability import (
 
 __all__ = [
     "initialize_nmf",
+    "initialize_nmf_sklearn",
     "nndsvd",
+    "randomized_svd",
     "mu_update",
     "fit_mu",
     "MUState",

@@ -11,6 +11,11 @@ vmapped computation on device (the reference delegates to sklearn's
 host-side randomized SVD; here an exact SVD is used, which for the
 k << min(N, L) regime of synergy analysis agrees up to sign flips —
 handled with the same sign convention as ``sklearn.utils.svd_flip``).
+
+For iterate-level trajectory parity against sklearn's *default* init,
+``svd_method="randomized"`` switches to the host-side bit-exact
+replica in :mod:`muscle_synergies_tpu.models.rsvd` (same RandomState
+stream, LU-normalized power iterations, gesdd, svd_flip).
 """
 
 from __future__ import annotations
@@ -19,6 +24,9 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+from .rsvd import initialize_nmf_sklearn
 
 __all__ = ["initialize_nmf", "nndsvd"]
 
@@ -99,12 +107,29 @@ def initialize_nmf(
     init: Optional[str] = None,
     eps: float = 1e-6,
     seed: int = 0,
+    svd_method: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Initial ``(W, H)`` for NMF, following sklearn's dispatch rules.
 
     ``init=None`` resolves to ``"nndsvda"`` when
     ``k <= min(N, L)`` and ``"random"`` otherwise.
+
+    ``svd_method="exact"`` (default) runs the jnp/device path;
+    ``"randomized"`` runs the host-side sklearn bit-replica (randomized
+    SVD seeded by ``np.random.RandomState(seed)``) so factors — and
+    hence solver trajectories — match ``sklearn.decomposition.NMF``
+    with ``random_state=seed`` exactly.
     """
+    if svd_method == "randomized":
+        x_np = np.asarray(x)
+        w, h = initialize_nmf_sklearn(
+            x_np, n_components, init=init, eps=eps, random_state=seed
+        )
+        return jnp.asarray(w, dtype=x_np.dtype), jnp.asarray(h, dtype=x_np.dtype)
+    if svd_method != "exact":
+        raise ValueError(
+            f"svd_method must be 'exact' or 'randomized', got {svd_method!r}"
+        )
     x = jnp.asarray(x)
     n, l = x.shape
     if init is not None and init != "random" and n_components > min(n, l):

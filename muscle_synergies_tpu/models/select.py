@@ -51,6 +51,9 @@ class NMFModel:
     descent / HALS, sklearn's default) or ``"mu"`` (multiplicative
     updates).  Sparsity is controlled through ``alpha_W`` / ``alpha_H``
     / ``l1_ratio`` with sklearn's dimension-scaled penalties.
+    ``svd_method="randomized"`` makes the NNDSVD-family inits
+    bit-identical to sklearn's (host-side randomized SVD seeded by
+    ``random_state``), so default-init runs are directly comparable.
 
     After :meth:`fit_transform`:
 
@@ -73,6 +76,7 @@ class NMFModel:
         alpha_W: float = 0.0,
         alpha_H: Union[float, str] = "same",
         l1_ratio: float = 0.0,
+        svd_method: str = "exact",
     ):
         self.n_components = n_components
         self.solver = solver
@@ -83,6 +87,7 @@ class NMFModel:
         self.alpha_W = alpha_W
         self.alpha_H = alpha_H
         self.l1_ratio = l1_ratio
+        self.svd_method = svd_method
 
     def fit_transform(
         self,
@@ -117,7 +122,11 @@ class NMFModel:
             )
         else:
             w0, h0 = initialize_nmf(
-                x_arr, k, init=self.init, seed=self.random_state or 0
+                x_arr,
+                k,
+                init=self.init,
+                seed=self.random_state or 0,
+                svd_method=self.svd_method,
             )
         w0 = w0.astype(x_arr.dtype)
         h0 = h0.astype(x_arr.dtype)
