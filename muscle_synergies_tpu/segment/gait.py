@@ -163,18 +163,48 @@ def transition_indices(
 class Segmenter:
     """Parse ground reactions into trechos/cycles/phases and query them.
 
+    The reference protocol is 4 passes (trechos) of 2 cycles each
+    (reference segment.py:906-917); ``n_trechos`` / ``n_cycles``
+    generalize it to any trial layout with the same alternating
+    support-state grammar (lead-in, then per pass: 4 phases per cycle
+    plus a closing transition, separated by single-support gaps).  With
+    the default counts, trechos and cycles are keyed by the
+    :class:`Trecho` / :class:`Cycle` enums; with custom counts they are
+    keyed by 1-based integers.
+
     Args:
         data: the loaded capture (uses the first two force plates).
         min_phase_size: debounce window for support-state changes.
+        n_trechos: number of passes over the plates.
+        n_cycles: number of step cycles within each pass.
     """
 
-    def __init__(self, data: ViconNexusData, min_phase_size: int = 10):
+    def __init__(
+        self,
+        data: ViconNexusData,
+        min_phase_size: int = 10,
+        n_trechos: int = 4,
+        n_cycles: int = 2,
+    ):
+        if n_trechos < 1 or n_cycles < 1:
+            raise ValueError("n_trechos and n_cycles must be at least 1")
         self._data = data
+        self._n_trechos = n_trechos
+        self._n_cycles = n_cycles
+        self._trecho_keys = (
+            tuple(Trecho) if n_trechos == 4 else tuple(range(1, n_trechos + 1))
+        )
+        self._cycle_keys = (
+            tuple(Cycle) if n_cycles == 2 else tuple(range(1, n_cycles + 1))
+        )
         left, right = reactions(data)
         self._left = np.asarray(left)
         self._right = np.asarray(right)
         transitions = transition_indices(
-            self._left, self._right, min_phase_size=min_phase_size
+            self._left,
+            self._right,
+            min_phase_size=min_phase_size,
+            num_segments=n_trechos * (4 * n_cycles + 2),
         )
         self._segments = self._organize(transitions)
 
@@ -188,7 +218,7 @@ class Segmenter:
         if i not in range(1, 5):
             raise IndexError("i should be a number between 1 and 4")
         trecho = self._parse_trecho(trecho)
-        phases = tuple(self._segments[trecho][Cycle.FIRST].keys())
+        phases = tuple(self._segments[trecho][self._cycle_keys[0]].keys())
         return phases[i - 1]
 
     def get_times_of(
@@ -216,8 +246,8 @@ class Segmenter:
         if cycle is not None:
             phases = list(seg[cycle].values())
             return slice(phases[0].start, phases[-1].stop)
-        first = list(seg[Cycle.FIRST].values())
-        last = list(seg[Cycle.SECOND].values())
+        first = list(seg[self._cycle_keys[0]].values())
+        last = list(seg[self._cycle_keys[-1]].values())
         return slice(first[0].start, last[-1].stop)
 
     # -- argument parsing --------------------------------------------------
@@ -242,17 +272,29 @@ class Segmenter:
         phase = self._parse_phase(trecho, phase_ref)
         return trecho, cycle, phase
 
-    @staticmethod
-    def _parse_trecho(trecho) -> Trecho:
+    def _parse_trecho(self, trecho):
         if isinstance(trecho, Trecho):
-            return trecho
-        return tuple(Trecho)[trecho - 1]
+            if self._n_trechos == 4:
+                return trecho
+            trecho = trecho.value  # enum ordinal -> 1-based int
+        if not 1 <= trecho <= self._n_trechos:
+            raise IndexError(
+                f"trecho must be between 1 and {self._n_trechos}, got {trecho}"
+            )
+        return self._trecho_keys[trecho - 1]
 
-    @staticmethod
-    def _parse_cycle(cycle) -> Optional[Cycle]:
-        if cycle is None or isinstance(cycle, Cycle):
-            return cycle
-        return tuple(Cycle)[cycle - 1]
+    def _parse_cycle(self, cycle):
+        if cycle is None:
+            return None
+        if isinstance(cycle, Cycle):
+            if self._n_cycles == 2:
+                return cycle
+            cycle = cycle.value
+        if not 1 <= cycle <= self._n_cycles:
+            raise IndexError(
+                f"cycle must be between 1 and {self._n_cycles}, got {cycle}"
+            )
+        return self._cycle_keys[cycle - 1]
 
     def _parse_phase(self, trecho: Trecho, phase_ref) -> Optional[Phase]:
         if phase_ref is None or isinstance(phase_ref, Phase):
@@ -276,14 +318,15 @@ class Segmenter:
             )
         return Phase.BL if left_on else Phase.AS
 
-    def _phase_order(self, second_phase_ind: int, trecho: Trecho) -> List[Phase]:
-        """Order of phases in this trecho's cycles.
+    def _phase_order(self, second_phase_ind: int, ordinal: int) -> List[Phase]:
+        """Order of phases in the cycles of the ``ordinal``-th pass.
 
-        Passes 1/3 start wide (DAA first) when the second phase is
-        swing; passes 2/4 start narrow.  (reference segment.py:822-850)
+        Odd passes (1st, 3rd, ...) run right-to-left and start wide
+        (DAA first) when the second phase is swing; even passes run
+        left-to-right and start narrow.  (reference segment.py:822-850)
         """
         second = self._single_leg_phase(second_phase_ind)
-        if trecho in {Trecho.FIRST, Trecho.THIRD}:
+        if ordinal % 2 == 1:
             if second is Phase.BL:
                 return [Phase.DAA, Phase.BL, Phase.DAE, Phase.AS]
             return [Phase.DAE, Phase.AS, Phase.DAA, Phase.BL]
@@ -304,24 +347,23 @@ class Segmenter:
         return OrderedDict(zip(order, slices))
 
     def _organize(self, transitions: Sequence[int]) -> Segments:
-        """8 phase transitions + trecho end per pass -> nested mapping.
+        """Per-pass phase transitions + trecho end -> nested mapping.
 
-        The trechos' transition indices sit at fixed offsets in the
-        40-transition sequence (reference segment.py:906-917).
+        Each pass consumes a fixed block of ``4 * n_cycles + 2``
+        transitions: one single-support lead-in, ``4 * n_cycles`` phase
+        starts, and the closing transition that ends its last phase
+        (the reference hardcodes the 10-per-pass offsets of its 4x2
+        protocol at segment.py:906-917).
         """
-        spans = {
-            Trecho.FIRST: (transitions[1:9], transitions[9]),
-            Trecho.SECOND: (transitions[11:19], transitions[19]),
-            Trecho.THIRD: (transitions[21:29], transitions[29]),
-            Trecho.FOURTH: (transitions[31:39], transitions[39]),
-        }
+        block = 4 * self._n_cycles + 2
         segments = {}
-        for trecho, (phase_indices, end) in spans.items():
-            phase_indices = list(phase_indices)
-            order = self._phase_order(phase_indices[1], trecho)
+        for t, trecho in enumerate(self._trecho_keys):
+            chunk = list(transitions[t * block : (t + 1) * block])
+            boundaries = chunk[1:]  # 4*n_cycles phase starts + end
+            order = self._phase_order(boundaries[1], t + 1)
             segments[trecho] = {
-                Cycle.FIRST: self._cycle_dict(order, phase_indices[:5]),
-                Cycle.SECOND: self._cycle_dict(order, phase_indices[4:] + [end]),
+                cyc: self._cycle_dict(order, boundaries[4 * c : 4 * c + 5])
+                for c, cyc in enumerate(self._cycle_keys)
             }
         return segments
 

@@ -15,7 +15,7 @@ import pandas as pd
 
 from ..data import ViconNexusData
 from ..ops.kinematics import cop_path_length, grf_impulse
-from .gait import Cycle, Segmenter, Trecho
+from .gait import Segmenter
 
 __all__ = ["phase_summary"]
 
@@ -47,15 +47,17 @@ def phase_summary(
     dev = data.forcepl[0]
 
     rows = []
-    for trecho in Trecho:
-        for cyc in Cycle:
-            for phase in segmenter.segments[trecho][cyc]:
-                seg = segmenter.segments[trecho][cyc][phase]
+    # iterate the segmenter's own keys (enums for the reference 4x2
+    # protocol, 1-based ints for custom n_trechos/n_cycles layouts)
+    for trecho, cycles in segmenter.segments.items():
+        for cyc, phases in cycles.items():
+            for phase in phases:
+                seg = phases[phase]
                 start = dev.to_index(seg.start)
                 stop = dev.to_index(seg.stop) + 1
                 row = {
-                    "trecho": trecho.name,
-                    "cycle": cyc.name,
+                    "trecho": getattr(trecho, "name", trecho),
+                    "cycle": getattr(cyc, "name", cyc),
                     "phase": phase.value,
                     "start_index": start,
                     "stop_index": stop,

@@ -31,16 +31,30 @@ GAP = ["L"]
 SEQUENCE = LEAD + (TRECHO + GAP) * 4
 
 
-def _fz_signals():
+def _trecho_states(n_cycles):
+    """One pass: alternating B/single states, 4 per cycle + closing B."""
+    states = []
+    for c in range(n_cycles):
+        single = "L" if c % 2 == 0 else "R"
+        other = "R" if c % 2 == 0 else "L"
+        states += ["B", single, "B", other]
+    return states + ["B"]
+
+
+def _sequence(n_trechos, n_cycles):
+    return LEAD + (_trecho_states(n_cycles) + GAP) * n_trechos
+
+
+def _fz_signals(sequence=SEQUENCE):
     left, right = [], []
-    for state in SEQUENCE:
+    for state in sequence:
         left += [-100.0 if state in "LB" else 0.0] * STATE_LEN
         right += [-50.0 if state in "RB" else 0.0] * STATE_LEN
     return np.array(left), np.array(right)
 
 
-def _capture():
-    left, right = _fz_signals()
+def _capture(sequence=SEQUENCE):
+    left, right = _fz_signals(sequence)
     n = len(left)
     # fast rate 300 Hz, slow 100 Hz -> 3 subframes; pad to full frames
     pad = (-n) % 3
@@ -177,6 +191,73 @@ class TestSegmenter:
         c1 = segmenter.get_times_of(1, 1)
         c2 = segmenter.get_times_of(1, 2)
         assert dev.to_index(c2.start) == dev.to_index(c1.stop) + 1
+
+
+class TestCustomProtocol:
+    """Segmenter generalizes past the reference's fixed 4x2 layout."""
+
+    @pytest.fixture(scope="class")
+    def capture33(self):
+        return _capture(_sequence(n_trechos=3, n_cycles=3))
+
+    @pytest.fixture(scope="class")
+    def segmenter33(self, capture33):
+        return Segmenter(capture33, n_trechos=3, n_cycles=3)
+
+    def test_int_keys_and_counts(self, segmenter33):
+        segs = segmenter33.segments
+        assert list(segs.keys()) == [1, 2, 3]
+        for cycles in segs.values():
+            assert list(cycles.keys()) == [1, 2, 3]
+            for phases in cycles.values():
+                assert len(phases) == 4
+
+    def test_phase_slices_consecutive(self, segmenter33, capture33):
+        dev = capture33.forcepl[0]
+        c1 = segmenter33.get_times_of(1, 1)
+        c2 = segmenter33.get_times_of(1, 2)
+        c3 = segmenter33.get_times_of(1, 3)
+        assert dev.to_index(c2.start) == dev.to_index(c1.stop) + 1
+        assert dev.to_index(c3.start) == dev.to_index(c2.stop) + 1
+        # first trecho starts after the single-support lead-in
+        assert dev.to_index(c1.start) == STATE_LEN
+
+    def test_trecho_slice_spans_all_cycles(self, segmenter33, capture33):
+        dev = capture33.forcepl[0]
+        whole = segmenter33.get_times_of(2)
+        c1 = segmenter33.get_times_of(2, 1)
+        c3 = segmenter33.get_times_of(2, 3)
+        assert whole.start == c1.start and whole.stop == c3.stop
+
+    def test_out_of_range_raises(self, segmenter33):
+        with pytest.raises(IndexError, match="trecho"):
+            segmenter33.get_times_of(4, 1)
+        with pytest.raises(IndexError, match="cycle"):
+            segmenter33.get_times_of(1, 4)
+
+    def test_enum_args_still_accepted(self, segmenter33):
+        # Trecho/Cycle enums map onto their ordinals for custom counts
+        assert segmenter33.get_times_of(
+            Trecho.SECOND, Cycle.FIRST
+        ) == segmenter33.get_times_of(2, 1)
+
+    def test_default_counts_reject_bad_ints(self, segmenter):
+        with pytest.raises(IndexError, match="trecho"):
+            segmenter.get_times_of(5)
+        with pytest.raises(IndexError, match="cycle"):
+            segmenter.get_times_of(1, 3)
+
+    def test_bad_protocol_rejected(self, capture33):
+        with pytest.raises(ValueError, match="at least 1"):
+            Segmenter(capture33, n_trechos=0)
+
+    def test_phase_summary_on_custom_protocol(self, capture33, segmenter33):
+        from muscle_synergies_tpu.segment import phase_summary
+
+        summary = phase_summary(capture33, segmenter33)
+        assert len(summary) == 3 * 3 * 4
+        assert set(summary["trecho"]) == {1, 2, 3}
+        assert set(summary["cycle"]) == {1, 2, 3}
 
 
 class TestSegmentPlotter:
