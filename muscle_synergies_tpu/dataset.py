@@ -17,7 +17,7 @@ becomes a single batched device computation:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Union
+from typing import List, Mapping, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +28,28 @@ from .models.batch import fit_cd_batch, fit_mu_batch, vaf_batch
 from .utils.config import PipelineConfig
 
 __all__ = ["DatasetResult", "analyze_dataset", "preprocess_trials"]
+
+
+def _match_components(reference: np.ndarray, other: np.ndarray) -> np.ndarray:
+    """Reorder ``other``'s rows to best match ``reference``'s by cosine.
+
+    Greedy assignment on the pairwise cosine-similarity matrix — the
+    standard way to align synergy sets across trials before averaging
+    (NMF is permutation-invariant, so row order is arbitrary per fit).
+    """
+    eps = 1e-12
+    ref = reference / (np.linalg.norm(reference, axis=1, keepdims=True) + eps)
+    oth = other / (np.linalg.norm(other, axis=1, keepdims=True) + eps)
+    sim = ref @ oth.T  # (k, k)
+    k = sim.shape[0]
+    order = np.empty(k, dtype=int)
+    sim = sim.copy()
+    for _ in range(k):
+        i, j = np.unravel_index(np.argmax(sim), sim.shape)
+        order[i] = j
+        sim[i, :] = -np.inf
+        sim[:, j] = -np.inf
+    return other[order]
 
 
 def _as_array(trial) -> np.ndarray:
@@ -76,6 +98,8 @@ class DatasetResult:
         n_iter: ``(R, B)`` solver iterations.
         converged: ``(R, B)`` convergence flags.
         channel_names: channel labels when the inputs carried them.
+        subjects: per-trial subject labels (grouped reporting), or
+            ``None`` for a flat trial list.
     """
 
     ranks: tuple
@@ -86,6 +110,7 @@ class DatasetResult:
     n_iter: np.ndarray
     converged: np.ndarray
     channel_names: Optional[List[str]] = None
+    subjects: Optional[List] = None
 
     def components(self, rank: int, trial: int) -> pandas.DataFrame:
         """``(rank, L)`` components of one fit, labeled."""
@@ -95,12 +120,75 @@ class DatasetResult:
         return pandas.DataFrame(h, columns=list(cols))
 
     def vaf_table(self) -> pandas.DataFrame:
-        """Trials x ranks table of overall VAF."""
+        """Trials x ranks table of overall VAF.
+
+        With subject labels the index is a ``(subject, trial)``
+        MultiIndex; otherwise a flat trial index.
+        """
+        b = self.vaf_overall.shape[1]
+        if self.subjects is not None:
+            index = pandas.MultiIndex.from_arrays(
+                [self.subjects, range(b)], names=["subject", "trial"]
+            )
+        else:
+            index = pandas.RangeIndex(b, name="trial")
         return pandas.DataFrame(
-            self.vaf_overall.T,
-            columns=list(self.ranks),
-            index=pandas.RangeIndex(self.vaf_overall.shape[1], name="trial"),
+            self.vaf_overall.T, columns=list(self.ranks), index=index
         )
+
+    # -- subject-level reporting -------------------------------------------
+    def _require_subjects(self):
+        if self.subjects is None:
+            raise ValueError(
+                "no subject labels: pass subjects= (or a {subject: trials} "
+                "mapping) to analyze_dataset"
+            )
+
+    def trials_of(self, subject) -> List[int]:
+        """Trial indices belonging to one subject."""
+        self._require_subjects()
+        return [i for i, s in enumerate(self.subjects) if s == subject]
+
+    def subject_table(self, statistic: str = "mean") -> pandas.DataFrame:
+        """Subjects x ranks table of overall VAF, aggregated over trials.
+
+        ``statistic`` is any pandas groupby reduction name (``"mean"``,
+        ``"std"``, ``"min"``, ``"median"``, ...).
+        """
+        self._require_subjects()
+        table = self.vaf_table()
+        return table.groupby(level="subject", sort=False).agg(statistic)
+
+    def subject_min_rank(self, vaf_threshold: float = 0.9) -> pandas.Series:
+        """Per subject: smallest swept rank whose *mean* VAF over the
+        subject's trials reaches the threshold (-1 if none does)."""
+        self._require_subjects()
+        means = self.subject_table("mean")
+        out = {}
+        for subject, row in means.iterrows():
+            reaching = [k for k in sorted(self.ranks) if row[k] >= vaf_threshold]
+            out[subject] = reaching[0] if reaching else -1
+        return pandas.Series(out, name="min_rank")
+
+    def subject_components(self, rank: int, subject) -> pandas.DataFrame:
+        """Mean synergy components of one subject at one rank.
+
+        Each trial's ``(rank, L)`` factor rows are aligned to the
+        subject's first trial by greedy cosine matching (NMF row order
+        is arbitrary per fit) before averaging.
+        """
+        self._require_subjects()
+        trials = self.trials_of(subject)
+        if not trials:
+            raise KeyError(f"unknown subject: {subject!r}")
+        r = self.ranks.index(rank)
+        reference = self.h[r, trials[0]][:rank]
+        stacked = [reference]
+        for t in trials[1:]:
+            stacked.append(_match_components(reference, self.h[r, t][:rank]))
+        mean = np.mean(stacked, axis=0)
+        cols = self.channel_names or range(mean.shape[1])
+        return pandas.DataFrame(mean, columns=list(cols))
 
     def min_rank_reaching(self, vaf_threshold: float = 0.9) -> np.ndarray:
         """Per trial: smallest swept rank whose VAF >= threshold (-1 if none)."""
@@ -115,7 +203,7 @@ class DatasetResult:
 
 
 def analyze_dataset(
-    trials: Sequence,
+    trials: Union[Sequence, Mapping],
     sampling_frequency: float,
     ranks: Union[int, Sequence[int]] = (1, 2, 3, 4),
     config: PipelineConfig = PipelineConfig(),
@@ -126,13 +214,19 @@ def analyze_dataset(
     tol: Optional[float] = None,
     dtype=None,
     seed: int = 0,
+    subjects: Optional[Sequence] = None,
 ) -> DatasetResult:
     """Preprocess and factorize a whole multi-trial dataset at once.
 
     Args:
         trials: sequence of ``(N_i, L)`` arrays / DataFrames /
-            ``DeviceData`` (e.g. the EMG of several captures).
+            ``DeviceData`` (e.g. the EMG of several captures), or a
+            ``{subject: [trials...]}`` mapping — the subject x trial
+            hierarchy flattens into one batched solve and the labels
+            power :class:`DatasetResult`'s grouped reporting.
         ranks: rank or ranks to sweep.
+        subjects: per-trial subject labels (alternative to passing a
+            mapping; must be omitted when ``trials`` is one).
         config: preprocessing + solver preset.
         mesh: optional ``(data, time)`` mesh — the solve runs through
             the sharded solvers when the grid divides evenly over the
@@ -145,6 +239,19 @@ def analyze_dataset(
     Returns:
         :class:`DatasetResult` over the full ``(rank, trial)`` grid.
     """
+    if isinstance(trials, Mapping):
+        if subjects is not None:
+            raise ValueError(
+                "pass either a {subject: trials} mapping or subjects=, not both"
+            )
+        subjects = [s for s, ts in trials.items() for _ in ts]
+        trials = [t for ts in trials.values() for t in ts]
+    if subjects is not None:
+        subjects = list(subjects)
+        if len(subjects) != len(trials):
+            raise ValueError(
+                f"got {len(subjects)} subject labels for {len(trials)} trials"
+            )
     if isinstance(ranks, int):
         ranks = (ranks,)
     ranks = tuple(ranks)
@@ -213,4 +320,5 @@ def analyze_dataset(
         n_iter=np.asarray(state.n_iter).reshape(r, b),
         converged=np.asarray(state.converged).reshape(r, b),
         channel_names=channel_names,
+        subjects=subjects,
     )

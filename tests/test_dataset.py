@@ -105,6 +105,82 @@ class TestAnalyzeDataset:
         np.testing.assert_array_equal(sharded.n_iter, local.n_iter)
 
 
+class TestSubjectHierarchy:
+    @pytest.fixture(scope="class")
+    def result(self):
+        trials = _trials(b=6)
+        return analyze_dataset(
+            {"s1": trials[:2], "s2": trials[2:5], "s3": trials[5:]},
+            200,
+            ranks=(1, 2),
+            config=CFG,
+            max_iter=300,
+            tol=1e-7,
+        )
+
+    def test_mapping_flattens_in_order(self, result):
+        assert result.subjects == ["s1", "s1", "s2", "s2", "s2", "s3"]
+        assert result.trials_of("s2") == [2, 3, 4]
+
+    def test_vaf_table_multiindex(self, result):
+        table = result.vaf_table()
+        assert table.index.names == ["subject", "trial"]
+        assert table.loc[("s2", 3), 2] == result.vaf_overall[1, 3]
+
+    def test_subject_table_aggregates(self, result):
+        means = result.subject_table("mean")
+        assert list(means.index) == ["s1", "s2", "s3"]
+        expected = result.vaf_overall[:, 2:5].mean(axis=1)
+        np.testing.assert_allclose(means.loc["s2"].to_numpy(), expected)
+
+    def test_subject_min_rank(self, result):
+        min_ranks = result.subject_min_rank(0.9)
+        # rank-2 ground truth: every subject reaches 90% VAF by rank 2
+        assert set(min_ranks.index) == {"s1", "s2", "s3"}
+        assert (min_ranks <= 2).all() and (min_ranks >= 1).all()
+
+    def test_subject_components_matched_mean(self, result):
+        comps = result.subject_components(2, "s2")
+        assert comps.shape == (2, 6)
+        assert list(comps.columns) == [f"M{j}" for j in range(6)]
+        assert (comps.to_numpy() >= 0).all()
+        with pytest.raises(KeyError):
+            result.subject_components(2, "nobody")
+
+    def test_explicit_subjects_argument(self):
+        trials = _trials(b=4)
+        res = analyze_dataset(
+            trials, 200, ranks=2, config=CFG, max_iter=50,
+            subjects=["a", "a", "b", "b"],
+        )
+        assert res.trials_of("b") == [2, 3]
+
+    def test_validation(self):
+        trials = _trials(b=4)
+        with pytest.raises(ValueError, match="subject labels"):
+            analyze_dataset(
+                trials, 200, ranks=2, config=CFG, max_iter=10,
+                subjects=["a"],
+            )
+        with pytest.raises(ValueError, match="not both"):
+            analyze_dataset(
+                {"a": trials}, 200, ranks=2, config=CFG, max_iter=10,
+                subjects=["a"] * 4,
+            )
+        flat = analyze_dataset(trials, 200, ranks=2, config=CFG, max_iter=10)
+        with pytest.raises(ValueError, match="no subject labels"):
+            flat.subject_table()
+
+
+def test_component_matching_aligns_permutations():
+    from muscle_synergies_tpu.dataset import _match_components
+
+    ref = np.eye(3) + 0.01
+    shuffled = ref[[2, 0, 1]] * 1.7  # permuted + rescaled
+    matched = _match_components(ref, shuffled)
+    np.testing.assert_allclose(matched, ref * 1.7)
+
+
 def test_min_rank_reaching_unordered_sweep():
     from muscle_synergies_tpu.dataset import DatasetResult
 
