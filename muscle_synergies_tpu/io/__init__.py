@@ -1,12 +1,17 @@
-"""Ingest layer: Vicon Nexus CSV parsing and trial batching."""
+"""Ingest layer: Vicon Nexus CSV parsing, streaming, trial batching."""
 
 from .batch import TrialBatch, batch_iterator, device_prefetch, stack_trials
+from .stream import DeviceStream, SectionHeader, ViconChunk, stream_vicon_file
 from .vicon import ViconCSVError, load_vicon_file, load_vicon_files
 
 __all__ = [
     "load_vicon_file",
     "load_vicon_files",
     "ViconCSVError",
+    "stream_vicon_file",
+    "ViconChunk",
+    "SectionHeader",
+    "DeviceStream",
     "TrialBatch",
     "stack_trials",
     "batch_iterator",

@@ -220,10 +220,13 @@ def _decode_data_block(
     return arr[:, :num_cols]
 
 
-def _parse_section(
+def _parse_section_header(
     lines: List[str], start_lineno: int, expected_type: str
-) -> _Section:
-    """Parse one section (5 header lines + data block)."""
+) -> Tuple[int, List[_DeviceSpec], List[str], List[str]]:
+    """Parse a section's 5 header lines.
+
+    Returns ``(frequency, devices, coords, units)``.
+    """
     if len(lines) < 5:
         raise _err(start_lineno, "section is too short (expected 5 header lines)")
 
@@ -263,8 +266,17 @@ def _parse_section(
         )
     else:
         devices = _devices_from_traj_headers(headers)
+    return frequency, devices, coords, units
 
-    data = _decode_data_block(lines[5:], num_cols, start_lineno + 5)
+
+def _parse_section(
+    lines: List[str], start_lineno: int, expected_type: str
+) -> _Section:
+    """Parse one section (5 header lines + data block)."""
+    frequency, devices, coords, units = _parse_section_header(
+        lines, start_lineno, expected_type
+    )
+    data = _decode_data_block(lines[5:], len(coords), start_lineno + 5)
     return _Section(expected_type, frequency, devices, coords, units, data)
 
 
