@@ -2,8 +2,16 @@
 
 The reference keeps everything in memory and persists nothing (SURVEY
 §5 "checkpoint/resume": absent).  Here every completed rank of a sweep
-saves its factors, VAF table and solver telemetry as a compressed npz,
-so long multi-rank / multi-trial jobs restart from completed work.
+saves its factors, VAF table and solver telemetry so long multi-rank /
+multi-trial jobs restart from completed work.  Two interchangeable
+backends:
+
+- ``"npz"`` (default): one compressed npz per rank, atomically
+  published — zero extra dependencies, right for single-host runs;
+- ``"orbax"``: one orbax checkpoint directory per rank (PyTree arrays
+  + JSON metadata via a composite handler) — the multi-host path,
+  since orbax coordinates saves of sharded ``jax.Array`` factors
+  across processes and storage backends.
 """
 
 from __future__ import annotations
@@ -22,20 +30,33 @@ __all__ = ["SweepCheckpoint", "find_synergies_checkpointed"]
 class SweepCheckpoint:
     """Directory-backed store of per-rank factorization results.
 
-    Layout: ``<dir>/rank_<k>.npz`` with arrays ``w``, ``h``, ``vaf``
-    plus JSON-encoded metadata (columns, iterations, loss).
+    Layout: ``<dir>/rank_<k>.npz`` (npz backend) or ``<dir>/rank_<k>/``
+    (orbax backend), holding arrays ``w``, ``h``, ``vaf`` plus metadata
+    (VAF columns, iterations, loss).  The two backends share the same
+    ``save``/``load``/``has``/``completed_ranks`` surface.
     """
 
-    def __init__(self, directory: Union[str, os.PathLike]):
+    def __init__(
+        self, directory: Union[str, os.PathLike], backend: str = "npz"
+    ):
+        if backend not in ("npz", "orbax"):
+            raise ValueError(
+                f"backend must be 'npz' or 'orbax', got {backend!r}"
+            )
+        self.backend = backend
         self.directory = Path(directory)
         self.directory.mkdir(parents=True, exist_ok=True)
 
     def _path(self, rank: int) -> Path:
-        return self.directory / f"rank_{rank}.npz"
+        suffix = ".npz" if self.backend == "npz" else ""
+        return self.directory / f"rank_{rank}{suffix}"
 
     def completed_ranks(self):
+        pattern = "rank_*.npz" if self.backend == "npz" else "rank_*"
         ranks = []
-        for p in self.directory.glob("rank_*.npz"):
+        for p in self.directory.glob(pattern):
+            if self.backend == "orbax" and not p.is_dir():
+                continue
             try:
                 ranks.append(int(p.stem.split("_")[1]))
             except (IndexError, ValueError):
@@ -53,6 +74,8 @@ class SweepCheckpoint:
         vaf_values: pandas.DataFrame,
         meta: Optional[Mapping] = None,
     ):
+        if self.backend == "orbax":
+            return self._save_orbax(rank, w, h, vaf_values, meta)
         tmp = self._path(rank).with_suffix(".tmp.npz")
         np.savez_compressed(
             tmp,
@@ -65,6 +88,8 @@ class SweepCheckpoint:
         os.replace(tmp, self._path(rank))  # atomic publish
 
     def load(self, rank: int) -> Dict:
+        if self.backend == "orbax":
+            return self._load_orbax(rank)
         with np.load(self._path(rank), allow_pickle=True) as data:
             vaf = pandas.DataFrame(
                 data["vaf"], columns=list(data["vaf_columns"])
@@ -76,6 +101,62 @@ class SweepCheckpoint:
                 "meta": json.loads(str(data["meta"])),
             }
 
+    # -- orbax backend -------------------------------------------------------
+    @staticmethod
+    def _orbax():
+        try:
+            import orbax.checkpoint as ocp
+        except ImportError as exc:  # pragma: no cover - orbax is bundled
+            raise ImportError(
+                "the 'orbax' checkpoint backend needs orbax-checkpoint"
+            ) from exc
+        return ocp
+
+    def _save_orbax(self, rank, w, h, vaf_values, meta):
+        ocp = self._orbax()
+        path = self._path(rank).resolve()
+        arrays = {
+            "w": np.asarray(w),
+            "h": np.asarray(h),
+            "vaf": vaf_values.to_numpy(),
+        }
+        payload = {
+            "vaf_columns": [str(c) for c in vaf_values.columns],
+            "meta": dict(meta or {}),
+        }
+        with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as cp:
+            # orbax publishes atomically (tmp dir + rename) on its own
+            cp.save(
+                path,
+                args=ocp.args.Composite(
+                    arrays=ocp.args.PyTreeSave(arrays),
+                    meta=ocp.args.JsonSave(payload),
+                ),
+                force=True,
+            )
+
+    def _load_orbax(self, rank) -> Dict:
+        ocp = self._orbax()
+        path = self._path(rank).resolve()
+        with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as cp:
+            out = cp.restore(
+                path,
+                args=ocp.args.Composite(
+                    arrays=ocp.args.PyTreeRestore(),
+                    meta=ocp.args.JsonRestore(),
+                ),
+            )
+        arrays, payload = out["arrays"], out["meta"]
+        vaf = pandas.DataFrame(
+            np.asarray(arrays["vaf"]), columns=payload["vaf_columns"]
+        )
+        return {
+            "w": np.asarray(arrays["w"]),
+            "h": np.asarray(arrays["h"]),
+            "vaf_values": vaf,
+            "meta": payload["meta"],
+        }
+
 
 def find_synergies_checkpointed(
     processed_emg_df: pandas.DataFrame,
@@ -85,6 +166,7 @@ def find_synergies_checkpointed(
     *,
     max_iter: int = 100_000,
     tol: float = 1e-6,
+    backend: str = "npz",
     **nmf_kwargs,
 ):
     """Rank sweep that resumes from previously completed ranks.
@@ -93,7 +175,8 @@ def find_synergies_checkpointed(
     re-fit; every newly fitted rank is saved before moving on.  Returns
     the same :class:`~muscle_synergies_tpu.models.SynergyRunResult`
     shape as ``find_synergies`` (with ``model`` holding per-rank
-    metadata dicts for restored ranks).
+    metadata dicts for restored ranks).  ``backend`` selects the
+    :class:`SweepCheckpoint` storage format (``"npz"`` or ``"orbax"``).
     """
     from collections import OrderedDict
 
@@ -101,7 +184,7 @@ def find_synergies_checkpointed(
     from ..models import NMFModel
     from ..models.select import SynergyRunResult
 
-    ckpt = SweepCheckpoint(checkpoint_dir)
+    ckpt = SweepCheckpoint(checkpoint_dir, backend=backend)
     runs = OrderedDict()
     for k in range(n_components, max_components + 1):
         if ckpt.has(k):

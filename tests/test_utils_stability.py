@@ -99,6 +99,63 @@ class TestCheckpoint:
         )
 
 
+class TestOrbaxCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        ckpt = SweepCheckpoint(tmp_path / "sweep", backend="orbax")
+        vaf = pd.DataFrame({"All signals": [0.9], "M0": [0.91]})
+        w, h = np.arange(30.0).reshape(10, 3), np.ones((3, 4))
+        ckpt.save(3, w, h, vaf, meta={"n_iter": 7})
+        assert ckpt.has(3) and not ckpt.has(2)
+        stored = ckpt.load(3)
+        assert stored["meta"]["n_iter"] == 7
+        assert stored["vaf_values"].equals(vaf)
+        np.testing.assert_array_equal(stored["w"], w)
+        np.testing.assert_array_equal(stored["h"], h)
+        assert ckpt.completed_ranks() == [3]
+
+    def test_overwrite_same_rank(self, tmp_path):
+        ckpt = SweepCheckpoint(tmp_path / "sweep", backend="orbax")
+        vaf = pd.DataFrame({"All signals": [0.5]})
+        ckpt.save(1, np.zeros((4, 1)), np.zeros((1, 2)), vaf, meta={"v": 1})
+        ckpt.save(1, np.ones((4, 1)), np.ones((1, 2)), vaf, meta={"v": 2})
+        stored = ckpt.load(1)
+        assert stored["meta"]["v"] == 2
+        np.testing.assert_array_equal(stored["w"], np.ones((4, 1)))
+
+    def test_backends_are_interchangeable(self, tmp_path):
+        vaf = pd.DataFrame({"All signals": [0.8], "M0": [0.7]})
+        w, h = np.full((6, 2), 1.5), np.full((2, 3), 2.5)
+        a = SweepCheckpoint(tmp_path / "npz", backend="npz")
+        b = SweepCheckpoint(tmp_path / "orbax", backend="orbax")
+        for ckpt in (a, b):
+            ckpt.save(2, w, h, vaf, meta={"n_iter": 4})
+        sa, sb = a.load(2), b.load(2)
+        np.testing.assert_array_equal(sa["w"], sb["w"])
+        np.testing.assert_array_equal(sa["h"], sb["h"])
+        assert sa["vaf_values"].equals(sb["vaf_values"])
+        assert sa["meta"] == sb["meta"]
+
+    def test_resume_through_orbax(self, tmp_path):
+        df = _emg_df()
+        find_synergies_checkpointed(
+            df, 1, 2, tmp_path / "ck", max_iter=500, tol=1e-6, backend="orbax"
+        )
+        ckpt = SweepCheckpoint(tmp_path / "ck", backend="orbax")
+        assert ckpt.completed_ranks() == [1, 2]
+        stored = ckpt.load(2)
+        poisoned = stored["vaf_values"].copy()
+        poisoned["All signals"] = 0.654321
+        ckpt.save(2, stored["w"], stored["h"], poisoned, stored["meta"])
+        res = find_synergies_checkpointed(
+            df, 1, 2, tmp_path / "ck", max_iter=500, tol=1e-6, backend="orbax"
+        )
+        assert res.vaf_values.loc[2, "All signals"] == 0.654321
+
+    def test_unknown_backend_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="backend"):
+            SweepCheckpoint(tmp_path, backend="s3")
+
+
 class TestProfiling:
     def test_timer(self):
         with Timer("t") as t:
