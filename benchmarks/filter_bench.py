@@ -25,6 +25,13 @@ def main():
     parser.add_argument("--order", type=int, default=13)
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--platform", default=None)
+    parser.add_argument(
+        "--impl",
+        choices=("scan", "pallas"),
+        default="scan",
+        help="device implementation: blocked associative scan (default) "
+        "or the fused Pallas VMEM kernel",
+    )
     args = parser.parse_args()
 
     if args.platform:
@@ -37,6 +44,10 @@ def main():
     from scipy import signal as sps
 
     from muscle_synergies_tpu.ops import sos_design, sosfiltfilt
+    from muscle_synergies_tpu.ops.filter_pallas import sosfiltfilt_pallas
+
+    if args.impl == "pallas":
+        sosfiltfilt = sosfiltfilt_pallas  # noqa: F811
 
     rng = np.random.default_rng(0)
     x = np.abs(rng.standard_normal((args.samples, args.channels))).astype(
@@ -80,7 +91,10 @@ def main():
     print(json.dumps({
         "metric": "zero_phase_filter_speedup_vs_scipy",
         "value": round(scipy_time / ours, 2),
-        "unit": f"x ({args.samples}x{args.channels}, order {args.order})",
+        "unit": (
+            f"x ({args.samples}x{args.channels}, order {args.order}, "
+            f"{args.impl})"
+        ),
         "vs_baseline": round(scipy_time / ours, 2),
     }))
     return 0

@@ -367,6 +367,7 @@ def sosfiltfilt(
     x: jnp.ndarray,
     padtype: Optional[str] = "odd",
     padlen: Optional[int] = None,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Zero-phase forward-backward filtering (scipy ``sosfiltfilt``).
 
@@ -383,6 +384,9 @@ def sosfiltfilt(
         padtype: ``"odd"`` (default), ``"even"``, ``"constant"`` or
             ``None``.
         padlen: edge extension length; defaults to scipy's formula.
+        impl: ``"auto"`` (fused Pallas VMEM kernel on TPU when the
+            problem fits, blocked associative scan otherwise),
+            ``"scan"``, or ``"pallas"``.
     """
     x2, squeeze = _as_2d(x)
     sos_np = _normalize_sos(sos)
@@ -390,6 +394,10 @@ def sosfiltfilt(
         raise ValueError(
             "padtype must be 'odd', 'even', 'constant', or None; "
             f"got {padtype!r}"
+        )
+    if impl not in ("auto", "scan", "pallas"):
+        raise ValueError(
+            f"impl must be 'auto', 'scan' or 'pallas', got {impl!r}"
         )
     if padtype is None:
         padlen = 0
@@ -400,6 +408,16 @@ def sosfiltfilt(
             f"the length of the input vector x must be greater than padlen, "
             f"which is {padlen}"
         )
+
+    if impl != "scan":
+        from .filter_pallas import pallas_eligible, sosfiltfilt_pallas
+
+        if impl == "pallas" or pallas_eligible(x2, padlen):
+            y = sosfiltfilt_pallas(
+                sos_np, x2, padtype=padtype, padlen=padlen
+            )
+            return y[:, 0] if squeeze else y
+
     zi_unit = sosfilt_zi(sos_np)  # (n_sections, 2)
 
     y = _sosfiltfilt_jit(
