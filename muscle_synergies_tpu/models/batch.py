@@ -122,6 +122,19 @@ def _mu_iterations_xla(
     return jax.lax.fori_loop(0, n_iters, body, (w, h))
 
 
+@functools.partial(jax.jit, static_argnames=("n_iters", "inner_iter"))
+def _mu_iterations_xla_inner(xs, w, h, n_iters, inner_iter):
+    from .mu import mu_update
+
+    def body(_, wh):
+        wc, hc = wh
+        return jax.vmap(
+            lambda x, wi, hi: mu_update(x, wi, hi, inner_iter=inner_iter)
+        )(xs, wc, hc)
+
+    return jax.lax.fori_loop(0, n_iters, body, (w, h))
+
+
 def mu_iterations_batch(
     xs: jnp.ndarray,
     w: jnp.ndarray,
@@ -129,6 +142,7 @@ def mu_iterations_batch(
     n_iters: int,
     impl: str = "xla",
     block_b: Optional[int] = None,
+    inner_iter: int = 1,
 ):
     """Run ``n_iters`` fused MU iterations (no convergence checks).
 
@@ -150,19 +164,26 @@ def mu_iterations_batch(
             # largest divisor of the batch size <= 128
             b = xs.shape[0]
             block_b = next(d for d in range(min(128, b), 0, -1) if b % d == 0)
-        return mu_iterations_pallas(xs, w, h, n_iters, block_b=block_b)
+        return mu_iterations_pallas(
+            xs, w, h, n_iters, block_b=block_b, inner_iter=inner_iter
+        )
     if impl != "xla":
         raise ValueError(f"unknown impl: {impl!r}")
+    if inner_iter != 1:
+        return _mu_iterations_xla_inner(xs, w, h, n_iters, inner_iter)
     return _mu_iterations_xla(xs, w, h, n_iters)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iter", "tol", "check_every")
+    jax.jit, static_argnames=("max_iter", "tol", "check_every", "inner_iter")
 )
-def _fit_mu_batch_xla(xs, w0, h0, max_iter, tol, check_every) -> MUState:
+def _fit_mu_batch_xla(
+    xs, w0, h0, max_iter, tol, check_every, inner_iter=1
+) -> MUState:
     return jax.vmap(
         lambda x, w, h: fit_mu(
-            x, w, h, max_iter=max_iter, tol=tol, check_every=check_every
+            x, w, h, max_iter=max_iter, tol=tol, check_every=check_every,
+            inner_iter=inner_iter,
         )
     )(xs, w0, h0)
 
@@ -176,6 +197,7 @@ def fit_mu_batch(
     check_every: int = 10,
     impl: str = "xla",
     block_b: Optional[int] = None,
+    inner_iter: int = 1,
 ) -> MUState:
     """MU-NMF over a ``(B, N, L)`` batch with per-trial convergence.
 
@@ -193,12 +215,15 @@ def fit_mu_batch(
         w, h, n_iter, converged = fit_mu_pallas(
             xs, w0, h0, max_iter=max_iter, tol=tol,
             check_every=check_every, block_b=block_b,
+            inner_iter=inner_iter,
         )
         err = jax.vmap(frobenius_error)(xs, w, h)
         return MUState(w, h, n_iter, err, converged)
     if impl != "xla":
         raise ValueError(f"unknown impl: {impl!r}")
-    return _fit_mu_batch_xla(xs, w0, h0, max_iter, tol, check_every)
+    return _fit_mu_batch_xla(
+        xs, w0, h0, max_iter, tol, check_every, inner_iter
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "tol"))

@@ -34,40 +34,48 @@ from ..mu import EPSILON
 __all__ = ["mu_iterations_pallas", "fit_mu_pallas"]
 
 
-def _mu_step(x, w, h, k: int, l: int):
-    """One lane-parallel MU update (W then H, sklearn's order)."""
-    # ---- W update: W *= (X Ht) / (W (H Ht)) ----
+def _mu_step(x, w, h, k: int, l: int, inner_iter: int = 1):
+    """One lane-parallel MU update (W then H, sklearn's order).
+
+    ``inner_iter > 1`` repeats each factor's update reusing the fixed
+    factor's cross products (``X Ht`` / ``H Ht`` for W; ``Wt X`` /
+    ``Wt W`` for H) — the accelerated MU of Gillis & Glineur 2012,
+    matching :func:`muscle_synergies_tpu.models.mu.mu_update` exactly.
+    ``inner_iter=1`` is sklearn's plain update.
+    """
+    # ---- W updates: X Ht and H Ht are constant while H is fixed ----
     hht = [
         [sum(h[i, m] * h[j, m] for m in range(l)) for j in range(k)]
         for i in range(k)
     ]  # k x k entries, each (B,)
-    num_rows = []
-    den_rows = []
-    for i in range(k):
-        num = sum(h[i, m][None, :] * x[m] for m in range(l))  # (N, B)
-        den = sum(hht[j][i][None, :] * w[j] for j in range(k))
-        num_rows.append(num)
-        den_rows.append(den)
-    w_new = []
-    for i in range(k):
-        den = jnp.where(den_rows[i] == 0, EPSILON, den_rows[i])
-        w_new.append(w[i] * (num_rows[i] / den))
-    w = jnp.stack(w_new)
+    num_rows = [
+        sum(h[i, m][None, :] * x[m] for m in range(l)) for i in range(k)
+    ]  # each (N, B)
+    for _ in range(inner_iter):
+        w_new = []
+        for i in range(k):
+            den = sum(hht[j][i][None, :] * w[j] for j in range(k))
+            den = jnp.where(den == 0, EPSILON, den)
+            w_new.append(w[i] * (num_rows[i] / den))
+        w = jnp.stack(w_new)
 
-    # ---- H update: H *= (Wt X) / ((Wt W) H) ----
+    # ---- H updates: Wt X and Wt W are constant while W is fixed ----
     wtw = [
         [jnp.sum(w[i] * w[j], axis=0) for j in range(k)] for i in range(k)
     ]  # each (B,)
-    h_new = []
-    for i in range(k):
-        rows = []
-        for m in range(l):
-            num = jnp.sum(w[i] * x[m], axis=0)  # (B,)
-            den = sum(wtw[i][j] * h[j, m] for j in range(k))
-            den = jnp.where(den == 0, EPSILON, den)
-            rows.append(h[i, m] * (num / den))
-        h_new.append(jnp.stack(rows))
-    h = jnp.stack(h_new)
+    wtx = [
+        [jnp.sum(w[i] * x[m], axis=0) for m in range(l)] for i in range(k)
+    ]  # each (B,)
+    for _ in range(inner_iter):
+        h_new = []
+        for i in range(k):
+            rows = []
+            for m in range(l):
+                den = sum(wtw[i][j] * h[j, m] for j in range(k))
+                den = jnp.where(den == 0, EPSILON, den)
+                rows.append(h[i, m] * (wtx[i][m] / den))
+            h_new.append(jnp.stack(rows))
+        h = jnp.stack(h_new)
     return w, h
 
 
@@ -86,11 +94,14 @@ def _lane_error(x, w, h, k: int, l: int):
     return jnp.sqrt(total)
 
 
-def _mu_kernel(x_ref, w_ref, h_ref, w_out, h_out, *, n_iters: int, k: int, l: int):
+def _mu_kernel(
+    x_ref, w_ref, h_ref, w_out, h_out,
+    *, n_iters: int, k: int, l: int, inner_iter: int,
+):
     x = x_ref[:]  # (L, N, Bblk)
 
     def body(_, carry):
-        return _mu_step(x, *carry, k=k, l=l)
+        return _mu_step(x, *carry, k=k, l=l, inner_iter=inner_iter)
 
     w, h = jax.lax.fori_loop(0, n_iters, body, (w_ref[:], h_ref[:]))
     w_out[:] = w
@@ -100,6 +111,7 @@ def _mu_kernel(x_ref, w_ref, h_ref, w_out, h_out, *, n_iters: int, k: int, l: in
 def _fit_mu_kernel(
     x_ref, w_ref, h_ref, zero_ref, w_out, h_out, n_iter_out, converged_out,
     *, max_iter: int, tol: float, check_every: int, k: int, l: int,
+    inner_iter: int,
 ):
     """MU solve to convergence, entirely in VMEM.
 
@@ -133,7 +145,7 @@ def _fit_mu_kernel(
 
         def body(_, carry):
             wc, hc = carry
-            w_new, h_new = _mu_step(x, wc, hc, k=k, l=l)
+            w_new, h_new = _mu_step(x, wc, hc, k=k, l=l, inner_iter=inner_iter)
             keep = (conv_i != 0)[None]  # (1, 1, B)
             return (
                 jnp.where(keep, wc, w_new),
@@ -162,7 +174,10 @@ def _fit_mu_kernel(
     converged_out[:] = conv_i
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "block_b", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iters", "block_b", "interpret", "inner_iter"),
+)
 def mu_iterations_pallas(
     xs: jnp.ndarray,
     w: jnp.ndarray,
@@ -170,6 +185,7 @@ def mu_iterations_pallas(
     n_iters: int,
     block_b: int = 128,
     interpret: bool = False,
+    inner_iter: int = 1,
 ):
     """Run ``n_iters`` MU iterations on a ``(B, N, L)`` batch.
 
@@ -188,7 +204,9 @@ def mu_iterations_pallas(
     ht = jnp.transpose(h, (1, 2, 0))  # (k, L, B)
 
     grid = (b // block_b,)
-    kernel = functools.partial(_mu_kernel, n_iters=n_iters, k=k, l=l)
+    kernel = functools.partial(
+        _mu_kernel, n_iters=n_iters, k=k, l=l, inner_iter=inner_iter
+    )
     wt_out, ht_out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -220,7 +238,9 @@ def mu_iterations_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iter", "tol", "check_every", "block_b", "interpret"),
+    static_argnames=(
+        "max_iter", "tol", "check_every", "block_b", "interpret", "inner_iter",
+    ),
 )
 def fit_mu_pallas(
     xs: jnp.ndarray,
@@ -231,6 +251,7 @@ def fit_mu_pallas(
     check_every: int = 10,
     block_b: int = 128,
     interpret: bool = False,
+    inner_iter: int = 1,
 ):
     """MU-NMF to convergence on a ``(B, N, L)`` batch, fused in VMEM.
 
@@ -255,7 +276,7 @@ def fit_mu_pallas(
 
     kernel = functools.partial(
         _fit_mu_kernel, max_iter=max_iter, tol=float(tol),
-        check_every=check_every, k=k, l=l,
+        check_every=check_every, k=k, l=l, inner_iter=inner_iter,
     )
     wt_out, ht_out, n_iter, converged = pl.pallas_call(
         kernel,

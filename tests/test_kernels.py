@@ -47,6 +47,31 @@ class TestMUKernel:
         with pytest.raises(ValueError, match="multiple"):
             mu_iterations_pallas(xs, w, h, 1, block_b=3)
 
+    def test_inner_iter_matches_xla_accelerated_mu(self, problem):
+        # accelerated MU (Gram reuse) must agree with the XLA
+        # mu_update(inner_iter=...) trajectory exactly
+        xs, w, h = problem
+        wp, hp = mu_iterations_pallas(
+            xs, w, h, 4, block_b=B, interpret=True, inner_iter=3
+        )
+        wx, hx = mu_iterations_batch(xs, w, h, 4, inner_iter=3)
+        np.testing.assert_allclose(np.asarray(wp), np.asarray(wx),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(hp), np.asarray(hx),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_inner_iter_accelerates_per_outer_iteration(self, problem):
+        xs, w, h = problem
+        w1, h1 = mu_iterations_pallas(
+            xs, w, h, 10, block_b=B, interpret=True, inner_iter=1
+        )
+        w3, h3 = mu_iterations_pallas(
+            xs, w, h, 10, block_b=B, interpret=True, inner_iter=3
+        )
+        l1 = float(jnp.linalg.norm(xs - w1 @ h1))
+        l3 = float(jnp.linalg.norm(xs - w3 @ h3))
+        assert l3 < l1
+
 
 class TestCDKernel:
     def test_matches_xla_solver(self, problem):
