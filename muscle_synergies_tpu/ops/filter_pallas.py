@@ -147,26 +147,15 @@ def _cascade_kernel(
 
     out_ref[:] = x_ref[:]
     zeros = zero_ref[:]
+    n_sections = len(coeffs)
 
-    for s_idx, (b0, b1, b2, a1, a2) in enumerate(coeffs):
-        bb1 = b1 - a1 * b0
-        bb2 = b2 - a2 * b0
-
-        # ---- pass 1: per-chunk recurrence from zero state -> d_tot ----
-        def pass1(i, carry, bb1=bb1, bb2=bb2, a1=a1, a2=a2):
-            s1, s2 = carry
-            xi = out_ref[i]
-            return (-a1 * s1 + s2 + bb1 * xi, -a2 * s1 + bb2 * xi)
-
-        d1, d2 = jax.lax.fori_loop(0, lc, pass1, (zeros, zeros))
-
-        # ---- prepend the seed: chunk m holds d_{m-1}, chunk 0 the
-        # section's entry state, so the inclusive prefix below lands
-        # every chunk's exact entry state ----
+    def compose_entry(d1, d2, s_idx):
+        """Chunk entry states from zero-init boundary offsets ``d``."""
+        # prepend the seed: chunk m holds d_{m-1}, chunk 0 the section's
+        # entry state, so the inclusive prefix lands every chunk's
+        # exact entry state
         d1 = _flat_roll(d1, 1, c, lane_ids) * not_chunk0 + seed_ref[s_idx, 0]
         d2 = _flat_roll(d2, 1, c, lane_ids) * not_chunk0 + seed_ref[s_idx, 1]
-
-        # ---- log-doubling affine prefix over chunks ----
         for t in range(n_pow):
             k = 1 << t
             if k >= m:
@@ -177,15 +166,61 @@ def _cascade_kernel(
             valid = (chunk_ids >= k).astype(dtype)
             d1 = d1 + (p11 * e1 + p12 * e2) * valid
             d2 = d2 + (p21 * e1 + p22 * e2) * valid
+        return d1, d2
 
-        # ---- pass 2: emit from the composed entry states ----
-        def pass2(i, carry, b0=b0, bb1=bb1, bb2=bb2, a1=a1, a2=a2):
-            s1, s2 = carry
+    # ---- prologue: section 0's zero-init offsets (plain pass 1) ----
+    b0, b1, b2, a1, a2 = coeffs[0]
+    bb1, bb2 = b1 - a1 * b0, b2 - a2 * b0
+
+    def pass1(i, carry, bb1=bb1, bb2=bb2, a1=a1, a2=a2):
+        s1, s2 = carry
+        xi = out_ref[i]
+        return (-a1 * s1 + s2 + bb1 * xi, -a2 * s1 + bb2 * xi)
+
+    d1, d2 = jax.lax.fori_loop(0, lc, pass1, (zeros, zeros))
+
+    # ---- steady state: emit section s while accumulating section
+    # s+1's zero-init offsets from the freshly-written rows, so each
+    # section costs one sequential sweep instead of two ----
+    for s_idx in range(n_sections - 1):
+        d1, d2 = compose_entry(d1, d2, s_idx)
+        b0, b1, b2, a1, a2 = coeffs[s_idx]
+        bb1, bb2 = b1 - a1 * b0, b2 - a2 * b0
+        nb0, nb1, nb2, na1, na2 = coeffs[s_idx + 1]
+        nbb1, nbb2 = nb1 - na1 * nb0, nb2 - na2 * nb0
+
+        def fused(
+            i, carry,
+            b0=b0, bb1=bb1, bb2=bb2, a1=a1, a2=a2,
+            nbb1=nbb1, nbb2=nbb2, na1=na1, na2=na2,
+        ):
+            s1, s2, t1, t2 = carry
             xi = out_ref[i]
-            out_ref[i] = b0 * xi + s1
-            return (-a1 * s1 + s2 + bb1 * xi, -a2 * s1 + bb2 * xi)
+            yi = b0 * xi + s1
+            out_ref[i] = yi
+            return (
+                -a1 * s1 + s2 + bb1 * xi,
+                -a2 * s1 + bb2 * xi,
+                -na1 * t1 + t2 + nbb1 * yi,
+                -na2 * t1 + nbb2 * yi,
+            )
 
-        jax.lax.fori_loop(0, lc, pass2, (d1, d2))
+        _, _, d1, d2 = jax.lax.fori_loop(
+            0, lc, fused, (d1, d2, zeros, zeros)
+        )
+
+    # ---- epilogue: last section's emit-only pass ----
+    d1, d2 = compose_entry(d1, d2, n_sections - 1)
+    b0, b1, b2, a1, a2 = coeffs[-1]
+    bb1, bb2 = b1 - a1 * b0, b2 - a2 * b0
+
+    def pass2(i, carry, b0=b0, bb1=bb1, bb2=bb2, a1=a1, a2=a2):
+        s1, s2 = carry
+        xi = out_ref[i]
+        out_ref[i] = b0 * xi + s1
+        return (-a1 * s1 + s2 + bb1 * xi, -a2 * s1 + bb2 * xi)
+
+    jax.lax.fori_loop(0, lc, pass2, (d1, d2))
 
 
 def _pad_channels(c: int) -> int:
