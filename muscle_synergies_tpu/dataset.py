@@ -215,6 +215,8 @@ def analyze_dataset(
     dtype=None,
     seed: int = 0,
     subjects: Optional[Sequence] = None,
+    impl: Optional[str] = None,
+    inner_iter: Optional[int] = None,
 ) -> DatasetResult:
     """Preprocess and factorize a whole multi-trial dataset at once.
 
@@ -227,6 +229,12 @@ def analyze_dataset(
         ranks: rank or ranks to sweep.
         subjects: per-trial subject labels (alternative to passing a
             mapping; must be omitted when ``trials`` is one).
+        impl: batched-solver implementation (``"xla"`` or, for the MU
+            solver on TPU, ``"pallas"``); defaults to
+            ``config.solver_impl``.  Ignored when a ``mesh`` routes the
+            solve through the sharded solvers.
+        inner_iter: accelerated-MU inner repetitions; defaults to
+            ``config.inner_iter`` (1 = sklearn-exact).
         config: preprocessing + solver preset.
         mesh: optional ``(data, time)`` mesh — the solve runs through
             the sharded solvers when the grid divides evenly over the
@@ -260,6 +268,14 @@ def analyze_dataset(
         raise ValueError(f"unknown solver: {solver!r}")
     max_iter = max_iter if max_iter is not None else config.max_iter
     tol = tol if tol is not None else config.tol
+    impl = impl if impl is not None else getattr(config, "solver_impl", "xla")
+    inner_iter = (
+        inner_iter if inner_iter is not None else getattr(config, "inner_iter", 1)
+    )
+    if inner_iter != 1 and solver != "mu":
+        raise ValueError("inner_iter > 1 is only meaningful for solver='mu'")
+    if impl == "pallas" and solver != "mu":
+        raise ValueError("impl='pallas' is only available for solver='mu'")
 
     channel_names = None
     first = trials[0]
@@ -304,9 +320,13 @@ def analyze_dataset(
         )
         fit = sharded_fit_mu if solver == "mu" else sharded_fit_cd
         state = fit(grid_x, grid_w, grid_h, mesh, max_iter=max_iter, tol=tol)
+    elif solver == "mu":
+        state = fit_mu_batch(
+            grid_x, grid_w, grid_h, max_iter=max_iter, tol=tol,
+            impl=impl, inner_iter=inner_iter,
+        )
     else:
-        fit = fit_mu_batch if solver == "mu" else fit_cd_batch
-        state = fit(grid_x, grid_w, grid_h, max_iter=max_iter, tol=tol)
+        state = fit_cd_batch(grid_x, grid_w, grid_h, max_iter=max_iter, tol=tol)
 
     h_final = state.h if solver == "mu" else jnp.swapaxes(state.ht, -1, -2)
     overall, per_channel = vaf_batch(grid_x, state.w, h_final)

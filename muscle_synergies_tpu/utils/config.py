@@ -60,6 +60,11 @@ class PipelineConfig:
         amplitude_normalize: divide channels by their max abs value.
         min_rank / max_rank: VAF rank-sweep range.
         solver / max_iter / tol: NMF solver settings.
+        solver_impl: batched-solver implementation for dataset-scale
+            runs — ``"xla"`` (any backend) or ``"pallas"`` (the fused
+            VMEM kernel, TPU only, MU solver).
+        inner_iter: accelerated-MU inner repetitions per outer
+            iteration (1 = sklearn-exact plain MU).
     """
 
     envelope: FilterSpec = FilterSpec()
@@ -73,6 +78,8 @@ class PipelineConfig:
     solver: str = "cd"
     max_iter: int = 100_000
     tol: float = 1e-6
+    solver_impl: str = "xla"
+    inner_iter: int = 1
 
     # -- execution ---------------------------------------------------------
     def preprocess(self, x, sampling_frequency: float):

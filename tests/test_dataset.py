@@ -192,6 +192,28 @@ def test_min_rank_reaching_unordered_sweep():
     assert res.min_rank_reaching(0.9).tolist() == [2]
 
 
+def test_analyze_dataset_inner_iter():
+    trials = _trials(b=4)
+    base = analyze_dataset(
+        trials, 200, ranks=2, config=CFG, solver="mu", max_iter=60
+    )
+    fast = analyze_dataset(
+        trials, 200, ranks=2, config=CFG, solver="mu", max_iter=60,
+        inner_iter=3,
+    )
+    # accelerated MU reaches at least the plain-MU VAF in the same
+    # outer-iteration budget
+    assert np.all(fast.vaf_overall >= base.vaf_overall - 1e-9)
+    with pytest.raises(ValueError, match="inner_iter"):
+        analyze_dataset(
+            trials, 200, ranks=2, config=CFG, solver="cd", inner_iter=2
+        )
+    with pytest.raises(ValueError, match="pallas"):
+        analyze_dataset(
+            trials, 200, ranks=2, config=CFG, solver="cd", impl="pallas"
+        )
+
+
 def test_analyze_dataset_cd_solver():
     trials = _trials(b=2)
     res = analyze_dataset(
