@@ -108,32 +108,39 @@ def _flat_roll(d, k_chunks: int, c: int, lane_ids):
     """Roll ``d`` by ``k_chunks`` chunks along the flattened lane order.
 
     Chunk ``m`` receives chunk ``m - k``'s value (wraparound garbage is
-    masked by the caller).  For shifts below one row this is a lane
-    roll whose first ``k*c`` lanes must come from the row above; whole
-    rows are sublane rolls.
+    masked by the caller); negative ``k`` rolls the other way.  A flat
+    roll decomposes into a lane roll plus sublane rolls, with the first
+    ``r % 128`` lanes of each row carrying from one extra row up.
     """
-    r = k_chunks * c
-    if r % _LANE == 0:
-        return pltpu.roll(d, r // _LANE, axis=0)
-    a = pltpu.roll(d, r, axis=1)
-    b = pltpu.roll(a, 1, axis=0)
-    # arithmetic select: first r lanes take the row-carried value
-    first = (lane_ids < r).astype(d.dtype)
-    return b * first + a * (1.0 - first)
+    r = (k_chunks * c) % _V
+    if r == 0:
+        return d
+    lane_r = r % _LANE
+    sub_r = r // _LANE
+    if lane_r == 0:
+        return pltpu.roll(d, sub_r, axis=0)
+    a = pltpu.roll(d, lane_r, axis=1)
+    b = pltpu.roll(a, sub_r, axis=0) if sub_r else a
+    carried = pltpu.roll(a, sub_r + 1, axis=0)
+    # arithmetic select: the first lane_r lanes take the row-carried
+    # value (Mosaic cannot relayout a select against a replicated
+    # scalar, so masks are dtype multiplies)
+    first = (lane_ids < lane_r).astype(d.dtype)
+    return carried * first + b * (1.0 - first)
 
 
-def _cascade_kernel(
-    x_ref,
-    seed_ref,
-    zero_ref,
-    out_ref,
-    *,
-    coeffs,
-    pows,
-    lc: int,
-    c: int,
+def _cascade_in_place(
+    out_ref, zeros, seeds, coeffs, pows, lc: int, c: int, reverse: bool
 ):
-    """Causal SOS cascade over a chunked ``(lc, 8, 128)`` block."""
+    """Run a full SOS cascade over the chunked block in ``out_ref``.
+
+    ``seeds`` is a list of per-section ``(plane1, plane2)`` pairs: the
+    section's entry state placed in the lanes of the first-processed
+    chunk (chunk 0 forward, chunk M-1 when ``reverse``) and zero
+    elsewhere.  ``reverse=True`` runs the anti-causal direction with no
+    data movement: rows sweep bottom-up and the chunk-boundary prefix
+    composes right-to-left.
+    """
     dtype = out_ref.dtype
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
     sub_ids = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
@@ -141,29 +148,37 @@ def _cascade_kernel(
     chunk_ids = sub_ids * per_row + lane_ids // c
     m = _SUB * per_row
     n_pow = len(pows[0])
-
-    chunk0 = jnp.logical_and(sub_ids == 0, lane_ids < c).astype(dtype)
-    not_chunk0 = 1.0 - chunk0
-
-    out_ref[:] = x_ref[:]
-    zeros = zero_ref[:]
     n_sections = len(coeffs)
 
+    sgn = -1 if reverse else 1
+    first_chunk = m - 1 if reverse else 0
+    not_first = 1.0 - (chunk_ids == first_chunk).astype(dtype)
+
+    def row(i):
+        return lc - 1 - i if reverse else i
+
     def compose_entry(d1, d2, s_idx):
-        """Chunk entry states from zero-init boundary offsets ``d``."""
-        # prepend the seed: chunk m holds d_{m-1}, chunk 0 the section's
-        # entry state, so the inclusive prefix lands every chunk's
-        # exact entry state
-        d1 = _flat_roll(d1, 1, c, lane_ids) * not_chunk0 + seed_ref[s_idx, 0]
-        d2 = _flat_roll(d2, 1, c, lane_ids) * not_chunk0 + seed_ref[s_idx, 1]
+        """Chunk entry states from zero-init boundary offsets ``d``.
+
+        Shift the offsets one chunk along the processing order and drop
+        the seed into the first-processed chunk's lanes; the inclusive
+        log-doubling prefix (with host-precomputed powers of ``A^lc``)
+        then lands every chunk's exact entry state.
+        """
+        p1, p2 = seeds[s_idx]
+        d1 = _flat_roll(d1, sgn, c, lane_ids) * not_first + p1
+        d2 = _flat_roll(d2, sgn, c, lane_ids) * not_first + p2
         for t in range(n_pow):
             k = 1 << t
             if k >= m:
                 break
             p11, p12, p21, p22 = pows[s_idx][t]
-            e1 = _flat_roll(d1, k, c, lane_ids)
-            e2 = _flat_roll(d2, k, c, lane_ids)
-            valid = (chunk_ids >= k).astype(dtype)
+            e1 = _flat_roll(d1, sgn * k, c, lane_ids)
+            e2 = _flat_roll(d2, sgn * k, c, lane_ids)
+            if reverse:
+                valid = (chunk_ids <= m - 1 - k).astype(dtype)
+            else:
+                valid = (chunk_ids >= k).astype(dtype)
             d1 = d1 + (p11 * e1 + p12 * e2) * valid
             d2 = d2 + (p21 * e1 + p22 * e2) * valid
         return d1, d2
@@ -174,7 +189,7 @@ def _cascade_kernel(
 
     def pass1(i, carry, bb1=bb1, bb2=bb2, a1=a1, a2=a2):
         s1, s2 = carry
-        xi = out_ref[i]
+        xi = out_ref[row(i)]
         return (-a1 * s1 + s2 + bb1 * xi, -a2 * s1 + bb2 * xi)
 
     d1, d2 = jax.lax.fori_loop(0, lc, pass1, (zeros, zeros))
@@ -195,9 +210,10 @@ def _cascade_kernel(
             nbb1=nbb1, nbb2=nbb2, na1=na1, na2=na2,
         ):
             s1, s2, t1, t2 = carry
-            xi = out_ref[i]
+            ri = row(i)
+            xi = out_ref[ri]
             yi = b0 * xi + s1
-            out_ref[i] = yi
+            out_ref[ri] = yi
             return (
                 -a1 * s1 + s2 + bb1 * xi,
                 -a2 * s1 + bb2 * xi,
@@ -216,11 +232,82 @@ def _cascade_kernel(
 
     def pass2(i, carry, b0=b0, bb1=bb1, bb2=bb2, a1=a1, a2=a2):
         s1, s2 = carry
-        xi = out_ref[i]
-        out_ref[i] = b0 * xi + s1
+        ri = row(i)
+        xi = out_ref[ri]
+        out_ref[ri] = b0 * xi + s1
         return (-a1 * s1 + s2 + bb1 * xi, -a2 * s1 + bb2 * xi)
 
     jax.lax.fori_loop(0, lc, pass2, (d1, d2))
+
+
+def _cascade_kernel(
+    x_ref,
+    seed_ref,
+    zero_ref,
+    out_ref,
+    *,
+    coeffs,
+    pows,
+    lc: int,
+    c: int,
+):
+    """Causal SOS cascade over a chunked ``(lc, 8, 128)`` block."""
+    out_ref[:] = x_ref[:]
+    seeds = [
+        (seed_ref[s, 0], seed_ref[s, 1]) for s in range(len(coeffs))
+    ]
+    _cascade_in_place(
+        out_ref, zero_ref[:], seeds, coeffs, pows, lc, c, reverse=False
+    )
+
+
+def _filtfilt_kernel(
+    x_ref,
+    seed_ref,
+    zero_ref,
+    out_ref,
+    *,
+    coeffs,
+    pows,
+    ziu,
+    lc: int,
+    c: int,
+):
+    """Whole zero-phase filtfilt in one program: forward cascade, then
+    the anti-causal cascade in place with no data reversal.
+
+    The backward seeds are scipy's ``zi_unit * y_forward[-1]``: the
+    forward output's last sample already sits in the last-processed
+    chunk's lanes of the last row, which is exactly where the reversed
+    composition wants its seed — so seeding is a mask-and-scale, not a
+    shuffle.  ``ziu`` is the host-computed ``sosfilt_zi`` table as
+    plain floats.
+    """
+    dtype = out_ref.dtype
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
+    per_row = _LANE // c
+    chunk_ids = sub_ids * per_row + lane_ids // c
+    m = _SUB * per_row
+
+    out_ref[:] = x_ref[:]
+    zeros = zero_ref[:]
+    n_sections = len(coeffs)
+
+    seeds_fwd = [(seed_ref[s, 0], seed_ref[s, 1]) for s in range(n_sections)]
+    _cascade_in_place(
+        out_ref, zeros, seeds_fwd, coeffs, pows, lc, c, reverse=False
+    )
+
+    last = out_ref[lc - 1]
+    mask_last = (chunk_ids == m - 1).astype(dtype)
+    y_last = last * mask_last
+    seeds_bwd = [
+        (ziu[s][0] * y_last, ziu[s][1] * y_last) for s in range(n_sections)
+    ]
+    _cascade_in_place(
+        out_ref, zeros, seeds_bwd, coeffs, pows, lc, c, reverse=True
+    )
 
 
 def _pad_channels(c: int) -> int:
@@ -314,25 +401,72 @@ def _build_filtfilt(
     dtype_str: str,
     interpret: bool,
 ):
-    """Compile a whole-filtfilt runner (both directions in one program)."""
+    """Compile a whole-filtfilt runner: ONE kernel does both directions.
+
+    The buffer is rounded up to a full chunk grid by *prepending*
+    constant ``ext[0]`` samples: ``sosfilt_zi`` states are stationary
+    under constant input, so the forward pass enters the real extension
+    with exactly scipy's state, no masking of invalid rows is ever
+    needed, and the anti-causal pass starts exactly at the buffer's
+    last sample.
+    """
     sos = np.frombuffer(sos_bytes, dtype=np.float64).reshape(n_sections, 6)
     dtype = jnp.dtype(dtype_str)
     ne = n + 2 * padlen
-    apply = _make_apply(sos, ne, c, dtype, interpret)
-    zi_unit = jnp.asarray(sosfilt_zi(sos), dtype=dtype)
+
+    c_eff = _pad_channels(c)
+    per_row = _LANE // c_eff
+    m = _SUB * per_row
+    extra = (-ne) % m
+    total = ne + extra
+    lc = total // m
+    n_pow = max(1, m.bit_length() - 1)
+    coeffs, pows = _section_mats(sos, lc, n_pow)
+    zi_np = sosfilt_zi(sos)
+    ziu = tuple((float(z1), float(z2)) for z1, z2 in zi_np)
+    zi_unit = jnp.asarray(zi_np, dtype=dtype)
+
+    kernel = functools.partial(
+        _filtfilt_kernel, coeffs=coeffs, pows=pows, ziu=ziu, lc=lc, c=c_eff
+    )
 
     @jax.jit
     def run(x):
         ext = (
             _EXTENSIONS[padtype](x, padlen) if padtype is not None else x
         )
-        fwd = apply(ext, zi_unit[:, :, None] * ext[0])
-        rev = fwd[::-1]
-        bwd = apply(rev, zi_unit[:, :, None] * rev[0])
-        y = bwd[::-1]
-        if padlen > 0:
-            y = y[padlen:-padlen]
-        return y
+        lead = jnp.broadcast_to(ext[0], (extra, c))
+        buf = jnp.concatenate([lead, ext], axis=0)
+        buf = jnp.pad(buf, ((0, 0), (0, c_eff - c))).astype(dtype)
+        xt = (
+            buf.reshape(m, lc, c_eff)
+            .transpose(1, 0, 2)
+            .reshape(lc, _SUB, _LANE)
+        )
+        seeds = (zi_unit[:, :, None] * ext[0]).astype(dtype)
+        seeds = jnp.pad(seeds, ((0, 0), (0, 0), (0, c_eff - c)))
+        planes = jnp.zeros((n_sections, 2, _SUB, _LANE), dtype)
+        planes = planes.at[:, :, 0, :c_eff].set(seeds)
+        zeros = jnp.zeros((_SUB, _LANE), dtype)
+
+        yt = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((lc, _SUB, _LANE), dtype),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(xt, planes, zeros)
+
+        y = (
+            yt.reshape(lc, m, c_eff)
+            .transpose(1, 0, 2)
+            .reshape(total, c_eff)
+        )
+        return y[extra + padlen : extra + padlen + n, :c]
 
     return run
 
