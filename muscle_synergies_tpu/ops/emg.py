@@ -115,14 +115,25 @@ def linear_envelope(
 
 @functools.partial(jax.jit, static_argnames=("window",))
 def _moving_rms_jit(x, window):
+    # Box-kernel "same" convolution as a cumulative-sum difference:
+    # O(N) instead of O(N * window), and it sidesteps XLA's direct
+    # convolution lowering, which degenerates for 1000-tap kernels on
+    # TPU.  Window placement matches np.convolve(sq, ones(w)/w, "same")
+    # exactly: output i averages sq[i - w//2 : i + (w-1)//2 + 1],
+    # zero-padded at the edges (the reference's edge behavior,
+    # reference analysis.py:474-491).
+    n = x.shape[0]
     square = x * x
-    kernel = jnp.ones((window,), dtype=x.dtype) / window
-
-    def per_channel(col):
-        return jnp.convolve(col, kernel, mode="same")
-
-    mean_sq = jax.vmap(per_channel, in_axes=1, out_axes=1)(square)
-    return jnp.sqrt(mean_sq)
+    cs = jnp.concatenate(
+        [jnp.zeros((1, x.shape[1]), x.dtype), jnp.cumsum(square, axis=0)]
+    )
+    idx = jnp.arange(n)
+    lo = jnp.clip(idx - window // 2, 0, n)
+    hi = jnp.clip(idx + (window - 1) // 2 + 1, 0, n)
+    mean_sq = (cs[hi] - cs[lo]) / window
+    # cumsum cancellation can leave tiny negatives where the true
+    # windowed sum is ~0
+    return jnp.sqrt(jnp.maximum(mean_sq, 0.0))
 
 
 def moving_rms(
