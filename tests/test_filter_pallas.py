@@ -92,6 +92,22 @@ def test_matches_scan_implementation():
     np.testing.assert_allclose(pal, scan, rtol=1e-5, atol=1e-8 * scale)
 
 
+def test_vmapped_over_trials():
+    # the batched envelope path vmaps the kernel over a trial axis
+    import jax
+
+    xs = np.stack([_sig(2000, 4) for _ in range(3)])
+    sos = sps.butter(4, 10.0, output="sos", fs=100.0)
+    batched = np.asarray(
+        jax.vmap(lambda x: sosfiltfilt_pallas(sos, x, interpret=True))(
+            np.asarray(xs)
+        )
+    )
+    for b in range(3):
+        ref = sps.sosfiltfilt(sos, xs[b], axis=0)
+        np.testing.assert_allclose(batched[b], ref, rtol=1e-9, atol=1e-10)
+
+
 def test_short_signal_rejected():
     sos = sps.butter(4, 10.0, output="sos", fs=100.0)
     with pytest.raises(ValueError, match="padlen"):
