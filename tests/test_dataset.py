@@ -42,6 +42,30 @@ class TestPreprocess:
                 _trials(), 200, PipelineConfig(reduce_to=None)
             )
 
+    def test_batched_rms_path_matches_per_trial(self):
+        # the fused masked pipeline must equal running config.preprocess
+        # on each ragged trial separately
+        trials = _trials()
+        batched = np.asarray(preprocess_trials(trials, 200, CFG))
+        per_trial = np.stack(
+            [np.asarray(CFG.preprocess(t.to_numpy(), 200)) for t in trials]
+        )
+        np.testing.assert_allclose(batched, per_trial, rtol=1e-12, atol=1e-12)
+
+    def test_batched_envelope_path_matches_per_trial(self):
+        cfg = PipelineConfig(reduce_to=100)  # filtered envelope
+        trials = [t.iloc[:500] for t in _trials()]  # equal lengths
+        batched = np.asarray(preprocess_trials(trials, 200, cfg))
+        per_trial = np.stack(
+            [np.asarray(cfg.preprocess(t.to_numpy(), 200)) for t in trials]
+        )
+        np.testing.assert_allclose(batched, per_trial, rtol=1e-10, atol=1e-12)
+
+    def test_ragged_envelope_keeps_per_trial_path(self):
+        cfg = PipelineConfig(reduce_to=100)
+        out = preprocess_trials(_trials(), 200, cfg)
+        assert out.shape == (4, 100, 6)
+
 
 class TestAnalyzeDataset:
     @pytest.fixture(scope="class")
