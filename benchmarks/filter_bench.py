@@ -43,11 +43,14 @@ def main():
     import jax.numpy as jnp
     from scipy import signal as sps
 
-    from muscle_synergies_tpu.ops import sos_design, sosfiltfilt
-    from muscle_synergies_tpu.ops.filter_pallas import sosfiltfilt_pallas
+    import functools
 
-    if args.impl == "pallas":
-        sosfiltfilt = sosfiltfilt_pallas  # noqa: F811
+    from muscle_synergies_tpu.ops import sos_design, sosfiltfilt
+
+    # pin the implementation: plain sosfiltfilt would resolve
+    # impl='auto' to the Pallas kernel on TPU, making --impl scan
+    # silently measure the wrong thing
+    sosfiltfilt = functools.partial(sosfiltfilt, impl=args.impl)  # noqa: F811
 
     rng = np.random.default_rng(0)
     x = np.abs(rng.standard_normal((args.samples, args.channels))).astype(

@@ -81,7 +81,9 @@ def _open_lines(csv_filename: Union[str, os.PathLike]):
 
 
 def stream_vicon_file(
-    csv_filename: Union[str, os.PathLike], chunk_rows: int = 65536
+    csv_filename: Union[str, os.PathLike],
+    chunk_rows: int = 65536,
+    stop_after: Optional[str] = None,
 ) -> Iterator[ViconChunk]:
     """Yield decoded chunks of the capture's two sections, in order.
 
@@ -89,9 +91,17 @@ def stream_vicon_file(
     so consumers always see each section's header.  Grammar errors
     raise :class:`ViconCSVError` with the 1-based line number, exactly
     like :func:`~muscle_synergies_tpu.io.vicon.load_vicon_file`.
+
+    ``stop_after`` names a section type after whose chunks iteration
+    ends without reading (or validating) the rest of the file — e.g.
+    ``"Devices"`` when only the fast section matters.
     """
     if chunk_rows < 1:
         raise ValueError(f"chunk_rows must be positive, got {chunk_rows}")
+    if stop_after is not None and stop_after not in _SECTION_TYPES:
+        raise ValueError(
+            f"stop_after must be one of {_SECTION_TYPES}, got {stop_after!r}"
+        )
     text, raw = _open_lines(csv_filename)
     try:
         lineno = 0
@@ -157,6 +167,8 @@ def stream_vicon_file(
                     yield flush()
             if buffer or not emitted:
                 yield flush()
+            if stop_after == expected_type:
+                return
 
         # anything non-blank after the two sections breaks the grammar,
         # matching the whole-file parser's section count check
@@ -228,7 +240,7 @@ class DeviceStream:
     ):
         self._path = csv_filename
         self._chunk_rows = chunk_rows
-        gen = stream_vicon_file(csv_filename, chunk_rows=1)
+        gen = stream_vicon_file(csv_filename, chunk_rows=1, stop_after="Devices")
         try:
             header = next(gen).header
         finally:
@@ -240,8 +252,9 @@ class DeviceStream:
         self.units = header.units[self._slice]
 
     def __iter__(self) -> Iterator[np.ndarray]:
-        for chunk in stream_vicon_file(self._path, self._chunk_rows):
-            if chunk.header.section_type != "Devices":
-                break  # fast section exhausted; skip the trajectories
+        chunks = stream_vicon_file(
+            self._path, self._chunk_rows, stop_after="Devices"
+        )
+        for chunk in chunks:
             if chunk.data.shape[0]:
                 yield chunk.data[:, self._slice]

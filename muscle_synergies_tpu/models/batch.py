@@ -89,48 +89,48 @@ def init_batch(
     return w, h
 
 
-def mu_update_batch(xs: jnp.ndarray, w: jnp.ndarray, h: jnp.ndarray):
+def mu_update_batch(
+    xs: jnp.ndarray, w: jnp.ndarray, h: jnp.ndarray, inner_iter: int = 1
+):
     """One MU iteration over a ``(B, N, L)`` batch (batched matmuls).
 
     The per-trial matmuls contract over N or L with the batch as the
     leading batching dimension, so XLA lowers them onto the MXU as
     batched GEMMs and fuses the element-wise multiply/divide chain.
+    ``inner_iter > 1`` repeats each factor's update reusing the fixed
+    factor's cross products, matching
+    :func:`muscle_synergies_tpu.models.mu.mu_update` exactly.
     """
     from .mu import EPSILON
 
     ht = jnp.swapaxes(h, -1, -2)
-    numerator = xs @ ht
-    denominator = w @ (h @ ht)
-    denominator = jnp.where(denominator == 0, EPSILON, denominator)
-    w = w * (numerator / denominator)
+    xht = xs @ ht
+    hht = h @ ht
+    for _ in range(inner_iter):
+        denominator = w @ hht
+        denominator = jnp.where(denominator == 0, EPSILON, denominator)
+        w = w * (xht / denominator)
 
     wt = jnp.swapaxes(w, -1, -2)
-    numerator = wt @ xs
-    denominator = (wt @ w) @ h
-    denominator = jnp.where(denominator == 0, EPSILON, denominator)
-    h = h * (numerator / denominator)
+    wtx = wt @ xs
+    wtw = wt @ w
+    for _ in range(inner_iter):
+        denominator = wtw @ h
+        denominator = jnp.where(denominator == 0, EPSILON, denominator)
+        h = h * (wtx / denominator)
     return w, h
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters",))
+@functools.partial(jax.jit, static_argnames=("n_iters", "inner_iter"))
 def _mu_iterations_xla(
-    xs: jnp.ndarray, w: jnp.ndarray, h: jnp.ndarray, n_iters: int
+    xs: jnp.ndarray,
+    w: jnp.ndarray,
+    h: jnp.ndarray,
+    n_iters: int,
+    inner_iter: int = 1,
 ):
     def body(_, wh):
-        return mu_update_batch(xs, *wh)
-
-    return jax.lax.fori_loop(0, n_iters, body, (w, h))
-
-
-@functools.partial(jax.jit, static_argnames=("n_iters", "inner_iter"))
-def _mu_iterations_xla_inner(xs, w, h, n_iters, inner_iter):
-    from .mu import mu_update
-
-    def body(_, wh):
-        wc, hc = wh
-        return jax.vmap(
-            lambda x, wi, hi: mu_update(x, wi, hi, inner_iter=inner_iter)
-        )(xs, wc, hc)
+        return mu_update_batch(xs, *wh, inner_iter=inner_iter)
 
     return jax.lax.fori_loop(0, n_iters, body, (w, h))
 
@@ -169,9 +169,7 @@ def mu_iterations_batch(
         )
     if impl != "xla":
         raise ValueError(f"unknown impl: {impl!r}")
-    if inner_iter != 1:
-        return _mu_iterations_xla_inner(xs, w, h, n_iters, inner_iter)
-    return _mu_iterations_xla(xs, w, h, n_iters)
+    return _mu_iterations_xla(xs, w, h, n_iters, inner_iter=inner_iter)
 
 
 @functools.partial(

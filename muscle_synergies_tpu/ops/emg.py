@@ -159,6 +159,14 @@ def moving_rms(
     if window < 1:
         raise ValueError(f"window must contain at least one sample, got {window}")
     x2 = jnp.asarray(x)
+    if window > x2.shape[0]:
+        # np.convolve 'same' would return a window-length (not
+        # signal-length) array here, which no downstream consumer can
+        # use; fail loudly instead of silently truncating
+        raise ValueError(
+            f"window ({window} samples) is longer than the signal "
+            f"({x2.shape[0]} samples)"
+        )
     squeeze = x2.ndim == 1
     if squeeze:
         x2 = x2[:, None]

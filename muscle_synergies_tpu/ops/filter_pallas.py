@@ -50,7 +50,7 @@ from .filters import (
     _EXTENSIONS,
     _as_2d,
     _normalize_sos,
-    default_padlen,
+    _resolve_padding,
     sosfilt_zi,
 )
 
@@ -508,20 +508,7 @@ def sosfiltfilt_pallas(
     """
     x2, squeeze = _as_2d(x)
     sos_np = _normalize_sos(sos)
-    if padtype not in ("odd", "even", "constant", None):
-        raise ValueError(
-            "padtype must be 'odd', 'even', 'constant', or None; "
-            f"got {padtype!r}"
-        )
-    if padtype is None:
-        padlen = 0
-    elif padlen is None:
-        padlen = default_padlen(sos_np)
-    if padlen >= x2.shape[0]:
-        raise ValueError(
-            f"the length of the input vector x must be greater than padlen, "
-            f"which is {padlen}"
-        )
+    padlen = _resolve_padding(sos_np, x2.shape[0], padtype, padlen)
     run = _build_filtfilt(
         sos_np.tobytes(),
         sos_np.shape[0],

@@ -362,6 +362,31 @@ def _const_ext(x: jnp.ndarray, padlen: int) -> jnp.ndarray:
 _EXTENSIONS = {"odd": _odd_ext, "even": _even_ext, "constant": _const_ext}
 
 
+def _resolve_padding(
+    sos_np: np.ndarray, n_samples: int, padtype: Optional[str], padlen
+) -> int:
+    """Validate ``padtype`` and resolve ``padlen`` (scipy semantics).
+
+    Shared by the scan and Pallas ``sosfiltfilt`` entry points so the
+    two cannot drift.
+    """
+    if padtype not in ("odd", "even", "constant", None):
+        raise ValueError(
+            "padtype must be 'odd', 'even', 'constant', or None; "
+            f"got {padtype!r}"
+        )
+    if padtype is None:
+        padlen = 0
+    elif padlen is None:
+        padlen = default_padlen(sos_np)
+    if padlen >= n_samples:
+        raise ValueError(
+            f"the length of the input vector x must be greater than padlen, "
+            f"which is {padlen}"
+        )
+    return int(padlen)
+
+
 def sosfiltfilt(
     sos: np.ndarray,
     x: jnp.ndarray,
@@ -390,24 +415,11 @@ def sosfiltfilt(
     """
     x2, squeeze = _as_2d(x)
     sos_np = _normalize_sos(sos)
-    if padtype not in ("odd", "even", "constant", None):
-        raise ValueError(
-            "padtype must be 'odd', 'even', 'constant', or None; "
-            f"got {padtype!r}"
-        )
     if impl not in ("auto", "scan", "pallas"):
         raise ValueError(
             f"impl must be 'auto', 'scan' or 'pallas', got {impl!r}"
         )
-    if padtype is None:
-        padlen = 0
-    elif padlen is None:
-        padlen = default_padlen(sos_np)
-    if padlen >= x2.shape[0]:
-        raise ValueError(
-            f"the length of the input vector x must be greater than padlen, "
-            f"which is {padlen}"
-        )
+    padlen = _resolve_padding(sos_np, x2.shape[0], padtype, padlen)
 
     if impl != "scan":
         from .filter_pallas import pallas_eligible, sosfiltfilt_pallas

@@ -38,10 +38,14 @@ def kind_of(obj) -> str:
         return "class"
     if inspect.ismodule(obj):
         return "module"
+    if not callable(obj):
+        return "constant"
     return "function"
 
 
 def summary_of(obj) -> str:
+    if kind_of(obj) == "constant":
+        return ""  # a constant's "docstring" is its type's
     doc = inspect.getdoc(obj) or ""
     line = doc.splitlines()[0].strip() if doc else ""
     return line.replace("|", "\\|")

@@ -104,6 +104,16 @@ class TestStreamChunks:
         with pytest.raises(ValueError, match="chunk_rows"):
             next(stream_vicon_file(golden_path, chunk_rows=0))
 
+    def test_stop_after_devices_skips_trajectories(self, golden_path):
+        chunks = list(
+            stream_vicon_file(golden_path, chunk_rows=2, stop_after="Devices")
+        )
+        assert chunks and all(
+            c.header.section_type == "Devices" for c in chunks
+        )
+        with pytest.raises(ValueError, match="stop_after"):
+            next(stream_vicon_file(golden_path, stop_after="devices"))
+
     def test_extra_section_raises(self, tmp_path):
         path = tmp_path / "extra.csv"
         path.write_text(GOLDEN_CSV + "\nDevices,,\n300,,\n")
