@@ -71,14 +71,15 @@ def preprocess_trials(
     ``config.reduce_to`` must be set (it is what makes ragged trials
     stack into one ``(B, reduce_to, L)`` batch).
 
-    Whenever the masked batched transforms are exact for the input —
-    always for the RMS pipeline, and for the filtered envelope when
-    trials share a length — the whole batch preprocesses in a handful
-    of fused device computations
+    The masked batched transforms preprocess the whole batch in a
+    handful of fused device computations
     (:mod:`muscle_synergies_tpu.ops.batched`) instead of one dispatch
-    chain per trial; ragged envelope batches keep the per-trial path
-    (the zero-phase edge reflection must touch each trial's true last
-    sample).
+    chain per trial.  The RMS pipeline is exact under zero padding, so
+    ragged batches run as one padded batch; the filtered envelope's
+    zero-phase edge reflection must touch each trial's true last
+    sample, so ragged envelope batches run as one vmapped computation
+    per *distinct trial length* — identical results to per-trial
+    processing either way (pinned by tests).
     """
     if config.reduce_to is None:
         raise ValueError(
@@ -88,44 +89,56 @@ def preprocess_trials(
     arrays = [_as_array(t) for t in trials]
     ragged = len({a.shape[0] for a in arrays}) > 1
 
-    if config.use_rms or not ragged:
-        from .io.batch import stack_trials
-        from .ops import batched as _b
+    from .io.batch import stack_trials
+    from .ops import batched as _b
 
-        stacked = stack_trials(arrays)
-        xs = stacked.data
-        mask = stacked.mask if ragged else None
-        if config.use_rms:
-            if config.zero_center:
-                xs = _b.zero_center_batch(xs, mask)
-            window = int(round(config.rms_window_s * sampling_frequency))
-            xs = _b.moving_rms_batch(xs, window, mask)
-        else:
-            spec = config.envelope
-            xs = _b.linear_envelope_batch(
-                xs,
-                critical_freqs=(
-                    spec.critical_freqs[0]
-                    if len(spec.critical_freqs) == 1
-                    else list(spec.critical_freqs)
-                ),
-                sampling_frequency=sampling_frequency,
-                order=spec.order,
-                mask=mask,
-                filter_type=spec.filter_type,
-                zero_lag=spec.zero_lag,
-                cheby_param=spec.cheby_param,
-                zero_center_=config.zero_center,
-            )
+    def envelope_batch(xs, mask=None):
+        spec = config.envelope
+        return _b.linear_envelope_batch(
+            xs,
+            critical_freqs=(
+                spec.critical_freqs[0]
+                if len(spec.critical_freqs) == 1
+                else list(spec.critical_freqs)
+            ),
+            sampling_frequency=sampling_frequency,
+            order=spec.order,
+            mask=mask,
+            filter_type=spec.filter_type,
+            zero_lag=spec.zero_lag,
+            cheby_param=spec.cheby_param,
+            zero_center_=config.zero_center,
+        )
+
+    def finish(xs, mask=None):
         # after resampling onto reduce_to points every row is valid
         xs = _b.time_normalize_batch(xs, config.reduce_to, mask)
         if config.amplitude_normalize:
             xs = _b.normalize_batch(jnp.abs(xs))
-        batch = xs
+        return xs
+
+    if config.use_rms:
+        stacked = stack_trials(arrays)
+        xs = stacked.data
+        mask = stacked.mask if ragged else None
+        if config.zero_center:
+            xs = _b.zero_center_batch(xs, mask)
+        window = int(round(config.rms_window_s * sampling_frequency))
+        xs = _b.moving_rms_batch(xs, window, mask)
+        batch = finish(xs, mask)
+    elif not ragged:
+        batch = finish(envelope_batch(jnp.stack(arrays)))
     else:
-        batch = jnp.stack(
-            [config.preprocess(a, sampling_frequency) for a in arrays]
-        )
+        # one fused computation per distinct trial length
+        by_length: dict = {}
+        for idx, a in enumerate(arrays):
+            by_length.setdefault(a.shape[0], []).append(idx)
+        slots = [None] * len(arrays)
+        for indices in by_length.values():
+            group = finish(envelope_batch(jnp.stack([arrays[i] for i in indices])))
+            for j, i in enumerate(indices):
+                slots[i] = group[j]
+        batch = jnp.stack(slots)
     if dtype is not None:
         batch = batch.astype(dtype)
     return batch

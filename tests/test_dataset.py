@@ -61,10 +61,18 @@ class TestPreprocess:
         )
         np.testing.assert_allclose(batched, per_trial, rtol=1e-10, atol=1e-12)
 
-    def test_ragged_envelope_keeps_per_trial_path(self):
+    def test_ragged_envelope_matches_per_trial(self):
+        # ragged envelope batches group by length; each group must be
+        # exactly the per-trial result
         cfg = PipelineConfig(reduce_to=100)
-        out = preprocess_trials(_trials(), 200, cfg)
-        assert out.shape == (4, 100, 6)
+        trials = _trials()  # 4 distinct lengths
+        trials.append(trials[1].copy() * 1.3)  # a repeated length
+        batched = np.asarray(preprocess_trials(trials, 200, cfg))
+        per_trial = np.stack(
+            [np.asarray(cfg.preprocess(t.to_numpy(), 200)) for t in trials]
+        )
+        assert batched.shape == (5, 100, 6)
+        np.testing.assert_allclose(batched, per_trial, rtol=1e-10, atol=1e-12)
 
 
 class TestAnalyzeDataset:
