@@ -2,8 +2,8 @@
 
 from . import collectives
 from .filters import sharded_sosfilt, sharded_sosfiltfilt
-from .mesh import DATA_AXIS, TIME_AXIS, batch_sharding, make_mesh, replicated
-from .nmf import sharded_fit_cd, sharded_fit_mu, sharded_mu_step
+from .mesh import DATA_AXIS, MODEL_AXIS, TIME_AXIS, batch_sharding, make_mesh, replicated
+from .nmf import sharded_fit_cd, sharded_fit_mu, sharded_fit_mu_tp, sharded_mu_step
 
 __all__ = [
     "DATA_AXIS",
@@ -13,6 +13,8 @@ __all__ = [
     "replicated",
     "sharded_mu_step",
     "sharded_fit_mu",
+    "sharded_fit_mu_tp",
+    "MODEL_AXIS",
     "sharded_fit_cd",
     "sharded_sosfilt",
     "sharded_sosfiltfilt",

@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax
 
 __all__ = [
+    "axis_sum",
     "time_sum",
     "gather_time",
     "axis_index",
@@ -23,13 +24,18 @@ __all__ = [
 ]
 
 
-def time_sum(x, axis_name: str):
+def axis_sum(x, axis_name: str):
     """Sum local contributions over a mesh axis (``psum``).
 
-    Used for: time-reduced NMF Grams (``Wt X``, ``Wt W``) and
+    Used for: time-reduced NMF Grams (``Wt X``, ``Wt W``),
+    channel-reduced Grams in the tensor-parallel solver, and
     convergence errors in the sharded solvers.
     """
     return jax.lax.psum(x, axis_name)
+
+
+# historical name from the sequence-parallel solvers
+time_sum = axis_sum
 
 
 def gather_time(x, axis_name: str):

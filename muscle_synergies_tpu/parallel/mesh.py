@@ -19,10 +19,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 DATA_AXIS = "data"
 TIME_AXIS = "time"
+MODEL_AXIS = "model"
 
 __all__ = [
     "DATA_AXIS",
     "TIME_AXIS",
+    "MODEL_AXIS",
     "make_mesh",
     "batch_sharding",
     "replicated",

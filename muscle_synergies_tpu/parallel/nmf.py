@@ -29,10 +29,15 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.mu import EPSILON, MUState
-from .collectives import mark_varying, time_sum
-from .mesh import DATA_AXIS, TIME_AXIS
+from .collectives import axis_sum, mark_varying, time_sum
+from .mesh import DATA_AXIS, MODEL_AXIS, TIME_AXIS
 
-__all__ = ["sharded_mu_step", "sharded_fit_mu", "sharded_fit_cd"]
+__all__ = [
+    "sharded_mu_step",
+    "sharded_fit_mu",
+    "sharded_fit_cd",
+    "sharded_fit_mu_tp",
+]
 
 
 def _local_mu_step(x, w, h, axis_name: str):
@@ -178,6 +183,125 @@ def sharded_fit_mu(
         # the data axis (their loop-carried updates depend on this
         # shard's trials), or shard_map's varying-axis check rejects
         # the while_loop.
+        init = MUState(
+            w=wb,
+            h=hb,
+            n_iter=mark_varying(jnp.zeros((b,), jnp.int32), DATA_AXIS),
+            previous_error=error_at_init,
+            converged=mark_varying(jnp.zeros((b,), bool), DATA_AXIS),
+        )
+        return jax.lax.while_loop(cond, chunk, init)
+
+    return fit(x, w0, h0)
+
+
+def _local_mu_step_tp(x, w, h, axis_name: str):
+    """One MU iteration with the *channel* axis sharded (tensor parallel).
+
+    Shapes (local): x ``(b, n, l_loc)``, w ``(b, n, k)`` replicated
+    over the model group, h ``(b, k, l_loc)``.  The W update contracts
+    over channels, so its cross products ``X Ht`` and ``H Ht`` are
+    ``psum``'d over the model axis; the H update is then fully local
+    (each shard updates its own channel slice of H from the replicated
+    W).  This is the layout for very wide channel counts (HD-sEMG
+    grids), per SURVEY §2.5's tensor-parallelism row.
+    """
+    ht = jnp.swapaxes(h, -1, -2)
+    # --- W update: channel-reduced cross products ---
+    xht = axis_sum(x @ ht, axis_name)
+    hht = axis_sum(h @ ht, axis_name)
+    denominator = w @ hht
+    denominator = jnp.where(denominator == 0, EPSILON, denominator)
+    w = w * (xht / denominator)
+
+    # --- H update: fully local per channel shard ---
+    wt = jnp.swapaxes(w, -1, -2)
+    denominator = (wt @ w) @ h
+    denominator = jnp.where(denominator == 0, EPSILON, denominator)
+    h = h * ((wt @ x) / denominator)
+    return w, h
+
+
+def _local_error_tp(x, w, h, axis_name: str):
+    """Per-trial Frobenius error with channel sums ``psum``'d."""
+    diff = x - w @ h
+    sq = axis_sum(jnp.sum(diff * diff, axis=(-1, -2)), axis_name)
+    return jnp.sqrt(sq)
+
+
+def sharded_fit_mu_tp(
+    x: jnp.ndarray,
+    w0: jnp.ndarray,
+    h0: jnp.ndarray,
+    mesh: Mesh,
+    max_iter: int = 200,
+    tol: float = 1e-4,
+    check_every: int = 10,
+) -> MUState:
+    """Run MU-NMF on a ``(data, model)`` mesh: trials x channel shards.
+
+    The tensor-parallel counterpart of :func:`sharded_fit_mu`: ``H``
+    (and ``X``'s channel axis) shard over ``"model"``, ``W`` is
+    replicated within a model group, and the W update's Grams cross
+    shards as two tiny ``psum``s per iteration.  Semantics match
+    :func:`muscle_synergies_tpu.models.mu.fit_mu` exactly.
+
+    Args:
+        x: ``(B, N, L)`` batch, sharded ``P(data, None, model)``.
+        w0: ``(B, N, k)``, sharded ``P(data, None, None)``.
+        h0: ``(B, k, L)``, sharded ``P(data, None, model)``.
+    """
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None, MODEL_AXIS),
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None, MODEL_AXIS),
+        ),
+        out_specs=MUState(
+            w=P(DATA_AXIS, None, None),
+            h=P(DATA_AXIS, None, MODEL_AXIS),
+            n_iter=P(DATA_AXIS),
+            previous_error=P(DATA_AXIS),
+            converged=P(DATA_AXIS),
+        ),
+    )
+    def fit(xb, wb, hb):
+        b = xb.shape[0]
+        error_at_init = _local_error_tp(xb, wb, hb, MODEL_AXIS)
+
+        def chunk(state: MUState) -> MUState:
+            steps = jnp.minimum(check_every, max_iter - jnp.max(state.n_iter))
+
+            def body(_, carry):
+                w, h = carry
+                w_new, h_new = _local_mu_step_tp(xb, w, h, MODEL_AXIS)
+                keep = state.converged[:, None, None]
+                return (
+                    jnp.where(keep, w, w_new),
+                    jnp.where(keep, h, h_new),
+                )
+
+            w, h = jax.lax.fori_loop(0, steps, body, (state.w, state.h))
+            n_iter = jnp.where(state.converged, state.n_iter, state.n_iter + steps)
+            error = _local_error_tp(xb, w, h, MODEL_AXIS)
+            at_checkpoint = n_iter % check_every == 0
+            newly = jnp.logical_and(
+                (state.previous_error - error) / error_at_init < tol,
+                at_checkpoint,
+            )
+            converged = jnp.logical_or(state.converged, newly)
+            previous_error = jnp.where(state.converged, state.previous_error, error)
+            return MUState(w, h, n_iter, previous_error, converged)
+
+        def cond(state: MUState) -> jnp.ndarray:
+            return jnp.logical_and(
+                jnp.max(state.n_iter) < max_iter,
+                ~jnp.all(state.converged),
+            )
+
         init = MUState(
             w=wb,
             h=hb,

@@ -165,6 +165,40 @@ class TestShardedNMF:
         assert np.all(np.isfinite(np.asarray(err)))
 
 
+class TestTensorParallelNMF:
+    """Channel-axis sharding (the §2.5 tensor-parallelism row)."""
+
+    def test_tp_fit_matches_vmapped(self):
+        from muscle_synergies_tpu.parallel import (
+            DATA_AXIS,
+            MODEL_AXIS,
+            make_mesh,
+            sharded_fit_mu_tp,
+        )
+
+        # 2-way data x 4-way channel shards over a wide (HD-sEMG-like)
+        # channel count
+        mesh = make_mesh((2, 4), axis_names=(DATA_AXIS, MODEL_AXIS))
+        xs = _batch(b=4, n=64, l=32)
+        w0, h0 = init_batch(jnp.asarray(xs), 3, init="nndsvda")
+        tp = sharded_fit_mu_tp(
+            jnp.asarray(xs), w0, h0, mesh, max_iter=200, tol=1e-6
+        )
+        local = fit_mu_batch(jnp.asarray(xs), w0, h0, max_iter=200, tol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(tp.w), np.asarray(local.w), rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(tp.h), np.asarray(local.h), rtol=1e-8
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tp.n_iter), np.asarray(local.n_iter)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tp.converged), np.asarray(local.converged)
+        )
+
+
 class TestShardedFilters:
     def test_sharded_sosfilt_matches_local(self):
         mesh = make_mesh((1, 8))
