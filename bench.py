@@ -38,7 +38,9 @@ def main():
     args = parser.parse_args()
 
     if args.quick:
-        args.batch, args.iters, args.repeats = 32, 50, 1
+        # keep 3 repeats: with tiny per-call compute the chain
+        # differencing needs a median to survive relay jitter
+        args.batch, args.iters, args.repeats = 32, 50, 3
 
     import jax
     import jax.numpy as jnp
@@ -113,6 +115,11 @@ def main():
         for rep in range(args.repeats)
     ]
     per_call = float(np.median(samples))
+    if not np.isfinite(per_call) or per_call <= 0:
+        # jitter swamped the differencing; fall back to the long-chain
+        # average, a strict upper bound on the per-call time (so the
+        # reported throughput is an underestimate, never nonsense)
+        per_call = timed_chain(k2, seed=4242) / k2
 
     iters_per_sec = args.iters / per_call
     print(json.dumps({
