@@ -363,6 +363,17 @@ def analyze_dataset(
     grid_w = jnp.concatenate(w_blocks, axis=0)
     grid_h = jnp.concatenate(h_blocks, axis=0)
 
+    if mesh is not None and grid_x.shape[0] % mesh.shape["data"] != 0:
+        import warnings
+
+        warnings.warn(
+            f"analyze_dataset: problem grid of {grid_x.shape[0]} fits "
+            f"(ranks x trials) does not divide over the mesh's "
+            f"{mesh.shape['data']}-way data axis; falling back to the "
+            "local single-device solver. Pad the trial list or resize "
+            "the mesh to keep the fit sharded.",
+            stacklevel=2,
+        )
     if mesh is not None and grid_x.shape[0] % mesh.shape["data"] == 0:
         from .parallel import sharded_fit_cd, sharded_fit_mu
         from .parallel.mesh import DATA_AXIS, TIME_AXIS

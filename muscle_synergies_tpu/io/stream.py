@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Iterator, List, Union
+from typing import Iterator, List, Optional, Union
 
 import numpy as np
 

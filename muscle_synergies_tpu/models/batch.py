@@ -204,19 +204,17 @@ def fit_mu_batch(
     same stopping semantics, pure-f32 arithmetic.
     """
     if impl == "pallas":
-        from .mu import frobenius_error
         from .kernels import fit_mu_pallas
 
         if block_b is None:
             b = xs.shape[0]
             block_b = next(d for d in range(min(128, b), 0, -1) if b % d == 0)
-        w, h, n_iter, converged = fit_mu_pallas(
+        w, h, n_iter, prev_err, converged = fit_mu_pallas(
             xs, w0, h0, max_iter=max_iter, tol=tol,
             check_every=check_every, block_b=block_b,
             inner_iter=inner_iter,
         )
-        err = jax.vmap(frobenius_error)(xs, w, h)
-        return MUState(w, h, n_iter, err, converged)
+        return MUState(w, h, n_iter, prev_err, converged)
     if impl != "xla":
         raise ValueError(f"unknown impl: {impl!r}")
     return _fit_mu_batch_xla(

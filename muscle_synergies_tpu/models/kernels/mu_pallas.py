@@ -110,6 +110,7 @@ def _mu_kernel(
 
 def _fit_mu_kernel(
     x_ref, w_ref, h_ref, zero_ref, w_out, h_out, n_iter_out, converged_out,
+    prev_err_out,
     *, max_iter: int, tol: float, check_every: int, k: int, l: int,
     inner_iter: int,
 ):
@@ -167,11 +168,14 @@ def _fit_mu_kernel(
         return w, h, n_iter, prev_err, new_conv
 
     init = (w0, h0, zero_i, err0, zero_i)
-    w, h, n_iter, _, conv_i = jax.lax.while_loop(cond, chunk, init)
+    w, h, n_iter, prev_err, conv_i = jax.lax.while_loop(cond, chunk, init)
     w_out[:] = w
     h_out[:] = h
     n_iter_out[:] = n_iter
     converged_out[:] = conv_i
+    # the error at the last convergence check — the same quantity the
+    # XLA fit carries in MUState.previous_error
+    prev_err_out[:] = prev_err
 
 
 @functools.partial(
@@ -261,8 +265,10 @@ def fit_mu_pallas(
     (sklearn's rule, per trial, with converged trials frozen).
 
     Returns:
-        ``(w, h, n_iter, converged)`` with per-trial ``(B,)`` iteration
-        counts and convergence flags.
+        ``(w, h, n_iter, prev_err, converged)`` with per-trial ``(B,)``
+        iteration counts, the Frobenius error at each trial's last
+        convergence check (the XLA fit's ``MUState.previous_error``
+        semantics), and convergence flags.
     """
     b, n, l = xs.shape
     k = w0.shape[-1]
@@ -278,7 +284,7 @@ def fit_mu_pallas(
         _fit_mu_kernel, max_iter=max_iter, tol=float(tol),
         check_every=check_every, k=k, l=l, inner_iter=inner_iter,
     )
-    wt_out, ht_out, n_iter, converged = pl.pallas_call(
+    wt_out, ht_out, n_iter, converged, prev_err = pl.pallas_call(
         kernel,
         grid=(b // block_b,),
         in_specs=[
@@ -300,12 +306,15 @@ def fit_mu_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_b), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((k, n, b), w0.dtype),
             jax.ShapeDtypeStruct((k, l, b), h0.dtype),
             jax.ShapeDtypeStruct((1, b), jnp.int32),
             jax.ShapeDtypeStruct((1, b), jnp.int32),
+            jax.ShapeDtypeStruct((1, b), xs.dtype),
         ],
         interpret=interpret,
     )(xt, wt, ht, zeros)
@@ -314,5 +323,6 @@ def fit_mu_pallas(
         jnp.transpose(wt_out, (2, 1, 0)),
         jnp.transpose(ht_out, (2, 0, 1)),
         n_iter[0],
+        prev_err[0],
         converged[0].astype(bool),
     )

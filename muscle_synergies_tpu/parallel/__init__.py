@@ -2,12 +2,21 @@
 
 from . import collectives
 from .filters import sharded_sosfilt, sharded_sosfiltfilt
-from .mesh import DATA_AXIS, MODEL_AXIS, TIME_AXIS, batch_sharding, make_mesh, replicated
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    TIME_AXIS,
+    batch_sharding,
+    init_distributed,
+    make_mesh,
+    replicated,
+)
 from .nmf import sharded_fit_cd, sharded_fit_mu, sharded_fit_mu_tp, sharded_mu_step
 
 __all__ = [
     "DATA_AXIS",
     "TIME_AXIS",
+    "init_distributed",
     "make_mesh",
     "batch_sharding",
     "replicated",

@@ -7,6 +7,15 @@ has no distributed layer at all (SURVEY §2.5); every collective used by
 the solvers goes through :mod:`muscle_synergies_tpu.parallel` so the
 communication pattern is named, testable on a virtual CPU mesh, and
 swappable.
+
+Multi-host scaling (several processes, each owning a subset of chips —
+one TPU slice per process, or several slices joined over DCN) is
+entered through :func:`init_distributed`; after it returns,
+``jax.devices()`` spans every process and :func:`make_mesh` lays the
+global device set out as usual.  Mesh axes that cross slice boundaries
+ride DCN; axes within a slice ride ICI, so put the heavy (``time``)
+collectives on the fast inner axis and the embarrassingly-parallel
+``data`` axis across slices.
 """
 
 from __future__ import annotations
@@ -25,10 +34,68 @@ __all__ = [
     "DATA_AXIS",
     "TIME_AXIS",
     "MODEL_AXIS",
+    "init_distributed",
     "make_mesh",
     "batch_sharding",
     "replicated",
 ]
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs,
+) -> int:
+    """Join this process to a multi-host JAX job (DCN / multi-slice).
+
+    Thin, idempotent wrapper over ``jax.distributed.initialize``: call
+    once per process before any device query; afterwards
+    ``jax.devices()`` returns the *global* device list (all hosts /
+    slices) and :func:`make_mesh` builds meshes spanning them — the
+    mesh axes that cross hosts communicate over DCN, intra-slice axes
+    over ICI (SURVEY §5, distributed-communication-backend row).
+
+    In the single-process case (``num_processes`` in (None, 1) with no
+    coordinator configured anywhere) this is a no-op, so library code
+    can call it unconditionally.  All arguments have the
+    ``jax.distributed.initialize`` semantics and, like it, fall back to
+    auto-detection from the cluster environment when omitted.
+
+    Returns:
+        the number of participating processes (``jax.process_count()``).
+    """
+    explicit_single = num_processes == 1 and coordinator_address is None
+    if not explicit_single and (
+        coordinator_address is not None
+        or num_processes is not None
+        or _cluster_env_configured()
+    ):
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+                **kwargs,
+            )
+        except RuntimeError as exc:  # already initialized: idempotent
+            if "already" not in str(exc).lower():
+                raise
+    return jax.process_count()
+
+
+def _cluster_env_configured() -> bool:
+    """True when a cluster environment advertises a JAX coordinator."""
+    import os
+
+    return any(
+        os.environ.get(var)
+        for var in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+        )
+    )
 
 
 def make_mesh(
@@ -40,19 +107,39 @@ def make_mesh(
 
     Args:
         shape: ``(n_data, n_time)``; defaults to all devices on the
-            data axis (pure data parallelism).
+            data axis (pure data parallelism).  Either entry may be
+            ``-1`` to infer it from the device count (so
+            ``make_mesh((-1, 2))`` works on any even-sized slice).
         axis_names: names for the two axes.
-        devices: devices to use (defaults to ``jax.devices()``).
+        devices: devices to use (defaults to ``jax.devices()``, which
+            spans every process after :func:`init_distributed`).
     """
     if devices is None:
         devices = jax.devices()
+    n_avail = len(devices)
     if shape is None:
-        shape = (len(devices), 1)
+        shape = (n_avail, 1)
     n_data, n_time = shape
-    if n_data * n_time != len(devices):
+    if n_data == -1 and n_time == -1:
+        raise ValueError("at most one mesh axis may be -1")
+    if n_data == -1 or n_time == -1:
+        known = n_time if n_data == -1 else n_data
+        if known <= 0 or n_avail % known != 0:
+            raise ValueError(
+                f"cannot infer mesh shape {shape}: {n_avail} devices "
+                f"do not split evenly by {known}"
+            )
+        n_data, n_time = (
+            (n_avail // known, known) if n_data == -1 else (known, n_avail // known)
+        )
+    if n_data * n_time != n_avail:
         raise ValueError(
-            f"mesh shape {shape} needs {n_data * n_time} devices, "
-            f"got {len(devices)}"
+            f"mesh shape {(n_data, n_time)} needs {n_data * n_time} "
+            f"devices, got {n_avail}. Pass shape=(-1, n) to fit the "
+            "available devices, or provision virtual CPU devices with "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N (set "
+            "before the first device query) plus "
+            'jax.config.update("jax_platforms", "cpu").'
         )
     grid = np.asarray(devices).reshape(n_data, n_time)
     return Mesh(grid, axis_names)

@@ -109,7 +109,7 @@ class TestFitMUKernel:
         ht = rng.random((B, 2, L))
         xs2 = jnp.asarray(wt @ ht + 0.01 * rng.random((B, N, L)),
                           dtype=jnp.float32)
-        wp, hp, n_iter, conv = fit_mu_pallas(
+        wp, hp, n_iter, prev_err, conv = fit_mu_pallas(
             xs2, w, h, max_iter=2000, tol=1e-5, block_b=B, interpret=True
         )
         ref = fit_mu_batch(xs2, w, h, max_iter=2000, tol=1e-5)
@@ -122,12 +122,18 @@ class TestFitMUKernel:
         np.testing.assert_allclose(
             np.asarray(wp), np.asarray(ref.w), rtol=1e-4, atol=1e-5
         )
+        # same field semantics as the XLA path: error at each trial's
+        # last convergence check, not a freshly recomputed final error
+        np.testing.assert_allclose(
+            np.asarray(prev_err), np.asarray(ref.previous_error),
+            rtol=1e-4, atol=1e-6,
+        )
 
     def test_max_iter_cap(self, problem):
         from muscle_synergies_tpu.models.kernels import fit_mu_pallas
 
         xs, w, h = problem
-        _, _, n_iter, conv = fit_mu_pallas(
+        _, _, n_iter, _, conv = fit_mu_pallas(
             xs, w, h, max_iter=30, tol=1e-12, block_b=B, interpret=True
         )
         assert np.all(np.asarray(n_iter) == 30)

@@ -261,3 +261,41 @@ class TestShardedCD:
         np.testing.assert_array_equal(
             np.asarray(sharded.n_iter), np.asarray(local.n_iter)
         )
+
+
+class TestMeshConstruction:
+    """make_mesh ergonomics + the multi-host entry point."""
+
+    def test_infer_data_axis(self):
+        mesh = make_mesh((-1, 2))
+        assert mesh.shape == {"data": 4, "time": 2}
+
+    def test_infer_time_axis(self):
+        mesh = make_mesh((4, -1))
+        assert mesh.shape == {"data": 4, "time": 2}
+
+    def test_both_inferred_rejected(self):
+        with pytest.raises(ValueError, match="at most one"):
+            make_mesh((-1, -1))
+
+    def test_non_dividing_inference_rejected(self):
+        with pytest.raises(ValueError, match="split evenly"):
+            make_mesh((-1, 3))
+
+    def test_mismatch_error_mentions_provisioning(self):
+        with pytest.raises(ValueError, match="host_platform_device_count"):
+            make_mesh((4, 3))
+
+    def test_init_distributed_single_process_noop(self, monkeypatch):
+        from muscle_synergies_tpu.parallel import init_distributed
+
+        for var in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+        ):
+            monkeypatch.delenv(var, raising=False)
+        # degenerate single-process path: must not try to reach a
+        # coordinator, must report one process
+        assert init_distributed(num_processes=1) == 1
+        assert init_distributed() == jax.process_count()
