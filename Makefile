@@ -2,7 +2,7 @@
 
 PYTHON ?= python
 
-.PHONY: test test-fast bench bench-quick entry native dist clean
+.PHONY: test test-fast bench bench-quick bench-vaf bench-check entry native dist clean
 
 test:
 	$(PYTHON) -m pytest tests/ -q
@@ -15,6 +15,12 @@ bench:
 
 bench-quick:
 	$(PYTHON) bench.py --quick
+
+bench-vaf:  # BASELINE.md's second metric: time-to-90%-VAF
+	$(PYTHON) bench.py --metric vaf --rank 2 | tee BENCH_VAF.json
+
+bench-check:  # on-device Pallas kernel numerics vs float64 references
+	$(PYTHON) bench.py --check | tee BENCH_CHECK.json
 
 entry:
 	JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \

@@ -47,3 +47,21 @@ def test_graft_entry_runs_single_and_multichip():
     assert result.returncode == 0, result.stderr[-2000:]
     assert "entry(): compiled and ran" in result.stdout
     assert "dryrun_multichip(8): OK" in result.stdout
+
+
+def test_bench_vaf_metric_emits_json_contract():
+    result = _run(["bench.py", "--quick", "--impl", "xla", "--metric", "vaf"])
+    assert result.returncode == 0, result.stderr[-2000:]
+    payload = json.loads(result.stdout.strip().splitlines()[-1])
+    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert payload["metric"] == "time_to_90pct_vaf"
+    assert payload["value"] > 0
+    assert payload["vs_baseline"] > 1  # faster than sklearn's trial loop
+
+
+def test_bench_check_validates_kernel_numerics():
+    result = _run(["bench.py", "--quick", "--check"], timeout=600)
+    assert result.returncode == 0, result.stderr[-2000:]
+    payload = json.loads(result.stdout.strip().splitlines()[-1])
+    assert payload["metric"] == "kernel_parity_max_rel_err"
+    assert payload["vs_baseline"] == 1.0
