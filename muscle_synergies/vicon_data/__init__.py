@@ -1,9 +1,12 @@
 """Compat facade for ``muscle_synergies.vicon_data``.
 
 Mirrors the reference subpackage's public surface
-(reference src/muscle_synergies/vicon_data/__init__.py: exports
-``load_vicon_file``, ``ViconNexusData``, ``DeviceData``; its tests also
-use ``DeviceType``).
+(reference src/muscle_synergies/vicon_data/__init__.py star-exports
+the vocabulary, load entry points and data model; its tests also use
+``DeviceType``).  The L0 vocabulary lives in
+:mod:`muscle_synergies.vicon_data.definitions` and the DI-style
+factories in :mod:`muscle_synergies.vicon_data.load_csv`, matching the
+reference's module layout.
 """
 
 from muscle_synergies_tpu import (
@@ -20,6 +23,22 @@ from muscle_synergies_tpu.frames import (
     TrajFrameTracker,
 )
 
+from . import definitions, load_csv
+from .definitions import (
+    ForcePlateMeasurement,
+    Row,
+    SectionType,
+    ViconCSVLines,
+)
+from .load_csv import (
+    Builder,
+    Reader,
+    create_builder,
+    create_loading_run,
+    create_reader,
+    csv_row_stream,
+)
+
 __all__ = (
     "load_vicon_file",
     "ViconNexusData",
@@ -30,4 +49,16 @@ __all__ = (
     "ForcesEMGFrameTracker",
     "TrajFrameTracker",
     "FrameSubfr",
+    "Row",
+    "SectionType",
+    "ViconCSVLines",
+    "ForcePlateMeasurement",
+    "Reader",
+    "Builder",
+    "create_reader",
+    "create_builder",
+    "create_loading_run",
+    "csv_row_stream",
+    "definitions",
+    "load_csv",
 )

@@ -19,7 +19,13 @@ from .analysis import (
     vaf,
     zero_center,
 )
-from .data import DeviceData, DeviceType, ViconNexusData
+from .data import (
+    DeviceData,
+    DeviceType,
+    ForcePlateMeasurement,
+    SectionType,
+    ViconNexusData,
+)
 from .frames import ForcesEMGFrameTracker, FrameSubfr, SamplingFreq, TrajFrameTracker
 from .dataset import DatasetResult, analyze_dataset
 from .io import ViconCSVError, load_vicon_file
@@ -32,6 +38,8 @@ __all__ = [
     # data model + ingest
     "DeviceData",
     "DeviceType",
+    "SectionType",
+    "ForcePlateMeasurement",
     "ViconNexusData",
     "SamplingFreq",
     "FrameSubfr",

@@ -23,6 +23,34 @@ import pandas as pd
 from .frames import FrameSubfr, FrameTracker, SamplingFreq
 
 
+class SectionType(Enum):
+    """Kind of a Vicon Nexus CSV section (the file holds exactly two).
+
+    Vocabulary parity with the reference
+    (vicon_data/definitions.py:23-42): ``FORCES_EMG`` is the section
+    that opens with the word ``Devices`` (force plates + EMG at the
+    fast rate), ``TRAJECTORIES`` holds marker kinematics at the slow
+    rate.
+    """
+
+    FORCES_EMG = 1
+    TRAJECTORIES = 2
+
+
+class ForcePlateMeasurement(Enum):
+    """The three vector measurements a force plate exports.
+
+    A plate appears in the device-names line as three headers
+    (``… - Force``, ``… - Moment``, ``… - CoP``), 3 columns each, which
+    the ingest merges into one 9-column device (reference
+    vicon_data/definitions.py:135-160).
+    """
+
+    FORCE = 1
+    MOMENT = 2
+    COP = 3
+
+
 class DeviceType(Enum):
     """Kind of measurement device appearing in a Vicon Nexus capture."""
 
@@ -48,6 +76,12 @@ class DeviceType(Enum):
 
     def section_is_forces_emg(self) -> bool:
         return self in {DeviceType.EMG, DeviceType.FORCE_PLATE}
+
+    def section_type(self) -> SectionType:
+        """Section in which devices of this type occur."""
+        if self.section_is_forces_emg():
+            return SectionType.FORCES_EMG
+        return SectionType.TRAJECTORIES
 
 
 class DeviceData:

@@ -39,6 +39,7 @@ from __future__ import annotations
 import io
 import os
 from dataclasses import dataclass
+from enum import Enum
 from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -47,7 +48,38 @@ import pandas as pd
 from ..data import DeviceData, DeviceType, ViconNexusData
 from ..frames import ForcesEMGFrameTracker, SamplingFreq, TrajFrameTracker
 
-__all__ = ["load_vicon_file", "load_vicon_files", "ViconCSVError"]
+__all__ = [
+    "load_vicon_file",
+    "load_vicon_files",
+    "load_vicon_lines",
+    "ViconCSVError",
+    "ViconCSVLines",
+    "Row",
+]
+
+#: A raw CSV row: one cell string per column (reference
+#: vicon_data/definitions.py:18).
+Row = List[str]
+
+
+class ViconCSVLines(Enum):
+    """The seven kinds of line in a Vicon Nexus export.
+
+    Grammar vocabulary parity with the reference
+    (vicon_data/definitions.py:45-86).  The bulk decoder does not walk
+    a per-line state machine, but the grammar it recognizes is the
+    same: each section is a 5-line header (type word, sampling
+    frequency, device names, coordinates, units) followed by data
+    lines, with a blank line between sections.
+    """
+
+    SECTION_TYPE_LINE = 1
+    SAMPLING_FREQUENCY_LINE = 2
+    DEVICE_NAMES_LINE = 3
+    COORDINATES_LINE = 4
+    UNITS_LINE = 5
+    DATA_LINE = 6
+    BLANK_LINE = 7
 
 
 class ViconCSVError(ValueError):
@@ -313,9 +345,8 @@ def _read_text(csv_filename: Union[str, os.PathLike]) -> str:
         return stream.read().decode()
 
 
-def parse_vicon_csv(csv_filename: Union[str, os.PathLike]) -> List[_Section]:
-    """Parse the file into its two sections (Devices, Trajectories)."""
-    lines = _read_text(csv_filename).splitlines()
+def parse_vicon_lines(lines: List[str]) -> List[_Section]:
+    """Parse raw capture lines into the two sections (Devices, Trajectories)."""
     chunks = _split_into_sections(lines)
     if len(chunks) != 2:
         raise ViconCSVError(
@@ -325,6 +356,11 @@ def parse_vicon_csv(csv_filename: Union[str, os.PathLike]) -> List[_Section]:
     section1 = _parse_section(lines1, start1, "Devices")
     section2 = _parse_section(lines2, start2, "Trajectories")
     return [section1, section2]
+
+
+def parse_vicon_csv(csv_filename: Union[str, os.PathLike]) -> List[_Section]:
+    """Parse the file into its two sections (Devices, Trajectories)."""
+    return parse_vicon_lines(_read_text(csv_filename).splitlines())
 
 
 def _build_device(
@@ -355,7 +391,22 @@ def load_vicon_file(csv_filename: Union[str, os.PathLike]) -> ViconNexusData:
             (the message includes the 1-based line number) or if the
             number of EMG devices is not exactly one.
     """
-    forces_emg, traj = parse_vicon_csv(csv_filename)
+    return _build_vicon_data(parse_vicon_csv(csv_filename))
+
+
+def load_vicon_lines(lines: List[str]) -> ViconNexusData:
+    """Build a :class:`ViconNexusData` from already-read capture lines.
+
+    Line-level twin of :func:`load_vicon_file` — the entry point behind
+    the compat package's push-style ``Reader``/``Builder`` factories
+    (reference load_csv.py:44-93), where rows arrive one at a time
+    instead of from a file.
+    """
+    return _build_vicon_data(parse_vicon_lines(lines))
+
+
+def _build_vicon_data(sections: List[_Section]) -> ViconNexusData:
+    forces_emg, traj = sections
 
     sampling_freq = SamplingFreq(
         freq_forces_emg=forces_emg.frequency,

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 
 
 def test_reference_toplevel_names():
@@ -50,3 +51,107 @@ def test_reference_style_workflow(tmp_path):
     res = ms.find_synergies(proc, 2, max_iter=2000, tol=1e-6)
     assert res.vaf_values.shape == (1, 5)
     assert res.components.shape == (2, 4)
+
+
+def test_definitions_module_drop_in():
+    """Reference-era imports from vicon_data.definitions resolve.
+
+    Reference definitions.py:18-199 exports this exact vocabulary.
+    """
+    from muscle_synergies.vicon_data.definitions import (
+        DeviceType,
+        ForcePlateMeasurement,
+        Row,
+        SamplingFreq,
+        SectionType,
+        ViconCSVLines,
+    )
+
+    assert DeviceType.from_str("fp") is DeviceType.FORCE_PLATE
+    assert DeviceType.EMG.section_type() is SectionType.FORCES_EMG
+    assert (
+        DeviceType.TRAJECTORY_MARKER.section_type()
+        is SectionType.TRAJECTORIES
+    )
+    assert {m.name for m in ForcePlateMeasurement} == {
+        "FORCE", "MOMENT", "COP",
+    }
+    assert {m.name for m in ViconCSVLines} == {
+        "SECTION_TYPE_LINE", "SAMPLING_FREQUENCY_LINE",
+        "DEVICE_NAMES_LINE", "COORDINATES_LINE", "UNITS_LINE",
+        "DATA_LINE", "BLANK_LINE",
+    }
+    assert SamplingFreq(300, 100, 2).num_subframes == 3
+    assert Row is not None
+
+
+def test_enum_vocabulary_matches_reference_package():
+    """Member names and values equal the reference's, member for member."""
+    import importlib.util
+    import os
+
+    ref_path = (
+        "/root/reference/src/muscle_synergies/vicon_data/definitions.py"
+    )
+    if not os.path.exists(ref_path):
+        pytest.skip("reference checkout not available")
+    spec = importlib.util.spec_from_file_location("_ref_definitions", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from muscle_synergies.vicon_data import definitions as ours
+
+    for enum_name in (
+        "SectionType", "ViconCSVLines", "DeviceType", "ForcePlateMeasurement",
+    ):
+        ref_enum = getattr(ref, enum_name)
+        our_enum = getattr(ours, enum_name)
+        assert {(m.name, m.value) for m in ref_enum} == {
+            (m.name, m.value) for m in our_enum
+        }, enum_name
+
+
+def test_create_loading_run_drop_in(tmp_path):
+    """The reference's DI-factory workflow produces identical data.
+
+    Mirrors reference load_csv.py:96-135: stream rows into the Reader,
+    then Builder.build().
+    """
+    from muscle_synergies.vicon_data import load_csv as lc
+    from tests.test_ingest import GOLDEN_CSV
+
+    path = tmp_path / "trial.csv"
+    path.write_text(GOLDEN_CSV)
+
+    run = lc.create_loading_run()
+    for row in lc.csv_row_stream(path):
+        run.reader.feed_row(row)
+    built = run.builder.build()
+
+    import muscle_synergies_tpu as mst
+
+    direct = mst.load_vicon_file(path)
+    assert built.emg.name == direct.emg.name
+    np.testing.assert_array_equal(built.emg.array, direct.emg.array)
+    assert [d.name for d in built.forcepl] == [d.name for d in direct.forcepl]
+    np.testing.assert_array_equal(
+        built.forcepl[0].array, direct.forcepl[0].array
+    )
+    assert [d.name for d in built.traj] == [d.name for d in direct.traj]
+
+    # load_csv.load_vicon_file is the same composition
+    via_module = lc.load_vicon_file(path)
+    np.testing.assert_array_equal(via_module.emg.array, direct.emg.array)
+
+
+def test_create_reader_rejects_custom_state():
+    from muscle_synergies.vicon_data import load_csv as lc
+
+    with pytest.raises(ValueError, match="state"):
+        lc.create_reader(initial_state=object())
+
+    # shared-aggregator plumbing works standalone too
+    agg = lc.Aggregator()
+    reader = lc.create_reader(aggregator=agg)
+    builder = lc.create_builder(aggregator=agg)
+    assert reader.aggregator is builder.aggregator
