@@ -344,7 +344,24 @@ def run_check(args):
     y_ref = sps.sosfiltfilt(sos, sig.astype(np.float64), axis=0)
     ff_err = float(np.max(np.abs(y_pallas - y_ref)) / np.max(np.abs(y_ref)))
 
+    # --- vmapped (multi-trial) filtfilt: the batched dataset path ---
+    import jax
+
+    sigs = np.stack([sig, sig[::-1].copy(), np.roll(sig, 100, axis=0)])
+    run_batch = jax.vmap(
+        lambda x: sosfiltfilt_pallas(sos, x, interpret=interpret)
+    )
+    ys_batch = np.asarray(run_batch(jnp.asarray(sigs)))
+    batch_err = 0.0
+    for i in range(sigs.shape[0]):
+        ref_i = sps.sosfiltfilt(sos, sigs[i].astype(np.float64), axis=0)
+        batch_err = max(
+            batch_err,
+            float(np.max(np.abs(ys_batch[i] - ref_i)) / np.max(np.abs(ref_i))),
+        )
+
     mu_tol, ff_tol = 1e-3, 5e-4
+    ff_err = max(ff_err, batch_err)
     ok = mu_err <= mu_tol and ff_err <= ff_tol
     print(json.dumps({
         "metric": "kernel_parity_max_rel_err",
