@@ -31,10 +31,13 @@ def _cd_kernel(x_ref, w_ref, h_ref, w_out, h_out, *, n_iters: int, k: int, l: in
         w, h = carry  # (k, N, B), (k, L, B)
 
         # ---- W pass: cyclic over components, H fixed ----
-        hht = [
-            [sum(h[i, m] * h[j, m] for m in range(l)) for j in range(k)]
-            for i in range(k)
-        ]  # (B,) entries
+        # symmetric Gram: the lower triangle is bitwise the upper one
+        hht = [[None] * k for _ in range(k)]
+        for i in range(k):
+            for j in range(i, k):
+                hht[i][j] = hht[j][i] = sum(
+                    h[i, m] * h[j, m] for m in range(l)
+                )  # (B,)
         xht = [
             sum(h[s, m][None, :] * x[m] for m in range(l)) for s in range(k)
         ]  # k x (N, B)
@@ -49,9 +52,10 @@ def _cd_kernel(x_ref, w_ref, h_ref, w_out, h_out, *, n_iters: int, k: int, l: in
         w = jnp.stack(w_cols)
 
         # ---- H pass: cyclic over components, W fixed ----
-        wtw = [
-            [jnp.sum(w[i] * w[j], axis=0) for j in range(k)] for i in range(k)
-        ]  # (B,) entries
+        wtw = [[None] * k for _ in range(k)]
+        for i in range(k):
+            for j in range(i, k):
+                wtw[i][j] = wtw[j][i] = jnp.sum(w[i] * w[j], axis=0)  # (B,)
         wtx = [
             jnp.stack([jnp.sum(w[s] * x[m], axis=0) for m in range(l)])
             for s in range(k)

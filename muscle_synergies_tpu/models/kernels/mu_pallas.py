@@ -44,10 +44,14 @@ def _mu_step(x, w, h, k: int, l: int, inner_iter: int = 1):
     ``inner_iter=1`` is sklearn's plain update.
     """
     # ---- W updates: X Ht and H Ht are constant while H is fixed ----
-    hht = [
-        [sum(h[i, m] * h[j, m] for m in range(l)) for j in range(k)]
-        for i in range(k)
-    ]  # k x k entries, each (B,)
+    # Gram matrices are symmetric and the elementwise products commute,
+    # so the lower triangle is the upper one verbatim (bitwise equal).
+    hht = [[None] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(i, k):
+            hht[i][j] = hht[j][i] = sum(
+                h[i, m] * h[j, m] for m in range(l)
+            )  # (B,)
     num_rows = [
         sum(h[i, m][None, :] * x[m] for m in range(l)) for i in range(k)
     ]  # each (N, B)
@@ -60,9 +64,10 @@ def _mu_step(x, w, h, k: int, l: int, inner_iter: int = 1):
         w = jnp.stack(w_new)
 
     # ---- H updates: Wt X and Wt W are constant while W is fixed ----
-    wtw = [
-        [jnp.sum(w[i] * w[j], axis=0) for j in range(k)] for i in range(k)
-    ]  # each (B,)
+    wtw = [[None] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(i, k):
+            wtw[i][j] = wtw[j][i] = jnp.sum(w[i] * w[j], axis=0)  # (B,)
     wtx = [
         [jnp.sum(w[i] * x[m], axis=0) for m in range(l)] for i in range(k)
     ]  # each (B,)
