@@ -75,8 +75,14 @@ class Builder:
         return self._aggregator
 
     def build(self) -> ViconNexusData:
-        lines = [",".join(row) for row in self._aggregator.rows]
-        return load_vicon_lines(lines)
+        # Re-serialize with csv quoting so cells containing commas or
+        # quotes survive the round trip into the bulk parser verbatim
+        # (Reader.feed_row's contract is that cells are atomic).
+        import io
+
+        buf = io.StringIO()
+        csv.writer(buf, lineterminator="\n").writerows(self._aggregator.rows)
+        return load_vicon_lines(buf.getvalue().splitlines())
 
 
 def create_reader(

@@ -363,7 +363,8 @@ def analyze_dataset(
     grid_w = jnp.concatenate(w_blocks, axis=0)
     grid_h = jnp.concatenate(h_blocks, axis=0)
 
-    if mesh is not None and grid_x.shape[0] % mesh.shape["data"] != 0:
+    mesh_divides = mesh is not None and grid_x.shape[0] % mesh.shape["data"] == 0
+    if mesh is not None and not mesh_divides:
         import warnings
 
         warnings.warn(
@@ -374,7 +375,7 @@ def analyze_dataset(
             "the mesh to keep the fit sharded.",
             stacklevel=2,
         )
-    if mesh is not None and grid_x.shape[0] % mesh.shape["data"] == 0:
+    if mesh_divides:
         from .parallel import sharded_fit_cd, sharded_fit_mu
         from .parallel.mesh import DATA_AXIS, TIME_AXIS
         from jax.sharding import NamedSharding, PartitionSpec as P

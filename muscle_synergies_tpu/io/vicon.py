@@ -109,6 +109,17 @@ class _Section:
 
 
 def _split_cells(line: str) -> List[str]:
+    """Split one CSV line into cells.
+
+    Plain ``split(",")`` on the fast path; quoted lines (a device name
+    containing a comma, say) go through :mod:`csv` so cells stay atomic
+    exactly as the reference's ``csv.reader`` row stream delivers them
+    (reference load_csv.py:21-31).
+    """
+    if '"' in line:
+        import csv
+
+        return next(csv.reader([line]))
     return line.split(",")
 
 

@@ -163,14 +163,21 @@ def _fit_mu_kernel(
         # relayout select_n between a replicated scalar add and the
         # lane-vector carry
         n_iter = n_iter + steps * (1 - conv_i)
-        err = _lane_error(x, w, h, k, l)
-        at_checkpoint = n_iter % check_every == 0
-        newly = jnp.logical_and(
-            (prev_err - err) / err0 < tol, at_checkpoint
-        )
-        new_conv = jnp.maximum(conv_i, newly.astype(jnp.int32))
-        prev_err = jnp.where(conv_i != 0, prev_err, err)
-        return w, h, n_iter, prev_err, new_conv
+        if tol > 0:
+            err = _lane_error(x, w, h, k, l)
+            at_checkpoint = n_iter % check_every == 0
+            newly = jnp.logical_and(
+                (prev_err - err) / err0 < tol, at_checkpoint
+            )
+            new_conv = jnp.maximum(conv_i, newly.astype(jnp.int32))
+            # mask on the *pre-update* flags: a trial converging at this
+            # checkpoint still records this check's error (the XLA
+            # fit's MUState.previous_error semantics)
+            prev_err = jnp.where(conv_i != 0, prev_err, err)
+            conv_i = new_conv
+        # tol <= 0 disables the convergence check entirely (run to
+        # max_iter), matching the XLA fit_mu's static tol>0 branch.
+        return w, h, n_iter, prev_err, conv_i
 
     init = (w0, h0, zero_i, err0, zero_i)
     w, h, n_iter, prev_err, conv_i = jax.lax.while_loop(cond, chunk, init)

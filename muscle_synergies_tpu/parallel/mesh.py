@@ -56,21 +56,20 @@ def init_distributed(
     mesh axes that cross hosts communicate over DCN, intra-slice axes
     over ICI (SURVEY §5, distributed-communication-backend row).
 
-    In the single-process case (``num_processes`` in (None, 1) with no
-    coordinator configured anywhere) this is a no-op, so library code
-    can call it unconditionally.  All arguments have the
-    ``jax.distributed.initialize`` semantics and, like it, fall back to
-    auto-detection from the cluster environment when omitted.
+    All arguments have the ``jax.distributed.initialize`` semantics
+    and, like it, fall back to auto-detection from the cluster
+    environment when omitted (TPU pod metadata, SLURM, Open MPI).  In a
+    plain single-process environment — nothing auto-detectable and no
+    coordinator given — this is a no-op, so library code can call it
+    unconditionally; repeated calls are no-ops as well.
 
     Returns:
         the number of participating processes (``jax.process_count()``).
     """
+    if jax.distributed.is_initialized():
+        return jax.process_count()
     explicit_single = num_processes == 1 and coordinator_address is None
-    if not explicit_single and (
-        coordinator_address is not None
-        or num_processes is not None
-        or _cluster_env_configured()
-    ):
+    if not explicit_single:
         try:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
@@ -78,24 +77,34 @@ def init_distributed(
                 process_id=process_id,
                 **kwargs,
             )
-        except RuntimeError as exc:  # already initialized: idempotent
-            if "already" not in str(exc).lower():
+        except RuntimeError as exc:
+            # Two benign shapes: a concurrent/second initializer (jax
+            # 0.9 wording: "should only be called once"), and an
+            # argless call after the XLA backend is already up — a
+            # single-process library caller probing for a cluster.
+            # An *explicitly configured* late call stays an error.
+            msg = str(exc).lower()
+            benign = (
+                "only be called once" in msg
+                or "already" in msg
+                or (
+                    "before any jax calls" in msg
+                    and coordinator_address is None
+                    and num_processes is None
+                )
+            )
+            if not benign:
+                raise
+        except ValueError as exc:
+            # auto-detection found no cluster: single-process no-op —
+            # but surface the error when the caller asked for one
+            if (
+                coordinator_address is not None
+                or num_processes is not None
+                or "coordinator_address" not in str(exc)
+            ):
                 raise
     return jax.process_count()
-
-
-def _cluster_env_configured() -> bool:
-    """True when a cluster environment advertises a JAX coordinator."""
-    import os
-
-    return any(
-        os.environ.get(var)
-        for var in (
-            "JAX_COORDINATOR_ADDRESS",
-            "COORDINATOR_ADDRESS",
-            "MEGASCALE_COORDINATOR_ADDRESS",
-        )
-    )
 
 
 def make_mesh(

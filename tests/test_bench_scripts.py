@@ -65,3 +65,11 @@ def test_bench_check_validates_kernel_numerics():
     payload = json.loads(result.stdout.strip().splitlines()[-1])
     assert payload["metric"] == "kernel_parity_max_rel_err"
     assert payload["vs_baseline"] == 1.0
+
+
+def test_dryrun_with_more_devices_than_requested():
+    """dryrun_multichip(n) must use the first n of >n available devices."""
+    code = "import __graft_entry__ as g; g.dryrun_multichip(4); print('OK4')"
+    result = _run(["-c", code])
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "OK4" in result.stdout

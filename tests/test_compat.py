@@ -155,3 +155,40 @@ def test_create_reader_rejects_custom_state():
     reader = lc.create_reader(aggregator=agg)
     builder = lc.create_builder(aggregator=agg)
     assert reader.aggregator is builder.aggregator
+
+
+def test_quoted_cells_roundtrip_through_push_adapters(tmp_path):
+    """Reader.feed_row cells with commas survive Builder.build verbatim.
+
+    The reference contract is that fed cells are atomic (Reader gets
+    csv.reader rows); the push adapters must not lose that on the
+    re-serialization into the bulk parser.
+    """
+    from muscle_synergies.vicon_data.load_csv import (
+        create_loading_run,
+        csv_row_stream,
+    )
+    from tests.test_ingest import GOLDEN_CSV
+
+    quoted = GOLDEN_CSV.replace(
+        "Plate A - Force", '"Plate A, Left - Force"'
+    ).replace(
+        "Plate A - Moment", '"Plate A, Left - Moment"'
+    ).replace(
+        "Plate A - CoP", '"Plate A, Left - CoP"'
+    )
+    path = tmp_path / "quoted.csv"
+    path.write_text(quoted)
+
+    run = create_loading_run()
+    for row in csv_row_stream(path):
+        run.reader.feed_row(row)
+    data = run.builder.build()
+
+    import muscle_synergies_tpu as mst
+
+    direct = mst.load_vicon_file(path)
+    assert data.forcepl[0].name == "Plate A, Left"
+    assert data.forcepl[0].name == direct.forcepl[0].name
+    pd.testing.assert_frame_equal(data.emg.df, direct.emg.df)
+    pd.testing.assert_frame_equal(data.forcepl[0].df, direct.forcepl[0].df)

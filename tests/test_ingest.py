@@ -260,3 +260,25 @@ def test_gzip_transparent(tmp_path):
         f.write(GOLDEN_CSV)
     data = load_vicon_file(path)
     np.testing.assert_array_equal(data.emg.array, EXP_EMG)
+
+
+def test_quoted_cells_stay_atomic(tmp_path):
+    """A quoted device name containing commas parses as one cell.
+
+    The reference row stream is ``csv.reader`` (reference
+    load_csv.py:21-31), which keeps quoted cells atomic; the bulk
+    decoder must match.
+    """
+    quoted = GOLDEN_CSV.replace(
+        "Plate A - Force", '"Plate A, Left - Force"'
+    ).replace(
+        "Plate A - Moment", '"Plate A, Left - Moment"'
+    ).replace(
+        "Plate A - CoP", '"Plate A, Left - CoP"'
+    )
+    path = tmp_path / "quoted.csv"
+    path.write_text(quoted)
+    data = load_vicon_file(path)
+    assert data.forcepl[0].name == "Plate A, Left"
+    assert data.forcepl[1].name == "Plate B"
+    np.testing.assert_array_equal(data.emg.array, EXP_EMG)

@@ -139,6 +139,36 @@ class TestFitMUKernel:
         assert np.all(np.asarray(n_iter) == 30)
         assert not np.any(np.asarray(conv))
 
+    def test_tol_zero_disables_convergence_check(self, problem):
+        """tol=0 must run to max_iter, like the XLA fit's static branch.
+
+        A near-converged f32 trial can see its Frobenius error tick up
+        at a checkpoint; with tol=0 the kernel must not interpret that
+        as convergence (reference point: sklearn treats tol=0 as "run
+        all of max_iter").
+        """
+        from muscle_synergies_tpu.models.kernels import fit_mu_pallas
+
+        xs, w, h = problem
+        # structured, fast-converging data maximizes the chance of an
+        # error uptick at some checkpoint
+        rng = np.random.default_rng(11)
+        wt = rng.random((B, N, 2))
+        ht = rng.random((B, 2, L))
+        xs2 = jnp.asarray(wt @ ht, dtype=jnp.float32)
+        wp, hp, n_iter, prev_err, conv = fit_mu_pallas(
+            xs2, w, h, max_iter=200, tol=0.0, block_b=B, interpret=True
+        )
+        assert np.all(np.asarray(n_iter) == 200)
+        assert not np.any(np.asarray(conv))
+        # factors equal the plain 200-iteration run (no frozen trials)
+        wi, hi = mu_iterations_pallas(xs2, w, h, 200, block_b=B,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(wp), np.asarray(wi),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(hp), np.asarray(hi),
+                                   rtol=1e-6, atol=1e-7)
+
 
 def test_fit_mu_batch_pallas_impl(problem=None):
     from muscle_synergies_tpu.models.batch import fit_mu_batch, init_batch

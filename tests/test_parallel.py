@@ -299,3 +299,45 @@ class TestMeshConstruction:
         # coordinator, must report one process
         assert init_distributed(num_processes=1) == 1
         assert init_distributed() == jax.process_count()
+
+
+def test_init_distributed_idempotent_after_real_init():
+    """Second and argless calls after a real initialize are no-ops.
+
+    jax 0.9 raises RuntimeError("distributed.initialize should only be
+    called once.") on a second call — the wrapper must swallow exactly
+    that and report the process count.  Runs in a subprocess because
+    the distributed runtime cannot be torn down cleanly in-process.
+    """
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    code = f"""
+import jax
+from muscle_synergies_tpu.parallel import init_distributed
+addr = "127.0.0.1:{port}"
+n1 = init_distributed(addr, num_processes=1, process_id=0)
+n2 = init_distributed(addr, num_processes=1, process_id=0)
+n3 = init_distributed()
+assert n1 == n2 == n3 == 1, (n1, n2, n3)
+assert jax.distributed.is_initialized()
+print("IDEMPOTENT_OK")
+"""
+    import os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    result = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=180,
+        env=env,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "IDEMPOTENT_OK" in result.stdout
