@@ -220,6 +220,7 @@ def find_synergies(
     *,
     max_iter: int = 100_000,
     tol: float = 1e-6,
+    sweep: str = "loop",
     **nmf_kwargs,
 ) -> SynergyRunResult:
     """Extract spatial muscle synergies by non-negative factorization.
@@ -228,6 +229,17 @@ def find_synergies(
     (``(num_measurements, num_muscles)``, non-negative) is factorized
     at rank ``n_components`` — or at every rank from ``n_components``
     to ``max_components`` — and each run's VAF is reported.
+
+    ``sweep`` selects how a rank *range* is executed: ``"loop"`` fits
+    one rank at a time (the reference's sequential Python loop,
+    analysis.py:909-913), ``"batched"`` stacks every rank into one
+    zero-rank-padded batch and solves them all in a single device
+    dispatch (padded components stay exactly zero under both solvers,
+    so each entry equals its independent fit).  In float64 the two
+    modes stop at identical iterates; in float32 the vmapped solve can
+    fuse differently and shift a convergence checkpoint by a step or
+    two (components agree to round-off).  ``"batched"`` does not
+    support the sparsity penalties or custom inits.
 
     Raises:
         ValueError: when the EMG frame is empty, or the rank range does
@@ -244,6 +256,16 @@ def find_synergies(
     if max_components is not None:
         if max_components < n_components or max_components > num_features:
             raise ValueError("invalid number of components")
+    if sweep not in ("loop", "batched"):
+        raise ValueError(f"unknown sweep mode: {sweep!r}")
+    if sweep == "batched" and max_components is not None:
+        return _sweep_batched(
+            processed_emg_df,
+            range(n_components, max_components + 1),
+            max_iter=max_iter,
+            tol=tol,
+            **nmf_kwargs,
+        )
 
     def single_run(k: int) -> SynergyRunResult:
         model = NMFModel(n_components=k, max_iter=max_iter, tol=tol, **nmf_kwargs)
@@ -271,3 +293,85 @@ def find_synergies(
         {k: r.components for k, r in runs.items()},
         {k: r.model for k, r in runs.items()},
     )
+
+
+def _sweep_batched(
+    processed_emg_df: pandas.DataFrame,
+    ranks,
+    *,
+    max_iter: int,
+    tol: float,
+    solver: str = "cd",
+    init: Optional[str] = None,
+    random_state: Optional[int] = None,
+    svd_method: str = "exact",
+    **unsupported,
+) -> SynergyRunResult:
+    """Run a rank sweep as one zero-rank-padded batched device solve.
+
+    The TPU-native execution of the reference's sequential rank loop
+    (reference analysis.py:909-913): every rank's problem becomes one
+    entry of a ``(R, N, L)`` batch with factors zero-padded to
+    ``max(ranks)``; multiplicative updates and HALS both keep padded
+    components exactly zero (their numerators are identically zero), so
+    entry ``i`` equals the independent rank-``ranks[i]`` fit while the
+    whole sweep costs a single dispatch with per-entry stopping.
+    """
+    if unsupported:
+        raise ValueError(
+            "sweep='batched' does not support "
+            f"{sorted(unsupported)}; use the default sweep='loop'"
+        )
+    from ..analysis import vaf as _vaf
+    from .batch import _pad_rank, fit_cd_batch, fit_mu_batch
+
+    x = jnp.asarray(processed_emg_df.to_numpy(dtype=float))
+    if np.any(np.asarray(x) < 0):
+        raise ValueError("Negative values in data passed to NMF")
+    ranks = list(ranks)
+    k_max = max(ranks)
+    w_stack, h_stack = [], []
+    for k in ranks:
+        w0, h0 = initialize_nmf(
+            x, k, init=init, seed=random_state or 0, svd_method=svd_method
+        )
+        w0p, h0p = _pad_rank(w0.astype(x.dtype), h0.astype(x.dtype), k, k_max)
+        w_stack.append(w0p)
+        h_stack.append(h0p)
+    xs = jnp.broadcast_to(x, (len(ranks),) + x.shape)
+    w0s, h0s = jnp.stack(w_stack), jnp.stack(h_stack)
+
+    if solver == "mu":
+        states = fit_mu_batch(xs, w0s, h0s, max_iter=max_iter, tol=float(tol))
+        w_all, h_all = states.w, states.h
+    elif solver == "cd":
+        states = fit_cd_batch(xs, w0s, h0s, max_iter=max_iter, tol=float(tol))
+        w_all, h_all = states.w, jnp.swapaxes(states.ht, -1, -2)
+    else:
+        raise ValueError(f"unknown solver: {solver!r}")
+
+    n_iters = np.asarray(states.n_iter)
+    vaf_rows, comps, models = [], {}, {}
+    for i, k in enumerate(ranks):
+        w = np.asarray(w_all[i][:, :k])
+        h = np.asarray(h_all[i][:k, :])
+        vaf_rows.append(
+            _vaf(processed_emg_df, components=h, transformed_signal=w)
+        )
+        comps[k] = pandas.DataFrame(h, columns=processed_emg_df.columns)
+        model = NMFModel(
+            n_components=k, solver=solver, init=init, tol=tol,
+            max_iter=max_iter, random_state=random_state,
+            svd_method=svd_method,
+        )
+        model.n_components_ = k
+        model.n_iter_ = int(n_iters[i])
+        model.components_ = h
+        model.reconstruction_err_ = float(
+            frobenius_error(x, jnp.asarray(w), jnp.asarray(h))
+        )
+        models[k] = model
+
+    vaf_values = pandas.concat(vaf_rows)
+    vaf_values.set_index(np.array(ranks), inplace=True)
+    return SynergyRunResult(vaf_values, comps, models)

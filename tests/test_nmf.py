@@ -225,6 +225,39 @@ class TestFindSynergies:
         with pytest.raises(ValueError, match="empty"):
             mst.find_synergies(emg_df.iloc[:0], 2)
 
+    @pytest.mark.parametrize("solver", ["cd", "mu"])
+    def test_batched_sweep_matches_loop(self, emg_df, solver):
+        """sweep='batched' (one padded device solve) equals the loop."""
+        loop = mst.find_synergies(
+            emg_df, 1, 4, max_iter=3000, tol=1e-6, solver=solver
+        )
+        batched = mst.find_synergies(
+            emg_df, 1, 4, max_iter=3000, tol=1e-6, solver=solver,
+            sweep="batched",
+        )
+        assert list(batched.vaf_values.index) == [1, 2, 3, 4]
+        for k in (1, 2, 3, 4):
+            assert batched.model[k].n_iter_ == loop.model[k].n_iter_, k
+            np.testing.assert_allclose(
+                batched.components[k].to_numpy(),
+                loop.components[k].to_numpy(),
+                rtol=1e-7,
+                atol=1e-10,
+            )
+        np.testing.assert_allclose(
+            batched.vaf_values.to_numpy(),
+            loop.vaf_values.to_numpy(),
+            rtol=1e-9,
+        )
+
+    def test_batched_sweep_rejects_unsupported_kwargs(self, emg_df):
+        with pytest.raises(ValueError, match="does not support"):
+            mst.find_synergies(
+                emg_df, 1, 3, sweep="batched", alpha_W=0.1
+            )
+        with pytest.raises(ValueError, match="unknown sweep"):
+            mst.find_synergies(emg_df, 1, 3, sweep="bogus")
+
 
 class TestAcceleratedMU:
     def test_inner_iter_one_is_sklearn_exact(self, x, custom_init):
