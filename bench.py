@@ -114,20 +114,33 @@ def _fresh_factors(args, dtype, seed, avg):
 def _measure_per_call(step_fn, xs, args, dtype, avg):
     """Median differenced chain timing; returns seconds per step call.
 
-    Chaining dependent calls defeats transparent result caching between
-    identical calls; the scalar readback forces execution to complete
-    even through remote-device tunnels where ``block_until_ready`` can
-    return optimistically; differencing two chain lengths cancels the
-    fixed dispatch/transfer latency of the tunnel.
+    The whole chain of dependent calls runs inside ONE jitted
+    ``fori_loop`` (one executable launch), so per-call dispatch never
+    pollutes the per-iteration number — through a remote-device relay
+    each separate launch costs milliseconds, which at 1000 iters/call
+    understates kernel throughput by ~35%.  Fresh factors per chain
+    defeat transparent result caching; the scalar readback forces
+    execution to complete even where ``block_until_ready`` can return
+    optimistically; differencing two chain lengths cancels the
+    remaining fixed dispatch/transfer latency.  The loop bound is a
+    traced argument, so both chain lengths share one compilation.
     """
+    import jax
     import jax.numpy as jnp
+
+    @jax.jit
+    def chain(xs, w, h, n_calls):
+        def body(_, wh):
+            w, h = wh
+            return step_fn(xs, w, h, args.iters)
+
+        w, h = jax.lax.fori_loop(0, n_calls, body, (w, h))
+        return jnp.sum(w) + jnp.sum(h)
 
     def timed_chain(n_calls, seed):
         w, h = _fresh_factors(args, dtype, seed, avg)
         t0 = time.perf_counter()
-        for _ in range(n_calls):
-            w, h = step_fn(xs, w, h, args.iters)
-        float(jnp.sum(w) + jnp.sum(h))
+        float(chain(xs, w, h, jnp.int32(n_calls)))
         return time.perf_counter() - t0
 
     timed_chain(1, seed=999)  # warm-up: compile
