@@ -150,7 +150,9 @@ def stream_vicon_file(
 
             def flush():
                 nonlocal row_offset, buffer, buffer_start, emitted
-                data = _decode_data_block(buffer, header.num_cols, buffer_start)
+                data = _decode_data_block(
+                    "\n".join(buffer).encode(), header.num_cols, buffer_start
+                )
                 chunk = ViconChunk(header, row_offset, data)
                 row_offset += data.shape[0]
                 buffer = []

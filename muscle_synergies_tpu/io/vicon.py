@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 from dataclasses import dataclass
 from enum import Enum
 from typing import List, Optional, Sequence, Tuple, Union
@@ -221,25 +222,25 @@ def _devices_from_traj_headers(
 
 
 def _decode_data_block(
-    lines: List[str], num_cols: int, first_lineno: int
+    data: bytes, num_cols: int, first_lineno: int
 ) -> np.ndarray:
     """Bulk-decode the numeric block of a section into float64.
 
-    Empty cells become NaN.  Columns beyond ``num_cols`` are ignored
-    (they are padding in the Vicon export).  Uses the native C++
-    decoder when available (built on demand; see
+    ``data`` is the raw data-block bytes (rows separated by newlines —
+    CR tolerated).  Empty cells become NaN.  Columns beyond
+    ``num_cols`` are ignored (they are padding in the Vicon export).
+    Uses the native C++ decoder when available (built on demand; see
     :mod:`muscle_synergies_tpu.native`), falling back to the pandas C
     reader.
     """
-    if not lines:
+    if not data.strip(b", \t\r\n"):
         return np.empty((0, num_cols), dtype=float)
-    text = "\n".join(lines)
 
     if os.environ.get("MST_DISABLE_NATIVE") != "1":
         from .. import native
 
         try:
-            arr = native.decode_block(text.encode(), num_cols)
+            arr = native.decode_block(data, num_cols)
         except ValueError as exc:
             raise _err(first_lineno, str(exc)) from exc
         if arr is not None:
@@ -247,7 +248,7 @@ def _decode_data_block(
 
     try:
         frame = pd.read_csv(
-            io.StringIO(text),
+            io.BytesIO(data),
             header=None,
             dtype=float,
             na_filter=True,
@@ -313,37 +314,70 @@ def _parse_section_header(
 
 
 def _parse_section(
-    lines: List[str], start_lineno: int, expected_type: str
+    chunk: bytes, start_lineno: int, expected_type: str
 ) -> _Section:
-    """Parse one section (5 header lines + data block)."""
+    """Parse one section (5 header lines + data-block bytes)."""
+    parts = chunk.split(b"\n", 5)
+    header = [p.rstrip(b"\r").decode() for p in parts[:5]]
     frequency, devices, coords, units = _parse_section_header(
-        lines, start_lineno, expected_type
+        header, start_lineno, expected_type
     )
-    data = _decode_data_block(lines[5:], len(coords), start_lineno + 5)
+    data_bytes = parts[5] if len(parts) > 5 else b""
+    data = _decode_data_block(data_bytes, len(coords), start_lineno + 5)
     return _Section(expected_type, frequency, devices, coords, units, data)
 
 
-def _split_into_sections(lines: List[str]) -> List[Tuple[int, List[str]]]:
-    """Split file lines into (1-based start line, section lines) chunks."""
+def _split_into_sections(data: bytes) -> List[Tuple[int, bytes]]:
+    """Split capture bytes into (1-based start line, section bytes) chunks.
+
+    Sections are maximal runs of non-blank lines; a blank line is one
+    containing only commas/whitespace.  Line starts and blank
+    candidates are found with vectorized numpy passes over the raw
+    buffer (byte-level line splitting is UTF-8-safe) instead of a
+    per-line Python scan — the capture has ~100k data lines and this
+    is the ingest's second-hottest path after the float decode.
+    """
+    arr = np.frombuffer(data, dtype=np.uint8)
+    nl = np.flatnonzero(arr == 0x0A)
+    starts = np.empty(nl.size + 1, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = nl + 1
+    ends = np.empty(nl.size + 1, dtype=np.int64)
+    ends[:-1] = nl
+    ends[-1] = arr.size
+    if starts.size and starts[-1] == arr.size:  # trailing-newline phantom
+        starts, ends = starts[:-1], ends[:-1]
+    if not starts.size:
+        return []
+
+    # cheap candidate test: empty line, or first byte comma/whitespace
+    # (data lines start with a digit, header lines with a word char)
+    first = arr[starts]
+    cand = np.flatnonzero(
+        (ends == starts)
+        | (first == 0x2C)  # ,
+        | (first == 0x20)  # space
+        | (first == 0x09)  # tab
+        | (first == 0x0D)  # CR
+    )
+    blank = [
+        i
+        for i in cand.tolist()
+        if not data[starts[i] : ends[i]].strip(b", \t\r")
+    ]
+
     sections = []
-    current: List[str] = []
-    current_start = 1
-    for i, line in enumerate(lines, start=1):
-        if _is_blank(line):
-            if current:
-                sections.append((current_start, current))
-                current = []
-            current_start = i + 1
-        else:
-            if not current:
-                current_start = i
-            current.append(line)
-    if current:
-        sections.append((current_start, current))
+    prev = 0
+    for b in blank + [starts.size]:
+        if b > prev:
+            sections.append(
+                (prev + 1, data[starts[prev] : ends[b - 1]])
+            )
+        prev = b + 1
     return sections
 
 
-def _read_text(csv_filename: Union[str, os.PathLike]) -> str:
+def _read_bytes(csv_filename: Union[str, os.PathLike]) -> bytes:
     """Read the capture, transparently decompressing gzip archives."""
     with open(csv_filename, "rb") as stream:
         head = stream.read(2)
@@ -351,27 +385,32 @@ def _read_text(csv_filename: Union[str, os.PathLike]) -> str:
         if head == b"\x1f\x8b":  # gzip magic
             import gzip
 
-            with gzip.open(stream, "rt", newline="") as gz:
+            with gzip.open(stream, "rb") as gz:
                 return gz.read()
-        return stream.read().decode()
+        return stream.read()
 
 
-def parse_vicon_lines(lines: List[str]) -> List[_Section]:
-    """Parse raw capture lines into the two sections (Devices, Trajectories)."""
-    chunks = _split_into_sections(lines)
+def parse_vicon_bytes(data: bytes) -> List[_Section]:
+    """Parse raw capture bytes into the two sections (Devices, Trajectories)."""
+    chunks = _split_into_sections(data)
     if len(chunks) != 2:
         raise ViconCSVError(
             f"expected 2 sections (Devices, Trajectories), found {len(chunks)}"
         )
-    (start1, lines1), (start2, lines2) = chunks
-    section1 = _parse_section(lines1, start1, "Devices")
-    section2 = _parse_section(lines2, start2, "Trajectories")
+    (start1, bytes1), (start2, bytes2) = chunks
+    section1 = _parse_section(bytes1, start1, "Devices")
+    section2 = _parse_section(bytes2, start2, "Trajectories")
     return [section1, section2]
+
+
+def parse_vicon_lines(lines: List[str]) -> List[_Section]:
+    """Parse capture lines (the push-adapter path) into the two sections."""
+    return parse_vicon_bytes("\n".join(lines).encode())
 
 
 def parse_vicon_csv(csv_filename: Union[str, os.PathLike]) -> List[_Section]:
     """Parse the file into its two sections (Devices, Trajectories)."""
-    return parse_vicon_lines(_read_text(csv_filename).splitlines())
+    return parse_vicon_bytes(_read_bytes(csv_filename))
 
 
 def _build_device(

@@ -85,7 +85,10 @@ def decode_block(text: bytes, num_cols: int) -> Optional[np.ndarray]:
         return None
     if isinstance(text, str):
         text = text.encode()
-    n_rows = lib.msk_count_rows(text, len(text))
+    # capacity bound: newline count (memchr-fast) upper-bounds the data
+    # rows (blank lines only shrink it), saving the decoder's exact
+    # content-aware counting pass over the whole buffer
+    n_rows = text.count(b"\n") + 1
     out = np.empty((n_rows, num_cols), dtype=np.float64)
     got = ctypes.c_long(0)
     status = lib.msk_decode_block(
