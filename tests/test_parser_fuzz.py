@@ -108,3 +108,63 @@ def test_native_and_fallback_paths_agree(tmp_path, seed):
         assert a.name == b.name
         assert a.units == b.units
         np.testing.assert_array_equal(a.array, b.array)
+
+
+@pytest.mark.skipif(load_decoder() is None, reason="no C++ toolchain")
+@pytest.mark.parametrize("seed", range(12, 24))
+def test_structural_variants_agree(tmp_path, seed):
+    """Byte-level structure fuzz: the splitter must tolerate CRLF,
+    extra/leading/trailing blank separator lines, a missing final
+    newline, and quoted device names — with native and fallback decode
+    paths still byte-identical."""
+    rng = np.random.default_rng(seed)
+    text, n_plates, n_emg, n_markers = _random_capture_text(rng)
+
+    # quoted device name containing a comma (keeps the plate count)
+    if n_plates and rng.random() < 0.7:
+        for kind in ("Force", "Moment", "CoP"):
+            text = text.replace(
+                f"Plate 0 - {kind}", f'"Plate 0, L - {kind}"'
+            )
+
+    lines = text.split("\n")
+    # extra blank separator lines (various shapes) around the boundary
+    idx = lines.index("Trajectories" + lines[0][len("Devices"):])
+    for blank in ["", ",,,", " , ,", "\t,"][: int(rng.integers(0, 4))]:
+        lines.insert(idx, blank)
+    # leading blanks before the Devices section
+    for _ in range(int(rng.integers(0, 3))):
+        lines.insert(0, "," * int(rng.integers(0, 5)))
+    # trailing blanks after the trajectories block
+    for _ in range(int(rng.integers(0, 3))):
+        lines.append("," * int(rng.integers(0, 5)))
+    text = "\n".join(lines)
+    if rng.random() < 0.5:
+        text = text.rstrip("\n")  # no final newline
+    if rng.random() < 0.5:
+        text = text.replace("\n", "\r\n")  # CRLF terminators
+
+    path = tmp_path / f"fuzz_struct_{seed}.csv"
+    path.write_bytes(text.encode())
+
+    native = load_vicon_file(path)
+    prior = os.environ.get("MST_DISABLE_NATIVE")
+    os.environ["MST_DISABLE_NATIVE"] = "1"
+    try:
+        fallback = load_vicon_file(path)
+    finally:
+        if prior is None:
+            del os.environ["MST_DISABLE_NATIVE"]
+        else:
+            os.environ["MST_DISABLE_NATIVE"] = prior
+
+    assert len(native.forcepl) == n_plates
+    assert len(native.traj) == n_markers
+    assert native.emg.array.shape[1] == n_emg
+    for a, b in zip(
+        [native.emg] + native.forcepl + native.traj,
+        [fallback.emg] + fallback.forcepl + fallback.traj,
+    ):
+        assert a.name == b.name
+        assert a.units == b.units
+        np.testing.assert_array_equal(a.array, b.array)
