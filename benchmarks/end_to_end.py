@@ -120,7 +120,14 @@ def run_ours(path, warm: bool = True):
 
     if warm:
         once()  # compile warm-up; jits cache across calls
-    return once()
+    runs = [once() for _ in range(3)]
+    return _median_stages(runs)
+
+
+def _median_stages(runs):
+    """Per-stage medians over repeated runs (1-core box is noisy)."""
+    med = [float(np.median([r[i] for r in runs])) for i in range(3)]
+    return (*med, runs[-1][3])
 
 
 def run_reference(path):
@@ -130,6 +137,10 @@ def run_reference(path):
     if not getattr(ref, "__file__", "").startswith(REFERENCE_SRC):
         raise RuntimeError("did not import the reference implementation")
 
+    return _median_stages([_run_reference_once(ref, path) for _ in range(3)])
+
+
+def _run_reference_once(ref, path):
     t0 = time.perf_counter()
     data = ref.load_vicon_file(path)
     t_load = time.perf_counter() - t0

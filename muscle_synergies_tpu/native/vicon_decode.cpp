@@ -27,6 +27,44 @@ static inline bool is_content(char c) {
     return c != ',' && c != ' ' && c != '\t' && c != '\r';
 }
 
+// Exact fast path for plain fixed-point cells ("1", "-0.00220871",
+// "100.5" — the overwhelming majority of a Vicon export).  Safe by
+// Gay's small-decimal rule: when the mantissa fits in 53 bits and the
+// fractional digit count stays within the exactly-representable
+// powers of ten, double(mant) / double(10^frac) performs ONE rounding
+// and therefore equals the correctly-rounded decimal value —
+// bit-identical to std::from_chars.  Anything else (exponents, long
+// mantissas) returns false and takes the from_chars path.
+static inline bool fast_parse(const char* p, const char* end, double* out) {
+    static const double p10[] = {
+        1e0, 1e1, 1e2, 1e3, 1e4, 1e5, 1e6, 1e7, 1e8, 1e9,
+        1e10, 1e11, 1e12, 1e13, 1e14, 1e15, 1e16, 1e17, 1e18,
+    };
+    bool neg = false;
+    if (p < end && *p == '-') { neg = true; ++p; }
+    unsigned long long mant = 0;
+    int digits = 0, frac = 0;
+    bool seen_dot = false;
+    for (; p < end; ++p) {
+        char c = *p;
+        if (c >= '0' && c <= '9') {
+            if (++digits > 18) return false;
+            mant = mant * 10ULL + (unsigned long long)(c - '0');
+            if (seen_dot) ++frac;
+        } else if (c == '.' && !seen_dot) {
+            seen_dot = true;
+        } else {
+            return false;  // exponent / junk: slow path decides
+        }
+    }
+    if (digits == 0) return false;  // "." / "-": slow path rejects
+    if (mant >> 53) return false;   // not exactly representable
+    double v = (double)mant;
+    if (frac) v /= p10[frac];
+    *out = neg ? -v : v;
+    return true;
+}
+
 // Count data rows (non-blank lines) in the buffer.
 long msk_count_rows(const char* buf, long len) {
     long rows = 0;
@@ -92,6 +130,12 @@ static long decode_range(const char* buf, long len, long num_cols,
                     // from_chars rejects a leading '+'; Vicon never
                     // emits one, but accept it for robustness.
                     if (cs < ce && *cs == '+') ++cs;
+                    if (fast_parse(cs, ce, &v)) {
+                        out_row[col] = v;
+                        ++col;
+                        cell_start = j + 1;
+                        continue;
+                    }
                     auto res = std::from_chars(cs, ce, v);
                     if (res.ec != std::errc() || res.ptr != ce) {
                         if (cs == ce) { out_row[col] = nan_val; ++col;
