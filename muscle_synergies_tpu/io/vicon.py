@@ -133,7 +133,15 @@ def _prune_trailing(cells: List[str]) -> List[str]:
 
 
 def _is_blank(line: str) -> bool:
-    return line.replace(",", "").strip() == ""
+    """A section-separator line: only commas and plain whitespace.
+
+    The explicit character set matches the byte-level splitter in
+    :func:`_split_into_sections` (and the reference, whose BlankState
+    requires every csv cell to be empty — a form-feed cell is content
+    there too), so the streaming and whole-file parsers agree on what
+    separates sections.
+    """
+    return not line.strip(", \t\r\n")
 
 
 def _err(lineno: int, message: str) -> ViconCSVError:
@@ -337,6 +345,10 @@ def _split_into_sections(data: bytes) -> List[Tuple[int, bytes]]:
     per-line Python scan — the capture has ~100k data lines and this
     is the ingest's second-hottest path after the float decode.
     """
+    if b"\r" in data and data.count(b"\r\n") != data.count(b"\r"):
+        # lone-CR terminators (classic-Mac exports): normalize once so
+        # the newline-offset pass below sees every line boundary
+        data = data.replace(b"\r\n", b"\n").replace(b"\r", b"\n")
     arr = np.frombuffer(data, dtype=np.uint8)
     nl = np.flatnonzero(arr == 0x0A)
     starts = np.empty(nl.size + 1, dtype=np.int64)

@@ -251,6 +251,7 @@ def rank_sweep_batch(
     max_iter: int = 200,
     tol: float = 1e-4,
     seed: int = 0,
+    svd_method: str = "exact",
 ):
     """Factorize one trial at several ranks in a single vmapped fit.
 
@@ -266,8 +267,12 @@ def rank_sweep_batch(
     k_max = max(ranks)
     w_stack, h_stack = [], []
     for k in ranks:
-        w0, h0 = initialize_nmf(x, k, init=init, seed=seed)
-        w0p, h0p = _pad_rank(w0, h0, k, k_max)
+        w0, h0 = initialize_nmf(
+            x, k, init=init, seed=seed, svd_method=svd_method
+        )
+        w0p, h0p = _pad_rank(
+            w0.astype(x.dtype), h0.astype(x.dtype), k, k_max
+        )
         w_stack.append(w0p)
         h_stack.append(h0p)
     w0s = jnp.stack(w_stack)

@@ -323,32 +323,21 @@ def _sweep_batched(
             f"{sorted(unsupported)}; use the default sweep='loop'"
         )
     from ..analysis import vaf as _vaf
-    from .batch import _pad_rank, fit_cd_batch, fit_mu_batch
+    from .batch import rank_sweep_batch
 
-    x = jnp.asarray(processed_emg_df.to_numpy(dtype=float))
-    if np.any(np.asarray(x) < 0):
+    arr = processed_emg_df.to_numpy(dtype=float)
+    if np.any(arr < 0):  # host-side: no device round trip for the test
         raise ValueError("Negative values in data passed to NMF")
+    x = jnp.asarray(arr)
     ranks = list(ranks)
-    k_max = max(ranks)
-    w_stack, h_stack = [], []
-    for k in ranks:
-        w0, h0 = initialize_nmf(
-            x, k, init=init, seed=random_state or 0, svd_method=svd_method
-        )
-        w0p, h0p = _pad_rank(w0.astype(x.dtype), h0.astype(x.dtype), k, k_max)
-        w_stack.append(w0p)
-        h_stack.append(h0p)
-    xs = jnp.broadcast_to(x, (len(ranks),) + x.shape)
-    w0s, h0s = jnp.stack(w_stack), jnp.stack(h_stack)
-
+    states, _ = rank_sweep_batch(
+        x, ranks, init=init, solver=solver, max_iter=max_iter,
+        tol=float(tol), seed=random_state or 0, svd_method=svd_method,
+    )
     if solver == "mu":
-        states = fit_mu_batch(xs, w0s, h0s, max_iter=max_iter, tol=float(tol))
         w_all, h_all = states.w, states.h
-    elif solver == "cd":
-        states = fit_cd_batch(xs, w0s, h0s, max_iter=max_iter, tol=float(tol))
-        w_all, h_all = states.w, jnp.swapaxes(states.ht, -1, -2)
     else:
-        raise ValueError(f"unknown solver: {solver!r}")
+        w_all, h_all = states.w, jnp.swapaxes(states.ht, -1, -2)
 
     n_iters = np.asarray(states.n_iter)
     vaf_rows, comps, models = [], {}, {}

@@ -80,17 +80,27 @@ def init_distributed(
         except RuntimeError as exc:
             # Two benign shapes: a concurrent/second initializer (jax
             # 0.9 wording: "should only be called once"), and an
-            # argless call after the XLA backend is already up — a
-            # single-process library caller probing for a cluster.
-            # An *explicitly configured* late call stays an error.
+            # argless call after the XLA backend is already up on a
+            # plain single host — a library caller probing for a
+            # cluster.  A late call that was *explicitly configured*
+            # (any argument) or that runs where a cluster environment
+            # is advertised stays an error: swallowing it would
+            # silently degrade a multi-host job to N independent
+            # single-process runs.
             msg = str(exc).lower()
+            explicit = (
+                coordinator_address is not None
+                or num_processes is not None
+                or process_id is not None
+                or bool(kwargs)
+            )
             benign = (
                 "only be called once" in msg
                 or "already" in msg
                 or (
                     "before any jax calls" in msg
-                    and coordinator_address is None
-                    and num_processes is None
+                    and not explicit
+                    and not _cluster_env_configured()
                 )
             )
             if not benign:
@@ -105,6 +115,33 @@ def init_distributed(
             ):
                 raise
     return jax.process_count()
+
+
+def _cluster_env_configured() -> bool:
+    """True when the environment advertises a *multi-process* cluster.
+
+    Single-worker values (one TPU worker hostname, one-task SLURM/MPI
+    jobs) do not count: only evidence of >1 process should turn a
+    late ``init_distributed()`` into a hard error.
+    """
+    import os
+
+    if any(
+        os.environ.get(var)
+        for var in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+        )
+    ):
+        return True
+    if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
+        return True
+    for var in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE"):
+        val = os.environ.get(var, "")
+        if val.isdigit() and int(val) > 1:
+            return True
+    return False
 
 
 def make_mesh(

@@ -282,3 +282,12 @@ def test_quoted_cells_stay_atomic(tmp_path):
     assert data.forcepl[0].name == "Plate A, Left"
     assert data.forcepl[1].name == "Plate B"
     np.testing.assert_array_equal(data.emg.array, EXP_EMG)
+
+
+def test_lone_cr_line_endings(tmp_path):
+    """Classic-Mac CR-only terminators parse like LF (splitlines parity)."""
+    path = tmp_path / "cr.csv"
+    path.write_bytes(GOLDEN_CSV.replace("\n", "\r").encode())
+    data = load_vicon_file(path)
+    np.testing.assert_array_equal(data.emg.array, EXP_EMG)
+    assert data.forcepl[0].name == "Plate A"
