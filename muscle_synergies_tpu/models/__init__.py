@@ -1,5 +1,6 @@
 """NMF solver suite: initialization, MU and HALS/CD solvers, selection."""
 
+from .beta import BetaState, beta_divergence, fit_mu_beta, mu_update_beta
 from .hals import CDState, cd_pass, fit_cd
 from .init import initialize_nmf, nndsvd
 from .mu import EPSILON, MUState, fit_mu, frobenius_error, mu_update
@@ -21,6 +22,10 @@ __all__ = [
     "mu_update",
     "fit_mu",
     "MUState",
+    "beta_divergence",
+    "mu_update_beta",
+    "fit_mu_beta",
+    "BetaState",
     "frobenius_error",
     "EPSILON",
     "cd_pass",

@@ -49,8 +49,14 @@ class NMFModel:
     Drop-in for the surface of ``sklearn.decomposition.NMF`` that the
     reference relies on.  ``solver`` may be ``"cd"`` (cyclic coordinate
     descent / HALS, sklearn's default) or ``"mu"`` (multiplicative
-    updates).  Sparsity is controlled through ``alpha_W`` / ``alpha_H``
-    / ``l1_ratio`` with sklearn's dimension-scaled penalties.
+    updates).  ``beta_loss`` accepts ``"frobenius"`` (default),
+    ``"kullback-leibler"``, ``"itakura-saito"`` or a float beta — any
+    non-Frobenius loss requires ``solver="mu"``, as in sklearn.
+    Sparsity is controlled through ``alpha_W`` / ``alpha_H`` /
+    ``l1_ratio`` with sklearn's dimension-scaled penalties; the legacy
+    sklearn <= 0.24 spelling ``alpha=`` + ``regularization=`` (the API
+    of the version the reference pins) is accepted and mapped.
+    ``verbose`` is accepted for signature compatibility and ignored.
     ``svd_method="randomized"`` makes the NNDSVD-family inits
     bit-identical to sklearn's (host-side randomized SVD seeded by
     ``random_state``), so default-init runs are directly comparable.
@@ -69,6 +75,7 @@ class NMFModel:
         n_components: Optional[int] = None,
         *,
         solver: str = "cd",
+        beta_loss: Union[str, float] = "frobenius",
         init: Optional[str] = None,
         tol: float = 1e-4,
         max_iter: int = 200,
@@ -77,9 +84,32 @@ class NMFModel:
         alpha_H: Union[float, str] = "same",
         l1_ratio: float = 0.0,
         svd_method: str = "exact",
+        alpha: Optional[float] = None,
+        regularization: Optional[str] = None,
+        verbose: int = 0,
     ):
+        # Legacy sklearn <= 0.24 style (the version the reference pins,
+        # reference requirements.txt:3): a single `alpha` applied per
+        # `regularization` in {'both', 'components', 'transformation'}.
+        if alpha is not None:
+            if regularization in (None, "both"):
+                alpha_W, alpha_H = alpha, "same"
+            elif regularization == "components":
+                alpha_W, alpha_H = 0.0, alpha
+            elif regularization == "transformation":
+                alpha_W, alpha_H = alpha, 0.0
+            else:
+                raise ValueError(
+                    f"invalid regularization: {regularization!r} (expected "
+                    "'both', 'components' or 'transformation')"
+                )
+        elif regularization is not None and regularization not in (
+            "both", "components", "transformation"
+        ):
+            raise ValueError(f"invalid regularization: {regularization!r}")
         self.n_components = n_components
         self.solver = solver
+        self.beta_loss = beta_loss
         self.init = init
         self.tol = tol
         self.max_iter = max_iter
@@ -88,6 +118,7 @@ class NMFModel:
         self.alpha_H = alpha_H
         self.l1_ratio = l1_ratio
         self.svd_method = svd_method
+        self.verbose = verbose
 
     def fit_transform(
         self,
@@ -135,7 +166,30 @@ class NMFModel:
             self.alpha_W, self.alpha_H, self.l1_ratio, n, l
         )
 
-        if self.solver == "mu":
+        from .beta import beta_loss_to_float, fit_mu_beta
+
+        beta = beta_loss_to_float(self.beta_loss)
+        if beta != 2.0 and self.solver != "mu":
+            # sklearn: only the MU solver handles general beta
+            raise ValueError(
+                f"Invalid beta_loss parameter: solver {self.solver!r} does "
+                f"not handle beta_loss = {self.beta_loss!r}"
+            )
+        if beta != 2.0:
+            state = fit_mu_beta(
+                x_arr,
+                w0,
+                h0,
+                beta=beta,
+                max_iter=self.max_iter,
+                tol=float(self.tol),
+                l1_reg_w=l1_w,
+                l2_reg_w=l2_w,
+                l1_reg_h=l1_h,
+                l2_reg_h=l2_h,
+            )
+            w_final, h_final = state.w, state.h
+        elif self.solver == "mu":
             state = fit_mu(
                 x_arr,
                 w0,

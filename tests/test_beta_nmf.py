@@ -1,0 +1,145 @@
+"""Beta-divergence MU solver parity vs sklearn (KL, IS, general beta).
+
+The reference forwards **sklearn_kwargs into sklearn NMF (reference
+analysis.py:718-720), so beta_loss must behave identically here.
+Tests run in float64 on CPU (conftest) and share a custom init with
+sklearn so trajectories are directly comparable.
+"""
+
+import numpy as np
+import pytest
+from sklearn.decomposition import NMF as SkNMF
+from sklearn.decomposition._nmf import _beta_divergence
+
+import muscle_synergies_tpu as mst
+from muscle_synergies_tpu.models.beta import (
+    beta_divergence,
+    beta_loss_to_float,
+    fit_mu_beta,
+    mu_update_beta,
+)
+
+RNG = np.random.default_rng(42)
+N, L, K = 60, 8, 3
+
+
+@pytest.fixture(scope="module")
+def problem():
+    wt = RNG.random((N, 2))
+    ht = RNG.random((2, L))
+    x = wt @ ht + 0.02 * RNG.random((N, L))
+    w0 = np.abs(RNG.standard_normal((N, K)))
+    h0 = np.abs(RNG.standard_normal((K, L)))
+    return x, w0, h0
+
+
+@pytest.mark.parametrize("beta", [0.0, 0.5, 1.0, 1.5, 2.0, 2.5])
+def test_divergence_matches_sklearn(problem, beta):
+    x, w0, h0 = problem
+    ours = float(beta_divergence(x, w0, h0, beta, square_root=True))
+    ref = _beta_divergence(x, w0, h0, beta, square_root=True)
+    np.testing.assert_allclose(ours, ref, rtol=1e-10)
+
+
+@pytest.mark.parametrize(
+    "beta_loss", ["kullback-leibler", "itakura-saito", 0.5, 1.5]
+)
+def test_fit_matches_sklearn(problem, beta_loss):
+    x, w0, h0 = problem
+    sk = SkNMF(
+        n_components=K, solver="mu", beta_loss=beta_loss, init="custom",
+        max_iter=200, tol=1e-5,
+    )
+    w_sk = sk.fit_transform(x, W=w0.copy(), H=h0.copy())
+
+    state = fit_mu_beta(
+        x, w0, h0, beta=beta_loss_to_float(beta_loss),
+        max_iter=200, tol=1e-5,
+    )
+    assert int(state.n_iter) == sk.n_iter_
+    np.testing.assert_allclose(np.asarray(state.w), w_sk, rtol=1e-7,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(state.h), sk.components_,
+                               rtol=1e-7, atol=1e-10)
+
+
+def test_single_update_matches_sklearn_step(problem):
+    """One W+H update equals sklearn's update pair exactly (KL)."""
+    from sklearn.decomposition._nmf import (
+        _multiplicative_update_h,
+        _multiplicative_update_w,
+    )
+
+    x, w0, h0 = problem
+    w, h = w0.copy(), h0.copy()
+    w, *_ = _multiplicative_update_w(x, w, h, 1.0, 0.0, 0.0, 1.0)
+    h = _multiplicative_update_h(x, w, h, 1.0, 0.0, 0.0, 1.0)
+    h[h < np.finfo(np.float64).eps] = 0.0
+
+    wj, hj = mu_update_beta(x, w0, h0, beta=1.0)
+    np.testing.assert_allclose(np.asarray(wj), w, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(hj), h, rtol=1e-12)
+
+
+def test_nmfmodel_beta_loss_surface(problem):
+    x, _, _ = problem
+    model = mst.NMFModel(
+        n_components=K, solver="mu", beta_loss="kullback-leibler",
+        init="nndsvda", max_iter=300, tol=1e-5,
+    )
+    w = model.fit_transform(x)
+    sk = SkNMF(
+        n_components=K, solver="mu", beta_loss="kullback-leibler",
+        init="nndsvda", max_iter=300, tol=1e-5,
+    )
+    w_sk = sk.fit_transform(x)
+    assert model.n_iter_ == sk.n_iter_
+    np.testing.assert_allclose(w, w_sk, rtol=1e-6, atol=1e-9)
+
+    with pytest.raises(ValueError, match="beta_loss"):
+        mst.NMFModel(n_components=K, solver="cd",
+                     beta_loss="kullback-leibler").fit_transform(x)
+
+
+def test_legacy_alpha_regularization_mapping(problem):
+    """sklearn<=0.24-era alpha=/regularization= kwargs are honored."""
+    x, w0, h0 = problem
+    legacy = mst.NMFModel(
+        n_components=K, solver="mu", alpha=0.05, regularization="both",
+        init="custom", max_iter=100, tol=0.0,
+    )
+    w_legacy = legacy.fit_transform(x, w=w0.copy(), h=h0.copy())
+    modern = mst.NMFModel(
+        n_components=K, solver="mu", alpha_W=0.05, alpha_H="same",
+        init="custom", max_iter=100, tol=0.0,
+    )
+    w_modern = modern.fit_transform(x, w=w0.copy(), h=h0.copy())
+    np.testing.assert_array_equal(w_legacy, w_modern)
+
+    comp_only = mst.NMFModel(
+        n_components=K, solver="mu", alpha=0.05,
+        regularization="components", init="custom", max_iter=50, tol=0.0,
+    )
+    w_c = comp_only.fit_transform(x, w=w0.copy(), h=h0.copy())
+    sk = SkNMF(
+        n_components=K, solver="mu", alpha_W=0.0, alpha_H=0.05,
+        init="custom", max_iter=50, tol=0.0,
+    )
+    w_sk = sk.fit_transform(x, W=w0.copy(), H=h0.copy())
+    np.testing.assert_allclose(w_c, w_sk, rtol=1e-9)
+
+    with pytest.raises(ValueError, match="regularization"):
+        mst.NMFModel(n_components=K, alpha=0.1, regularization="bogus")
+
+
+def test_find_synergies_passes_beta_loss_through(problem):
+    x, _, _ = problem
+    import pandas as pd
+
+    df = pd.DataFrame(x, columns=[f"m{i}" for i in range(L)])
+    res = mst.find_synergies(
+        df, 2, solver="mu", beta_loss="kullback-leibler",
+        max_iter=500, tol=1e-5,
+    )
+    assert res.components.shape == (2, L)
+    assert res.vaf_values["All signals"].iloc[0] > 0.9
