@@ -124,8 +124,12 @@ def mu_update_beta(
     l2_reg_w: float = 0.0,
     l1_reg_h: float = 0.0,
     l2_reg_h: float = 0.0,
+    update_h: bool = True,
 ):
-    """One sklearn-order MU iteration for general beta (W then H)."""
+    """One sklearn-order MU iteration for general beta (W then H).
+
+    ``update_h=False`` freezes H (sklearn's ``transform`` path).
+    """
     gamma = _gamma(beta)
 
     # ---- W update ----
@@ -147,6 +151,9 @@ def mu_update_beta(
     w = w * delta
     if beta < 1.0:
         w = jnp.where(w < F64_EPS, 0.0, w)
+
+    if not update_h:
+        return w, h
 
     # ---- H update ----
     wh = w @ h
@@ -186,7 +193,7 @@ class BetaState(NamedTuple):
     jax.jit,
     static_argnames=(
         "beta", "max_iter", "tol", "check_every",
-        "l1_reg_w", "l2_reg_w", "l1_reg_h", "l2_reg_h",
+        "l1_reg_w", "l2_reg_w", "l1_reg_h", "l2_reg_h", "update_h",
     ),
 )
 def fit_mu_beta(
@@ -201,6 +208,7 @@ def fit_mu_beta(
     l2_reg_w: float = 0.0,
     l1_reg_h: float = 0.0,
     l2_reg_h: float = 0.0,
+    update_h: bool = True,
 ) -> BetaState:
     """Beta-MU to convergence with sklearn's exact stopping rule."""
     error_at_init = beta_divergence(x, w0, h0, beta, square_root=True)
@@ -211,7 +219,8 @@ def fit_mu_beta(
         def body(_, carry):
             w, h = carry
             return mu_update_beta(
-                x, w, h, beta, l1_reg_w, l2_reg_w, l1_reg_h, l2_reg_h
+                x, w, h, beta, l1_reg_w, l2_reg_w, l1_reg_h, l2_reg_h,
+                update_h,
             )
 
         w, h = jax.lax.fori_loop(0, steps, body, (state.w, state.h))

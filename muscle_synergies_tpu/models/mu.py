@@ -48,6 +48,7 @@ def mu_update(
     l1_reg_h: float = 0.0,
     l2_reg_h: float = 0.0,
     inner_iter: int = 1,
+    update_h: bool = True,
 ):
     """One multiplicative update of W then H (sklearn's order).
 
@@ -55,7 +56,8 @@ def mu_update(
     expensive cross products ``X Ht`` / ``Wt X`` and the Gram of the
     fixed factor (the accelerated MU of Gillis & Glineur 2012,
     arXiv:1107.5194) — more objective decrease per byte of X touched.
-    ``inner_iter=1`` is exactly sklearn's update.
+    ``inner_iter=1`` is exactly sklearn's update.  ``update_h=False``
+    freezes H (sklearn's ``transform`` path).
     """
     # W updates: X Ht and H Ht are constant while H is fixed
     xht = x @ h.T
@@ -68,6 +70,9 @@ def mu_update(
             denominator = denominator + l2_reg_w * w
         denominator = jnp.where(denominator == 0, EPSILON, denominator)
         w = w * (xht / denominator)
+
+    if not update_h:
+        return w, h
 
     # H updates: Wt X and Wt W are constant while W is fixed
     wtx = w.T @ x
@@ -94,7 +99,7 @@ class MUState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("max_iter", "tol", "check_every", "l1_reg_w", "l2_reg_w",
-                     "l1_reg_h", "l2_reg_h", "inner_iter"),
+                     "l1_reg_h", "l2_reg_h", "inner_iter", "update_h"),
 )
 def fit_mu(
     x: jnp.ndarray,
@@ -108,6 +113,7 @@ def fit_mu(
     l1_reg_h: float = 0.0,
     l2_reg_h: float = 0.0,
     inner_iter: int = 1,
+    update_h: bool = True,
 ) -> MUState:
     """Run MU-NMF to convergence on device.
 
@@ -135,7 +141,7 @@ def fit_mu(
         def body(_, wh):
             w, h = wh
             return mu_update(x, w, h, l1_reg_w, l2_reg_w,
-                             l1_reg_h, l2_reg_h, inner_iter)
+                             l1_reg_h, l2_reg_h, inner_iter, update_h)
 
         w, h = jax.lax.fori_loop(0, steps, body, (state.w, state.h))
         n_iter = state.n_iter + steps

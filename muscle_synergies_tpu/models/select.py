@@ -231,18 +231,49 @@ class NMFModel:
         return self
 
     def transform(self, x) -> np.ndarray:
-        """Project ``x`` onto the learned components (W with H fixed)."""
+        """Project ``x`` onto the learned components (W with H fixed).
+
+        Uses the *fitted* solver with frozen H, like sklearn's
+        ``transform`` (``_fit_transform(X, H=components_,
+        update_H=False)``), including the same averaged W fill and the
+        W-side regularization.
+        """
         if not hasattr(self, "components_"):
             raise ValueError("this NMFModel instance is not fitted yet")
         x_arr = jnp.asarray(np.asarray(x, dtype=float))
         h = jnp.asarray(self.components_, dtype=x_arr.dtype)
         k = h.shape[0]
-        avg = jnp.sqrt(jnp.maximum(jnp.mean(x_arr), 0.0) / k)
-        w0 = jnp.full((x_arr.shape[0], k), avg, dtype=x_arr.dtype)
-        state = fit_cd(
-            x_arr, w0, h, max_iter=self.max_iter, tol=float(self.tol),
-            update_h=False,
+        l1_w, l2_w, _, _ = compute_regularization(
+            self.alpha_W, self.alpha_H, self.l1_ratio, *x_arr.shape
         )
+
+        from .beta import beta_loss_to_float, fit_mu_beta
+
+        beta = beta_loss_to_float(self.beta_loss)
+        if beta != 2.0 or self.solver == "mu":
+            # sklearn seeds the multiplicative solver with the average
+            # fill (zeros would be absorbing states for MU)
+            avg = jnp.sqrt(jnp.maximum(jnp.mean(x_arr), 0.0) / k)
+            w0 = jnp.full((x_arr.shape[0], k), avg, dtype=x_arr.dtype)
+            if beta != 2.0:
+                state = fit_mu_beta(
+                    x_arr, w0, h, beta=beta, max_iter=self.max_iter,
+                    tol=float(self.tol), l1_reg_w=l1_w, l2_reg_w=l2_w,
+                    update_h=False,
+                )
+            else:
+                state = fit_mu(
+                    x_arr, w0, h, max_iter=self.max_iter,
+                    tol=float(self.tol), l1_reg_w=l1_w, l2_reg_w=l2_w,
+                    update_h=False,
+                )
+        else:
+            # sklearn's CD transform starts W at zero
+            w0 = jnp.zeros((x_arr.shape[0], k), dtype=x_arr.dtype)
+            state = fit_cd(
+                x_arr, w0, h, max_iter=self.max_iter, tol=float(self.tol),
+                l1_reg_w=l1_w, l2_reg_w=l2_w, update_h=False,
+            )
         return np.asarray(state.w)
 
     def inverse_transform(self, w) -> np.ndarray:

@@ -143,3 +143,30 @@ def test_find_synergies_passes_beta_loss_through(problem):
     )
     assert res.components.shape == (2, L)
     assert res.vaf_values["All signals"].iloc[0] > 0.9
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"solver": "cd"},
+        {"solver": "mu"},
+        {"solver": "mu", "beta_loss": "kullback-leibler"},
+    ],
+    ids=["cd", "mu-frobenius", "mu-kl"],
+)
+def test_transform_uses_fitted_solver(problem, kwargs):
+    """transform() matches sklearn's solver-aware projection."""
+    x, _, _ = problem
+    x2 = RNG.random((20, L)) + 0.01  # new data to project
+
+    ours = mst.NMFModel(n_components=K, init="nndsvda", max_iter=300,
+                        tol=1e-5, **kwargs)
+    ours.fit(x)
+    sk = SkNMF(n_components=K, init="nndsvda", max_iter=300, tol=1e-5,
+               **kwargs)
+    sk.fit(x)
+    np.testing.assert_allclose(ours.components_, sk.components_,
+                               rtol=1e-6, atol=1e-9)
+    w_ours = ours.transform(x2)
+    w_sk = sk.transform(x2)
+    np.testing.assert_allclose(w_ours, w_sk, rtol=1e-5, atol=1e-8)
