@@ -39,6 +39,7 @@ __all__ = [
     "mu_update_batch",
     "mu_iterations_batch",
     "fit_mu_batch",
+    "fit_mu_beta_batch",
     "fit_cd_batch",
     "rank_sweep_batch",
     "vaf_batch",
@@ -222,6 +223,32 @@ def fit_mu_batch(
     )
 
 
+def fit_mu_beta_batch(
+    xs: jnp.ndarray,
+    w0: jnp.ndarray,
+    h0: jnp.ndarray,
+    beta: float = 1.0,
+    max_iter: int = 200,
+    tol: float = 1e-4,
+    check_every: int = 10,
+):
+    """Beta-divergence MU over a ``(B, N, L)`` batch.
+
+    vmap of :func:`muscle_synergies_tpu.models.beta.fit_mu_beta`; the
+    batched ``while_loop`` freezes converged trials (vmap keeps each
+    element's old carry once its own cond is false), so per-trial
+    stopping matches the unbatched solver exactly.
+    """
+    from .beta import fit_mu_beta
+
+    return jax.vmap(
+        lambda x, w, h: fit_mu_beta(
+            x, w, h, beta=beta, max_iter=max_iter, tol=tol,
+            check_every=check_every,
+        )
+    )(xs, w0, h0)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iter", "tol"))
 def fit_cd_batch(
     xs: jnp.ndarray,
@@ -252,12 +279,15 @@ def rank_sweep_batch(
     tol: float = 1e-4,
     seed: int = 0,
     svd_method: str = "exact",
+    beta_loss="frobenius",
 ):
     """Factorize one trial at several ranks in a single vmapped fit.
 
     Factors for every rank are zero-padded to ``max(ranks)``; the
-    padded components remain exactly zero under both solvers, so entry
-    ``i`` equals an independent rank-``ranks[i]`` fit.
+    padded components remain exactly zero under all solvers — the
+    Frobenius MU/CD Gram guards and the beta-MU zero numerators alike
+    — so entry ``i`` equals an independent rank-``ranks[i]`` fit.
+    ``beta_loss != 'frobenius'`` requires ``solver='mu'``.
 
     Returns:
         ``(states, vafs)``: the stacked solver states (leading axis =
@@ -279,7 +309,19 @@ def rank_sweep_batch(
     h0s = jnp.stack(h_stack)
     xs = jnp.broadcast_to(x, (len(ranks),) + x.shape)
 
-    if solver == "mu":
+    from .beta import beta_loss_to_float
+
+    beta = beta_loss_to_float(beta_loss)
+    if beta != 2.0 and solver != "mu":
+        raise ValueError(
+            f"beta_loss={beta_loss!r} requires solver='mu', got {solver!r}"
+        )
+    if beta != 2.0:
+        states = fit_mu_beta_batch(
+            xs, w0s, h0s, beta=beta, max_iter=max_iter, tol=tol
+        )
+        w_final, h_final = states.w, states.h
+    elif solver == "mu":
         states = fit_mu_batch(xs, w0s, h0s, max_iter=max_iter, tol=tol)
         w_final, h_final = states.w, states.h
     elif solver == "cd":

@@ -387,6 +387,7 @@ def _sweep_batched(
     max_iter: int,
     tol: float,
     solver: str = "cd",
+    beta_loss: Union[str, float] = "frobenius",
     init: Optional[str] = None,
     random_state: Optional[int] = None,
     svd_method: str = "exact",
@@ -418,6 +419,7 @@ def _sweep_batched(
     states, _ = rank_sweep_batch(
         x, ranks, init=init, solver=solver, max_iter=max_iter,
         tol=float(tol), seed=random_state or 0, svd_method=svd_method,
+        beta_loss=beta_loss,
     )
     if solver == "mu":
         w_all, h_all = states.w, states.h
@@ -434,8 +436,8 @@ def _sweep_batched(
         )
         comps[k] = pandas.DataFrame(h, columns=processed_emg_df.columns)
         model = NMFModel(
-            n_components=k, solver=solver, init=init, tol=tol,
-            max_iter=max_iter, random_state=random_state,
+            n_components=k, solver=solver, beta_loss=beta_loss, init=init,
+            tol=tol, max_iter=max_iter, random_state=random_state,
             svd_method=svd_method,
         )
         model.n_components_ = k

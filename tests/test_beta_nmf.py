@@ -170,3 +170,40 @@ def test_transform_uses_fitted_solver(problem, kwargs):
     w_ours = ours.transform(x2)
     w_sk = sk.transform(x2)
     np.testing.assert_allclose(w_ours, w_sk, rtol=1e-5, atol=1e-8)
+
+
+def test_batched_beta_matches_per_trial(problem):
+    """fit_mu_beta_batch freezes converged trials like the single fit."""
+    from muscle_synergies_tpu.models.batch import fit_mu_beta_batch
+
+    x, w0, h0 = problem
+    rng = np.random.default_rng(9)
+    xs = np.stack([x, x * 0.5 + 0.01, rng.random(x.shape)])
+    w0s = np.stack([w0] * 3)
+    h0s = np.stack([h0] * 3)
+    states = fit_mu_beta_batch(xs, w0s, h0s, beta=1.0, max_iter=300, tol=1e-5)
+    for i in range(3):
+        single = fit_mu_beta(xs[i], w0s[i], h0s[i], beta=1.0,
+                             max_iter=300, tol=1e-5)
+        assert int(states.n_iter[i]) == int(single.n_iter), i
+        np.testing.assert_allclose(np.asarray(states.w[i]),
+                                   np.asarray(single.w), rtol=1e-9)
+
+
+def test_batched_sweep_with_beta_loss(problem):
+    """find_synergies(sweep='batched', beta_loss='kullback-leibler')."""
+    import pandas as pd
+
+    x, _, _ = problem
+    df = pd.DataFrame(x, columns=[f"m{i}" for i in range(L)])
+    loop = mst.find_synergies(df, 1, 3, solver="mu",
+                              beta_loss="kullback-leibler",
+                              max_iter=300, tol=1e-5)
+    bat = mst.find_synergies(df, 1, 3, solver="mu",
+                             beta_loss="kullback-leibler",
+                             max_iter=300, tol=1e-5, sweep="batched")
+    for k in (1, 2, 3):
+        assert bat.model[k].n_iter_ == loop.model[k].n_iter_, k
+        np.testing.assert_allclose(bat.components[k].to_numpy(),
+                                   loop.components[k].to_numpy(),
+                                   rtol=1e-7, atol=1e-10)
