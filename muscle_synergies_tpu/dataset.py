@@ -269,6 +269,7 @@ def analyze_dataset(
     mesh=None,
     init: Optional[str] = None,
     solver: Optional[str] = None,
+    beta_loss=None,
     max_iter: Optional[int] = None,
     tol: Optional[float] = None,
     dtype=None,
@@ -301,6 +302,11 @@ def analyze_dataset(
         solver: ``"mu"`` or ``"cd"``; defaults to ``config.solver``
             (the :class:`PipelineConfig` default is ``"cd"``, matching
             the reference's sklearn default).
+        beta_loss: ``"frobenius"`` (default via ``config.beta_loss``),
+            ``"kullback-leibler"``, ``"itakura-saito"`` or a float
+            beta; non-Frobenius losses require ``solver="mu"`` and run
+            on the local batched solver (the sharded solvers are
+            Frobenius-only).
         dtype: computation dtype (e.g. ``jnp.float32`` on TPU).
 
     Returns:
@@ -325,6 +331,15 @@ def analyze_dataset(
     solver = solver if solver is not None else config.solver
     if solver not in {"mu", "cd"}:
         raise ValueError(f"unknown solver: {solver!r}")
+    from .models.beta import beta_loss_to_float
+
+    if beta_loss is None:
+        beta_loss = getattr(config, "beta_loss", "frobenius")
+    beta = beta_loss_to_float(beta_loss)
+    if beta != 2.0 and solver != "mu":
+        raise ValueError(
+            f"beta_loss={beta_loss!r} requires solver='mu', got {solver!r}"
+        )
     max_iter = max_iter if max_iter is not None else config.max_iter
     tol = tol if tol is not None else config.tol
     impl = impl if impl is not None else getattr(config, "solver_impl", "xla")
@@ -364,7 +379,16 @@ def analyze_dataset(
     grid_h = jnp.concatenate(h_blocks, axis=0)
 
     mesh_divides = mesh is not None and grid_x.shape[0] % mesh.shape["data"] == 0
-    if mesh is not None and not mesh_divides:
+    if mesh is not None and beta != 2.0:
+        import warnings
+
+        warnings.warn(
+            "analyze_dataset: the sharded solvers are Frobenius-only; "
+            f"beta_loss={beta_loss!r} runs on the local batched solver.",
+            stacklevel=2,
+        )
+        mesh_divides = False
+    elif mesh is not None and not mesh_divides:
         import warnings
 
         warnings.warn(
@@ -391,6 +415,12 @@ def analyze_dataset(
         )
         fit = sharded_fit_mu if solver == "mu" else sharded_fit_cd
         state = fit(grid_x, grid_w, grid_h, mesh, max_iter=max_iter, tol=tol)
+    elif beta != 2.0:
+        from .models.batch import fit_mu_beta_batch
+
+        state = fit_mu_beta_batch(
+            grid_x, grid_w, grid_h, beta=beta, max_iter=max_iter, tol=tol
+        )
     elif solver == "mu":
         state = fit_mu_batch(
             grid_x, grid_w, grid_h, max_iter=max_iter, tol=tol,

@@ -76,6 +76,7 @@ class PipelineConfig:
     min_rank: int = 1
     max_rank: int = 4
     solver: str = "cd"
+    beta_loss: str = "frobenius"
     max_iter: int = 100_000
     tol: float = 1e-6
     solver_impl: str = "xla"

@@ -207,3 +207,23 @@ def test_batched_sweep_with_beta_loss(problem):
         np.testing.assert_allclose(bat.components[k].to_numpy(),
                                    loop.components[k].to_numpy(),
                                    rtol=1e-7, atol=1e-10)
+
+
+def test_analyze_dataset_beta_loss(problem):
+    """Dataset-scale KL analysis routes through the batched beta solver."""
+    x, _, _ = problem
+    rng = np.random.default_rng(17)
+    trials = [x, x * 0.7 + 0.01, rng.random(x.shape) + 0.01]
+    res = mst.analyze_dataset(
+        trials, 2000.0, ranks=(1, 2), solver="mu",
+        beta_loss="kullback-leibler", max_iter=200, tol=1e-4,
+    )
+    assert res.vaf_overall.shape == (2, 3)
+    # KL optimizes KL-divergence, not Frobenius VAF, so rank
+    # monotonicity is not guaranteed — check sanity instead
+    assert np.all(np.isfinite(res.vaf_overall))
+    assert np.all(res.n_iter > 0)
+
+    with pytest.raises(ValueError, match="requires solver='mu'"):
+        mst.analyze_dataset(trials, 2000.0, ranks=(1,), solver="cd",
+                            beta_loss="kullback-leibler")
