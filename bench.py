@@ -295,6 +295,24 @@ def _mu_reference_f64(x, w, h, iters):
     return w, h
 
 
+def _kl_reference_f64(x, w, h, iters):
+    """float64 host reference of the KL MU iteration (sklearn semantics)."""
+    x = x.astype(np.float64)
+    w = w.astype(np.float64)
+    h = h.astype(np.float64)
+    f64_eps = np.finfo(np.float64).eps
+    for _ in range(iters):
+        quot = x / np.maximum(w @ h, EPSILON)
+        den = h.sum(axis=1)
+        w = w * ((quot @ h.T) / np.where(den == 0, EPSILON, den)[None, :])
+        quot = x / np.maximum(w @ h, EPSILON)
+        w_sum = w.sum(axis=0)
+        w_sum = np.where(w_sum == 0, 1.0, w_sum)
+        h = h * ((w.T @ quot) / w_sum[:, None])
+        h[h < f64_eps] = 0.0
+    return w, h
+
+
 def run_check(args):
     """Device-numerics validation of the Pallas kernels.
 
@@ -311,7 +329,10 @@ def run_check(args):
     import jax.numpy as jnp
     from scipy import signal as sps
 
-    from muscle_synergies_tpu.models.kernels import mu_iterations_pallas
+    from muscle_synergies_tpu.models.kernels import (
+        kl_mu_iterations_pallas,
+        mu_iterations_pallas,
+    )
     from muscle_synergies_tpu.ops.filter_pallas import sosfiltfilt_pallas
     from muscle_synergies_tpu.ops.filters import sos_design
 
@@ -338,6 +359,20 @@ def run_check(args):
             mu_err,
             np.max(np.abs(wp[i] - wr)) / np.max(np.abs(wr)),
             np.max(np.abs(hp[i] - hr)) / np.max(np.abs(hr)),
+        )
+
+    # --- KL-loss MU kernel vs float64 host reference ---
+    wk, hk = kl_mu_iterations_pallas(
+        jnp.asarray(x), jnp.asarray(w0), jnp.asarray(h0), iters,
+        block_b=b, interpret=interpret,
+    )
+    wk, hk = np.asarray(wk), np.asarray(hk)
+    for i in range(b):
+        wr, hr = _kl_reference_f64(x[i], w0[i], h0[i], iters)
+        mu_err = max(
+            mu_err,
+            np.max(np.abs(wk[i] - wr)) / np.max(np.abs(wr)),
+            np.max(np.abs(hk[i] - hr)) / np.max(np.abs(hr)),
         )
 
     # --- fused filtfilt kernel vs scipy float64 ---
