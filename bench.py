@@ -367,10 +367,11 @@ def run_check(args):
         block_b=b, interpret=interpret,
     )
     wk, hk = np.asarray(wk), np.asarray(hk)
+    kl_err = 0.0
     for i in range(b):
         wr, hr = _kl_reference_f64(x[i], w0[i], h0[i], iters)
-        mu_err = max(
-            mu_err,
+        kl_err = max(
+            kl_err,
             np.max(np.abs(wk[i] - wr)) / np.max(np.abs(wr)),
             np.max(np.abs(hk[i] - hr)) / np.max(np.abs(hr)),
         )
@@ -410,12 +411,12 @@ def run_check(args):
 
     mu_tol, ff_tol = 1e-3, 5e-4
     ff_err = max(ff_err, batch_err)
-    ok = mu_err <= mu_tol and ff_err <= ff_tol
+    ok = mu_err <= mu_tol and kl_err <= mu_tol and ff_err <= ff_tol
     print(json.dumps({
         "metric": "kernel_parity_max_rel_err",
-        "value": float(f"{max(mu_err, ff_err):.3e}"),
+        "value": float(f"{max(mu_err, kl_err, ff_err):.3e}"),
         "unit": (
-            f"mu={mu_err:.2e} (tol {mu_tol:g}), "
+            f"mu={mu_err:.2e} kl={kl_err:.2e} (tol {mu_tol:g}), "
             f"filtfilt={ff_err:.2e} (tol {ff_tol:g}), "
             f"platform={jax.default_backend()}"
             f"{' interpret' if interpret else ''}"

@@ -340,6 +340,14 @@ def analyze_dataset(
         raise ValueError(
             f"beta_loss={beta_loss!r} requires solver='mu', got {solver!r}"
         )
+    if beta != 2.0 and (
+        inner_iter if inner_iter is not None else getattr(config, "inner_iter", 1)
+    ) != 1:
+        # the Gram-reuse acceleration only exists for the Frobenius
+        # objective — fail loudly instead of silently running plain MU
+        raise ValueError(
+            "inner_iter > 1 is only available for the Frobenius objective"
+        )
     max_iter = max_iter if max_iter is not None else config.max_iter
     tol = tol if tol is not None else config.tol
     impl = impl if impl is not None else getattr(config, "solver_impl", "xla")
@@ -359,6 +367,12 @@ def analyze_dataset(
         channel_names = list(first.coords)
 
     xs = preprocess_trials(trials, sampling_frequency, config, dtype=dtype)
+    if beta <= 0 and bool(jnp.any(xs == 0)):
+        raise ValueError(
+            "When beta_loss <= 0 and X contains zeros, the solver may "
+            "diverge. Please add small values to X, or use a positive "
+            "beta_loss."
+        )
     b = xs.shape[0]
     k_max = max(ranks)
 
@@ -418,9 +432,20 @@ def analyze_dataset(
     elif beta != 2.0:
         from .models.batch import fit_mu_beta_batch
 
+        beta_impl = impl
+        if impl == "pallas" and beta != 1.0:
+            import warnings
+
+            warnings.warn(
+                "analyze_dataset: impl='pallas' only covers the KL "
+                f"objective; beta_loss={beta_loss!r} runs on the XLA "
+                "batched solver.",
+                stacklevel=2,
+            )
+            beta_impl = "xla"
         state = fit_mu_beta_batch(
             grid_x, grid_w, grid_h, beta=beta, max_iter=max_iter, tol=tol,
-            impl=impl,
+            impl=beta_impl,
         )
     elif solver == "mu":
         state = fit_mu_batch(

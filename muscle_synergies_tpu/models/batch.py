@@ -46,6 +46,11 @@ __all__ = [
 ]
 
 
+def _default_block_b(b: int) -> int:
+    """Largest divisor of the batch size up to the 128-lane width."""
+    return next(d for d in range(min(128, b), 0, -1) if b % d == 0)
+
+
 def pad_and_stack(
     trials: Sequence[np.ndarray], pad_to: Optional[int] = None
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -162,9 +167,7 @@ def mu_iterations_batch(
         from .kernels import mu_iterations_pallas
 
         if block_b is None:
-            # largest divisor of the batch size <= 128
-            b = xs.shape[0]
-            block_b = next(d for d in range(min(128, b), 0, -1) if b % d == 0)
+            block_b = _default_block_b(xs.shape[0])
         return mu_iterations_pallas(
             xs, w, h, n_iters, block_b=block_b, inner_iter=inner_iter
         )
@@ -208,8 +211,7 @@ def fit_mu_batch(
         from .kernels import fit_mu_pallas
 
         if block_b is None:
-            b = xs.shape[0]
-            block_b = next(d for d in range(min(128, b), 0, -1) if b % d == 0)
+            block_b = _default_block_b(xs.shape[0])
         w, h, n_iter, prev_err, converged = fit_mu_pallas(
             xs, w0, h0, max_iter=max_iter, tol=tol,
             check_every=check_every, block_b=block_b,
@@ -252,8 +254,7 @@ def fit_mu_beta_batch(
                 "impl='pallas' supports the KL objective (beta=1) only"
             )
         if block_b is None:
-            b = xs.shape[0]
-            block_b = next(d for d in range(min(128, b), 0, -1) if b % d == 0)
+            block_b = _default_block_b(xs.shape[0])
         return _fit_kl_batch_pallas(
             xs, w0, h0, max_iter, float(tol), check_every, block_b
         )
@@ -330,11 +331,19 @@ def _fit_kl_batch_pallas(
             xs, state.w, state.h, tail, block_b=block_b, interpret=interpret
         )
         keep = state.converged[:, None, None]
+        w = jnp.where(keep, state.w, w_new)
+        h = jnp.where(keep, state.h, h_new)
+        prev = state.previous_error
+        if tol > 0:
+            # match the XLA path (fit_mu_beta), whose tail chunk stores
+            # the divergence at max_iter for still-running trials
+            err = div(xs, w, h)
+            prev = jnp.where(state.converged, prev, err)
         state = BetaState(
-            jnp.where(keep, state.w, w_new),
-            jnp.where(keep, state.h, h_new),
+            w,
+            h,
             state.n_iter + jnp.where(state.converged, 0, tail),
-            state.previous_error,
+            prev,
             state.converged,
         )
     return state

@@ -30,6 +30,25 @@ from .mu import fit_mu, frobenius_error
 __all__ = ["NMFModel", "SynergyRunResult", "find_synergies", "compute_regularization"]
 
 
+def _legacy_regularization(alpha: float, regularization: str, l1_ratio: float):
+    """sklearn <= 0.24's UNscaled penalties (the reference's pinned API).
+
+    That era's ``_compute_regularization`` applied ``alpha`` directly —
+    no ``n_samples`` / ``n_features`` factor — gated per factor by the
+    ``regularization`` selector.
+    """
+    on_w = regularization in ("both", "transformation")
+    on_h = regularization in ("both", "components")
+    l1 = alpha * l1_ratio
+    l2 = alpha * (1.0 - l1_ratio)
+    return (
+        l1 if on_w else 0.0,
+        l2 if on_w else 0.0,
+        l1 if on_h else 0.0,
+        l2 if on_h else 0.0,
+    )
+
+
 def compute_regularization(
     alpha_w: float, alpha_h: Union[float, str], l1_ratio: float, n: int, l: int
 ):
@@ -91,18 +110,20 @@ class NMFModel:
         # Legacy sklearn <= 0.24 style (the version the reference pins,
         # reference requirements.txt:3): a single `alpha` applied per
         # `regularization` in {'both', 'components', 'transformation'}.
+        self._legacy_alpha = None
         if alpha is not None:
-            if regularization in (None, "both"):
-                alpha_W, alpha_H = alpha, "same"
-            elif regularization == "components":
-                alpha_W, alpha_H = 0.0, alpha
-            elif regularization == "transformation":
-                alpha_W, alpha_H = alpha, 0.0
-            else:
+            if regularization not in (
+                None, "both", "components", "transformation"
+            ):
                 raise ValueError(
                     f"invalid regularization: {regularization!r} (expected "
                     "'both', 'components' or 'transformation')"
                 )
+            # sklearn <= 0.24 applied alpha UNscaled (no n_samples /
+            # n_features factor — _compute_regularization of that era);
+            # keep those semantics so reference-era scripts reproduce
+            # their pinned-sklearn fits.  Resolved in fit_transform.
+            self._legacy_alpha = (float(alpha), regularization or "both")
         elif regularization is not None and regularization not in (
             "both", "components", "transformation"
         ):
@@ -131,13 +152,25 @@ class NMFModel:
         Passing both ``w`` and ``h`` uses them as the starting point
         (sklearn's ``init='custom'``).
         """
-        x_arr = jnp.asarray(np.asarray(x, dtype=float))
+        from .beta import beta_loss_to_float, fit_mu_beta
+
+        beta = beta_loss_to_float(self.beta_loss)
+        x_host = np.asarray(x, dtype=float)
+        x_arr = jnp.asarray(x_host)
         if x_arr.ndim != 2:
             raise ValueError(f"expected a 2-D matrix, got shape {x_arr.shape}")
         if x_arr.size == 0:
             raise ValueError("empty matrix passed to NMF")
-        if np.any(np.asarray(x_arr) < 0):
+        if np.any(x_host < 0):
             raise ValueError("Negative values in data passed to NMF")
+        if beta <= 0 and np.any(x_host == 0):
+            # sklearn's guard: zero entries make WH -> 0 poles of the
+            # beta<=0 divergence
+            raise ValueError(
+                "When beta_loss <= 0 and X contains zeros, the solver may "
+                "diverge. Please add small values to X, or use a "
+                "positive beta_loss."
+            )
         n, l = x_arr.shape
         k = self.n_components if self.n_components is not None else l
 
@@ -162,13 +195,15 @@ class NMFModel:
         w0 = w0.astype(x_arr.dtype)
         h0 = h0.astype(x_arr.dtype)
 
-        l1_w, l2_w, l1_h, l2_h = compute_regularization(
-            self.alpha_W, self.alpha_H, self.l1_ratio, n, l
-        )
+        if self._legacy_alpha is not None:
+            l1_w, l2_w, l1_h, l2_h = _legacy_regularization(
+                *self._legacy_alpha, self.l1_ratio
+            )
+        else:
+            l1_w, l2_w, l1_h, l2_h = compute_regularization(
+                self.alpha_W, self.alpha_H, self.l1_ratio, n, l
+            )
 
-        from .beta import beta_loss_to_float, fit_mu_beta
-
-        beta = beta_loss_to_float(self.beta_loss)
         if beta != 2.0 and self.solver != "mu":
             # sklearn: only the MU solver handles general beta
             raise ValueError(
@@ -221,8 +256,12 @@ class NMFModel:
         self.n_components_ = k
         self.n_iter_ = int(state.n_iter)
         self.components_ = np.asarray(h_final)
+        # sklearn: reconstruction_err_ is the square-rooted
+        # beta-divergence of the *fitted* loss (Frobenius norm at beta=2)
+        from .beta import beta_divergence
+
         self.reconstruction_err_ = float(
-            frobenius_error(x_arr, w_final, h_final)
+            beta_divergence(x_arr, w_final, h_final, beta, square_root=True)
         )
         return np.asarray(w_final)
 
@@ -243,9 +282,14 @@ class NMFModel:
         x_arr = jnp.asarray(np.asarray(x, dtype=float))
         h = jnp.asarray(self.components_, dtype=x_arr.dtype)
         k = h.shape[0]
-        l1_w, l2_w, _, _ = compute_regularization(
-            self.alpha_W, self.alpha_H, self.l1_ratio, *x_arr.shape
-        )
+        if self._legacy_alpha is not None:
+            l1_w, l2_w, _, _ = _legacy_regularization(
+                *self._legacy_alpha, self.l1_ratio
+            )
+        else:
+            l1_w, l2_w, _, _ = compute_regularization(
+                self.alpha_W, self.alpha_H, self.l1_ratio, *x_arr.shape
+            )
 
         from .beta import beta_loss_to_float, fit_mu_beta
 
@@ -410,10 +454,18 @@ def _sweep_batched(
         )
     from ..analysis import vaf as _vaf
     from .batch import rank_sweep_batch
+    from .beta import beta_loss_to_float
 
+    beta = beta_loss_to_float(beta_loss)
     arr = processed_emg_df.to_numpy(dtype=float)
     if np.any(arr < 0):  # host-side: no device round trip for the test
         raise ValueError("Negative values in data passed to NMF")
+    if beta <= 0 and np.any(arr == 0):
+        raise ValueError(
+            "When beta_loss <= 0 and X contains zeros, the solver may "
+            "diverge. Please add small values to X, or use a positive "
+            "beta_loss."
+        )
     x = jnp.asarray(arr)
     ranks = list(ranks)
     states, _ = rank_sweep_batch(
@@ -443,8 +495,12 @@ def _sweep_batched(
         model.n_components_ = k
         model.n_iter_ = int(n_iters[i])
         model.components_ = h
+        from .beta import beta_divergence
+
         model.reconstruction_err_ = float(
-            frobenius_error(x, jnp.asarray(w), jnp.asarray(h))
+            beta_divergence(
+                x, jnp.asarray(w), jnp.asarray(h), beta, square_root=True
+            )
         )
         models[k] = model
 

@@ -102,27 +102,34 @@ def test_nmfmodel_beta_loss_surface(problem):
 
 
 def test_legacy_alpha_regularization_mapping(problem):
-    """sklearn<=0.24-era alpha=/regularization= kwargs are honored."""
+    """alpha=/regularization= reproduce sklearn<=0.24's UNSCALED penalties.
+
+    That era applied alpha directly; modern sklearn scales alpha_W by
+    n_features and alpha_H by n_samples.  So the legacy fit must equal
+    a modern sklearn fit with dimension-compensated alphas.
+    """
     x, w0, h0 = problem
+    n, l = x.shape
+    alpha = 0.05
     legacy = mst.NMFModel(
-        n_components=K, solver="mu", alpha=0.05, regularization="both",
+        n_components=K, solver="mu", alpha=alpha, regularization="both",
         init="custom", max_iter=100, tol=0.0,
     )
     w_legacy = legacy.fit_transform(x, w=w0.copy(), h=h0.copy())
-    modern = mst.NMFModel(
-        n_components=K, solver="mu", alpha_W=0.05, alpha_H="same",
+    sk = SkNMF(
+        n_components=K, solver="mu", alpha_W=alpha / l, alpha_H=alpha / n,
         init="custom", max_iter=100, tol=0.0,
     )
-    w_modern = modern.fit_transform(x, w=w0.copy(), h=h0.copy())
-    np.testing.assert_array_equal(w_legacy, w_modern)
+    w_sk = sk.fit_transform(x, W=w0.copy(), H=h0.copy())
+    np.testing.assert_allclose(w_legacy, w_sk, rtol=1e-9)
 
     comp_only = mst.NMFModel(
-        n_components=K, solver="mu", alpha=0.05,
+        n_components=K, solver="mu", alpha=alpha,
         regularization="components", init="custom", max_iter=50, tol=0.0,
     )
     w_c = comp_only.fit_transform(x, w=w0.copy(), h=h0.copy())
     sk = SkNMF(
-        n_components=K, solver="mu", alpha_W=0.0, alpha_H=0.05,
+        n_components=K, solver="mu", alpha_W=0.0, alpha_H=alpha / n,
         init="custom", max_iter=50, tol=0.0,
     )
     w_sk = sk.fit_transform(x, W=w0.copy(), H=h0.copy())
@@ -130,6 +137,66 @@ def test_legacy_alpha_regularization_mapping(problem):
 
     with pytest.raises(ValueError, match="regularization"):
         mst.NMFModel(n_components=K, alpha=0.1, regularization="bogus")
+
+
+def test_reconstruction_err_uses_fitted_loss(problem):
+    """reconstruction_err_ is the square-rooted fitted beta-divergence."""
+    x, _, _ = problem
+    ours = mst.NMFModel(n_components=K, solver="mu",
+                        beta_loss="kullback-leibler", init="nndsvda",
+                        max_iter=200, tol=1e-5)
+    ours.fit(x)
+    sk = SkNMF(n_components=K, solver="mu", beta_loss="kullback-leibler",
+               init="nndsvda", max_iter=200, tol=1e-5)
+    sk.fit(x)
+    np.testing.assert_allclose(ours.reconstruction_err_,
+                               sk.reconstruction_err_, rtol=1e-6)
+
+
+def test_itakura_saito_rejects_zeros(problem):
+    x, _, _ = problem
+    x0 = x.copy()
+    x0[0, 0] = 0.0
+    with pytest.raises(ValueError, match="beta_loss <= 0"):
+        mst.NMFModel(n_components=K, solver="mu",
+                     beta_loss="itakura-saito").fit_transform(x0)
+
+
+def test_kl_pallas_tail_chunk_matches_xla(problem):
+    """max_iter not divisible by check_every: impls still agree."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from muscle_synergies_tpu.models.batch import fit_mu_beta_batch
+
+    x, w0, h0 = problem
+    xs = np.stack([x, x * 0.5 + 0.01])
+    w0s, h0s = np.stack([w0] * 2), np.stack([h0] * 2)
+    ref = fit_mu_beta_batch(xs, w0s, h0s, beta=1.0, max_iter=155, tol=1e-5)
+    with pltpu.force_tpu_interpret_mode():
+        got = fit_mu_beta_batch(xs, w0s, h0s, beta=1.0, max_iter=155,
+                                tol=1e-5, impl="pallas")
+    np.testing.assert_array_equal(np.asarray(got.n_iter),
+                                  np.asarray(ref.n_iter))
+    np.testing.assert_allclose(np.asarray(got.previous_error),
+                               np.asarray(ref.previous_error),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.w), np.asarray(ref.w),
+                               rtol=1e-8, atol=1e-11)
+
+
+def test_analyze_dataset_beta_guardrails(problem):
+    x, _, _ = problem
+    trials = [x, x * 0.5 + 0.01]
+    with pytest.raises(ValueError, match="inner_iter"):
+        mst.analyze_dataset(trials, 2000.0, ranks=(2,), solver="mu",
+                            beta_loss="kullback-leibler", inner_iter=3)
+    # impl='pallas' with a non-KL beta degrades with a warning
+    with pytest.warns(UserWarning, match="KL"):
+        res = mst.analyze_dataset(
+            trials, 2000.0, ranks=(2,), solver="mu", beta_loss=1.5,
+            impl="pallas", max_iter=50, tol=1e-4,
+        )
+    assert res.vaf_overall.shape == (1, 2)
 
 
 def test_find_synergies_passes_beta_loss_through(problem):
