@@ -30,6 +30,23 @@ from .mu import fit_mu, frobenius_error
 __all__ = ["NMFModel", "SynergyRunResult", "find_synergies", "compute_regularization"]
 
 
+def _warn_if_unconverged(n_iter: int, max_iter: int, tol: float) -> None:
+    """sklearn's ConvergenceWarning when a fit exhausts ``max_iter``."""
+    if n_iter == max_iter and tol > 0:
+        import warnings
+
+        try:
+            from sklearn.exceptions import ConvergenceWarning as _Warn
+        except ImportError:  # sklearn is optional at runtime
+            _Warn = UserWarning
+        warnings.warn(
+            f"Maximum number of iterations {max_iter} reached. Increase "
+            "it to improve convergence.",
+            _Warn,
+            stacklevel=3,
+        )
+
+
 def _legacy_regularization(alpha: float, regularization: str, l1_ratio: float):
     """sklearn <= 0.24's UNscaled penalties (the reference's pinned API).
 
@@ -263,6 +280,7 @@ class NMFModel:
         self.reconstruction_err_ = float(
             beta_divergence(x_arr, w_final, h_final, beta, square_root=True)
         )
+        _warn_if_unconverged(self.n_iter_, self.max_iter, self.tol)
         return np.asarray(w_final)
 
     def fit(self, x, **kwargs) -> "NMFModel":
@@ -502,6 +520,7 @@ def _sweep_batched(
                 x, jnp.asarray(w), jnp.asarray(h), beta, square_root=True
             )
         )
+        _warn_if_unconverged(model.n_iter_, max_iter, tol)
         models[k] = model
 
     vaf_values = pandas.concat(vaf_rows)

@@ -305,3 +305,25 @@ def test_custom_init_requires_factors():
     h0 = np.abs(rng.random((2, 5)))
     w = model.fit_transform(data, w=w0, h=h0)
     assert w.shape == (30, 2)
+
+
+def test_convergence_warning_matches_sklearn():
+    """A fit that exhausts max_iter warns, exactly like sklearn."""
+    from sklearn.exceptions import ConvergenceWarning
+
+    rng = np.random.default_rng(31)
+    x = rng.random((80, 8)) + 0.01
+    with pytest.warns(ConvergenceWarning, match="Maximum number of"):
+        mst.NMFModel(n_components=3, max_iter=5, tol=1e-12).fit(x)
+
+    # tol=0 disables the check and must not warn
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", ConvergenceWarning)
+        mst.NMFModel(n_components=3, max_iter=5, tol=0.0).fit(x)
+
+    # batched sweeps warn per unconverged rank
+    df = pd.DataFrame(x, columns=[f"m{i}" for i in range(8)])
+    with pytest.warns(ConvergenceWarning):
+        mst.find_synergies(df, 1, 3, max_iter=5, tol=1e-12, sweep="batched")
