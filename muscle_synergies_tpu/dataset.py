@@ -393,12 +393,13 @@ def analyze_dataset(
     grid_h = jnp.concatenate(h_blocks, axis=0)
 
     mesh_divides = mesh is not None and grid_x.shape[0] % mesh.shape["data"] == 0
-    if mesh is not None and beta != 2.0:
+    if mesh is not None and beta not in (1.0, 2.0):
         import warnings
 
         warnings.warn(
-            "analyze_dataset: the sharded solvers are Frobenius-only; "
-            f"beta_loss={beta_loss!r} runs on the local batched solver.",
+            "analyze_dataset: the sharded solvers cover the Frobenius "
+            f"and KL objectives; beta_loss={beta_loss!r} runs on the "
+            "local batched solver.",
             stacklevel=2,
         )
         mesh_divides = False
@@ -427,7 +428,12 @@ def analyze_dataset(
         grid_h = jax.device_put(
             grid_h, NamedSharding(mesh, P(DATA_AXIS, None, None))
         )
-        fit = sharded_fit_mu if solver == "mu" else sharded_fit_cd
+        if beta == 1.0:
+            from .parallel import sharded_fit_kl as fit
+        elif solver == "mu":
+            fit = sharded_fit_mu
+        else:
+            fit = sharded_fit_cd
         state = fit(grid_x, grid_w, grid_h, mesh, max_iter=max_iter, tol=tol)
     elif beta != 2.0:
         from .models.batch import fit_mu_beta_batch

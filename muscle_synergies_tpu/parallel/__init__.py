@@ -11,7 +11,13 @@ from .mesh import (
     make_mesh,
     replicated,
 )
-from .nmf import sharded_fit_cd, sharded_fit_mu, sharded_fit_mu_tp, sharded_mu_step
+from .nmf import (
+    sharded_fit_cd,
+    sharded_fit_kl,
+    sharded_fit_mu,
+    sharded_fit_mu_tp,
+    sharded_mu_step,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -22,6 +28,7 @@ __all__ = [
     "replicated",
     "sharded_mu_step",
     "sharded_fit_mu",
+    "sharded_fit_kl",
     "sharded_fit_mu_tp",
     "MODEL_AXIS",
     "sharded_fit_cd",

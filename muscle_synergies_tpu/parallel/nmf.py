@@ -35,6 +35,7 @@ from .mesh import DATA_AXIS, MODEL_AXIS, TIME_AXIS
 __all__ = [
     "sharded_mu_step",
     "sharded_fit_mu",
+    "sharded_fit_kl",
     "sharded_fit_cd",
     "sharded_fit_mu_tp",
 ]
@@ -184,6 +185,140 @@ def sharded_fit_mu(
         # shard's trials), or shard_map's varying-axis check rejects
         # the while_loop.
         init = MUState(
+            w=wb,
+            h=hb,
+            n_iter=mark_varying(jnp.zeros((b,), jnp.int32), DATA_AXIS),
+            previous_error=error_at_init,
+            converged=mark_varying(jnp.zeros((b,), bool), DATA_AXIS),
+        )
+        return jax.lax.while_loop(cond, chunk, init)
+
+    return fit(x, w0, h0)
+
+
+def _local_kl_step(x, w, h, axis_name: str):
+    """One KL-MU iteration on local time shards.
+
+    The W update is fully local (its numerator ``(X/WH) Ht`` and
+    denominator ``H`` row-sums touch only this device's sample rows);
+    the H update needs two time reductions — ``Wt (X/WH)`` and the
+    column-sums of W — completed by ``psum``.  Matches
+    :func:`muscle_synergies_tpu.models.beta.mu_update_beta` with
+    ``beta=1`` exactly (same clamps, guards and flush).
+    """
+    from ..models.beta import F64_EPS
+
+    # --- W update: fully local ---
+    wh = w @ h
+    quot = x / jnp.maximum(wh, EPSILON)
+    numerator = quot @ jnp.swapaxes(h, -1, -2)
+    h_sum = jnp.sum(h, axis=-1)  # (b, k), replicated over time
+    denominator = jnp.where(h_sum == 0, EPSILON, h_sum)[:, None, :]
+    w = w * (numerator / denominator)
+
+    # --- H update: time-reduced quotient projection + W column sums ---
+    wh = w @ h
+    quot = x / jnp.maximum(wh, EPSILON)
+    wt = jnp.swapaxes(w, -1, -2)
+    numerator = time_sum(wt @ quot, axis_name)
+    w_sum = time_sum(jnp.sum(w, axis=-2), axis_name)  # (b, k)
+    w_sum = jnp.where(w_sum == 0, 1.0, w_sum)
+    h = h * (numerator / w_sum[:, :, None])
+    h = jnp.where(h < F64_EPS, 0.0, h)
+    return w, h
+
+
+def _local_kl_error(x, w, h, axis_name: str):
+    """Per-trial sqrt(2*KL) with local partial sums psum'd over time.
+
+    Equals :func:`muscle_synergies_tpu.models.beta.beta_divergence`
+    (``beta=1, square_root=True``) on the gathered data: the masked
+    ``x log(x/WH)`` and ``x`` terms and the *unmasked* ``WH`` total
+    are each local sums completed by one reduction.
+    """
+    wh = w @ h
+    whc = jnp.maximum(wh, EPSILON)
+    mask = x > EPSILON
+    div = jnp.where(mask, x / whc, 1.0)
+    local = (
+        jnp.sum(jnp.where(mask, x * jnp.log(div), 0.0), axis=(-1, -2))
+        + jnp.sum(wh, axis=(-1, -2))
+        - jnp.sum(jnp.where(mask, x, 0.0), axis=(-1, -2))
+    )
+    res = time_sum(local, axis_name)
+    return jnp.sqrt(2.0 * jnp.maximum(res, 0.0))
+
+
+def sharded_fit_kl(
+    x: jnp.ndarray,
+    w0: jnp.ndarray,
+    h0: jnp.ndarray,
+    mesh: Mesh,
+    max_iter: int = 200,
+    tol: float = 1e-4,
+    check_every: int = 10,
+) -> "BetaState":
+    """KL-loss MU-NMF to convergence on a ``(data, time)`` mesh.
+
+    The sequence-parallel execution of
+    :func:`muscle_synergies_tpu.models.beta.fit_mu_beta` (``beta=1``):
+    exact, with the H update's quotient projection and W column sums
+    as the only collectives.  Stopping semantics are sklearn's, per
+    trial, with converged trials frozen.
+    """
+    from ..models.beta import BetaState
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, TIME_AXIS, None),
+            P(DATA_AXIS, TIME_AXIS, None),
+            P(DATA_AXIS, None, None),
+        ),
+        out_specs=BetaState(
+            w=P(DATA_AXIS, TIME_AXIS, None),
+            h=P(DATA_AXIS, None, None),
+            n_iter=P(DATA_AXIS),
+            previous_error=P(DATA_AXIS),
+            converged=P(DATA_AXIS),
+        ),
+    )
+    def fit(xb, wb, hb):
+        b = xb.shape[0]
+        error_at_init = _local_kl_error(xb, wb, hb, TIME_AXIS)
+
+        def chunk(state: BetaState) -> BetaState:
+            steps = jnp.minimum(check_every, max_iter - jnp.max(state.n_iter))
+
+            def body(_, carry):
+                w, h = carry
+                w_new, h_new = _local_kl_step(xb, w, h, TIME_AXIS)
+                keep = state.converged[:, None, None]
+                return (
+                    jnp.where(keep, w, w_new),
+                    jnp.where(keep, h, h_new),
+                )
+
+            w, h = jax.lax.fori_loop(0, steps, body, (state.w, state.h))
+            n_iter = jnp.where(state.converged, state.n_iter, state.n_iter + steps)
+            error = _local_kl_error(xb, w, h, TIME_AXIS)
+            at_checkpoint = n_iter % check_every == 0
+            newly = jnp.logical_and(
+                (state.previous_error - error) / error_at_init < tol,
+                at_checkpoint,
+            )
+            converged = jnp.logical_or(state.converged, newly)
+            previous_error = jnp.where(state.converged, state.previous_error, error)
+            return BetaState(w, h, n_iter, previous_error, converged)
+
+        def cond(state: BetaState) -> jnp.ndarray:
+            return jnp.logical_and(
+                jnp.max(state.n_iter) < max_iter,
+                ~jnp.all(state.converged),
+            )
+
+        init = BetaState(
             w=wb,
             h=hb,
             n_iter=mark_varying(jnp.zeros((b,), jnp.int32), DATA_AXIS),

@@ -341,3 +341,35 @@ print("IDEMPOTENT_OK")
     )
     assert result.returncode == 0, result.stderr[-2000:]
     assert "IDEMPOTENT_OK" in result.stdout
+
+
+def test_sharded_fit_kl_matches_local_batch(mesh_2x4):
+    """DP+SP KL fit equals the local batched beta solver exactly."""
+    from muscle_synergies_tpu.models.batch import fit_mu_beta_batch
+    from muscle_synergies_tpu.parallel import sharded_fit_kl
+    from muscle_synergies_tpu.parallel.mesh import DATA_AXIS, TIME_AXIS
+
+    rng = np.random.default_rng(77)
+    b, n, l, k = 8, 16, 6, 3
+    xs = jnp.asarray(rng.random((b, n, l)) + 0.01)
+    w0 = jnp.asarray(np.abs(rng.standard_normal((b, n, k))))
+    h0 = jnp.asarray(np.abs(rng.standard_normal((b, k, l))))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    xs_s = jax.device_put(xs, NamedSharding(mesh_2x4, P(DATA_AXIS, TIME_AXIS)))
+    w_s = jax.device_put(w0, NamedSharding(mesh_2x4, P(DATA_AXIS, TIME_AXIS)))
+    h_s = jax.device_put(h0, NamedSharding(mesh_2x4, P(DATA_AXIS)))
+
+    got = sharded_fit_kl(xs_s, w_s, h_s, mesh_2x4, max_iter=120, tol=1e-5)
+    ref = fit_mu_beta_batch(xs, w0, h0, beta=1.0, max_iter=120, tol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.n_iter),
+                                  np.asarray(ref.n_iter))
+    np.testing.assert_array_equal(np.asarray(got.converged),
+                                  np.asarray(ref.converged))
+    np.testing.assert_allclose(np.asarray(got.w), np.asarray(ref.w),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.h), np.asarray(ref.h),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.previous_error),
+                               np.asarray(ref.previous_error), rtol=1e-9)
