@@ -304,9 +304,11 @@ def analyze_dataset(
             the reference's sklearn default).
         beta_loss: ``"frobenius"`` (default via ``config.beta_loss``),
             ``"kullback-leibler"``, ``"itakura-saito"`` or a float
-            beta; non-Frobenius losses require ``solver="mu"`` and run
-            on the local batched solver (the sharded solvers are
-            Frobenius-only).
+            beta; non-Frobenius losses require ``solver="mu"``.  With a
+            dividing ``mesh``, Frobenius and KL route through the
+            sharded solvers (``sharded_fit_mu``/``sharded_fit_kl``;
+            ``impl`` is ignored there, as for every meshed solve);
+            other betas warn and run on the local batched solver.
         dtype: computation dtype (e.g. ``jnp.float32`` on TPU).
 
     Returns:

@@ -336,6 +336,7 @@ class NMFModel:
                 x_arr, w0, h, max_iter=self.max_iter, tol=float(self.tol),
                 l1_reg_w=l1_w, l2_reg_w=l2_w, update_h=False,
             )
+        _warn_if_unconverged(int(state.n_iter), self.max_iter, self.tol)
         return np.asarray(state.w)
 
     def inverse_transform(self, w) -> np.ndarray:

@@ -71,6 +71,70 @@ def _local_error(x, w, h, axis_name: str):
     return jnp.sqrt(sq)
 
 
+def _convergence_driver(
+    xb, wb, hb, local_step, local_error, axis_name, state_cls,
+    max_iter: int, tol: float, check_every: int,
+):
+    """Shared sklearn-stopping loop for the sharded solvers.
+
+    Runs inside ``shard_map``: chunks of ``check_every`` iterations
+    with converged trials frozen, the criterion evaluated at exact
+    ``check_every`` multiples, and — like the local solvers' static
+    branch — no criterion at all when ``tol == 0`` (run to
+    ``max_iter``, ``previous_error`` stays the initial error).
+    ``state_cls`` is any NamedTuple with the
+    ``(w, h, n_iter, previous_error, converged)`` layout.
+    """
+    b = xb.shape[0]
+    error_at_init = local_error(xb, wb, hb, axis_name)
+
+    def chunk(state):
+        steps = jnp.minimum(check_every, max_iter - jnp.max(state.n_iter))
+
+        def body(_, carry):
+            w, h = carry
+            w_new, h_new = local_step(xb, w, h, axis_name)
+            keep = state.converged[:, None, None]
+            return (
+                jnp.where(keep, w, w_new),
+                jnp.where(keep, h, h_new),
+            )
+
+        w, h = jax.lax.fori_loop(0, steps, body, (state.w, state.h))
+        n_iter = jnp.where(state.converged, state.n_iter, state.n_iter + steps)
+        if tol > 0:
+            error = local_error(xb, w, h, axis_name)
+            at_checkpoint = n_iter % check_every == 0
+            newly = jnp.logical_and(
+                (state.previous_error - error) / error_at_init < tol,
+                at_checkpoint,
+            )
+            converged = jnp.logical_or(state.converged, newly)
+            previous_error = jnp.where(
+                state.converged, state.previous_error, error
+            )
+            return state_cls(w, h, n_iter, previous_error, converged)
+        return state_cls(w, h, n_iter, state.previous_error, state.converged)
+
+    def cond(state):
+        return jnp.logical_and(
+            jnp.max(state.n_iter) < max_iter,
+            ~jnp.all(state.converged),
+        )
+
+    # Freshly-created carry entries must be marked as varying over the
+    # data axis (their loop-carried updates depend on this shard's
+    # trials), or shard_map's varying-axis check rejects the while_loop.
+    init = state_cls(
+        w=wb,
+        h=hb,
+        n_iter=mark_varying(jnp.zeros((b,), jnp.int32), DATA_AXIS),
+        previous_error=error_at_init,
+        converged=mark_varying(jnp.zeros((b,), bool), DATA_AXIS),
+    )
+    return jax.lax.while_loop(cond, chunk, init)
+
+
 def sharded_mu_step(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -146,52 +210,10 @@ def sharded_fit_mu(
         ),
     )
     def fit(xb, wb, hb):
-        b = xb.shape[0]
-        error_at_init = _local_error(xb, wb, hb, TIME_AXIS)
-
-        def chunk(state: MUState) -> MUState:
-            steps = jnp.minimum(check_every, max_iter - jnp.max(state.n_iter))
-
-            def body(_, carry):
-                w, h = carry
-                w_new, h_new = _local_mu_step(xb, w, h, TIME_AXIS)
-                # freeze converged trials
-                keep = state.converged[:, None, None]
-                return (
-                    jnp.where(keep, w, w_new),
-                    jnp.where(keep, h, h_new),
-                )
-
-            w, h = jax.lax.fori_loop(0, steps, body, (state.w, state.h))
-            n_iter = jnp.where(state.converged, state.n_iter, state.n_iter + steps)
-            error = _local_error(xb, w, h, TIME_AXIS)
-            at_checkpoint = n_iter % check_every == 0
-            newly = jnp.logical_and(
-                (state.previous_error - error) / error_at_init < tol,
-                at_checkpoint,
-            )
-            converged = jnp.logical_or(state.converged, newly)
-            previous_error = jnp.where(state.converged, state.previous_error, error)
-            return MUState(w, h, n_iter, previous_error, converged)
-
-        def cond(state: MUState) -> jnp.ndarray:
-            return jnp.logical_and(
-                jnp.max(state.n_iter) < max_iter,
-                ~jnp.all(state.converged),
-            )
-
-        # Freshly-created carry entries must be marked as varying over
-        # the data axis (their loop-carried updates depend on this
-        # shard's trials), or shard_map's varying-axis check rejects
-        # the while_loop.
-        init = MUState(
-            w=wb,
-            h=hb,
-            n_iter=mark_varying(jnp.zeros((b,), jnp.int32), DATA_AXIS),
-            previous_error=error_at_init,
-            converged=mark_varying(jnp.zeros((b,), bool), DATA_AXIS),
+        return _convergence_driver(
+            xb, wb, hb, _local_mu_step, _local_error, TIME_AXIS, MUState,
+            max_iter, tol, check_every,
         )
-        return jax.lax.while_loop(cond, chunk, init)
 
     return fit(x, w0, h0)
 
@@ -240,9 +262,14 @@ def _local_kl_error(x, w, h, axis_name: str):
     whc = jnp.maximum(wh, EPSILON)
     mask = x > EPSILON
     div = jnp.where(mask, x / whc, 1.0)
+    # the WH total uses the reference's colsum(W) @ rowsum(H) structure
+    # (cheaper, and the same float summation shape as beta_divergence)
+    wh_total = jnp.einsum(
+        "bk,bk->b", jnp.sum(w, axis=-2), jnp.sum(h, axis=-1)
+    )
     local = (
         jnp.sum(jnp.where(mask, x * jnp.log(div), 0.0), axis=(-1, -2))
-        + jnp.sum(wh, axis=(-1, -2))
+        + wh_total
         - jnp.sum(jnp.where(mask, x, 0.0), axis=(-1, -2))
     )
     res = time_sum(local, axis_name)
@@ -285,47 +312,10 @@ def sharded_fit_kl(
         ),
     )
     def fit(xb, wb, hb):
-        b = xb.shape[0]
-        error_at_init = _local_kl_error(xb, wb, hb, TIME_AXIS)
-
-        def chunk(state: BetaState) -> BetaState:
-            steps = jnp.minimum(check_every, max_iter - jnp.max(state.n_iter))
-
-            def body(_, carry):
-                w, h = carry
-                w_new, h_new = _local_kl_step(xb, w, h, TIME_AXIS)
-                keep = state.converged[:, None, None]
-                return (
-                    jnp.where(keep, w, w_new),
-                    jnp.where(keep, h, h_new),
-                )
-
-            w, h = jax.lax.fori_loop(0, steps, body, (state.w, state.h))
-            n_iter = jnp.where(state.converged, state.n_iter, state.n_iter + steps)
-            error = _local_kl_error(xb, w, h, TIME_AXIS)
-            at_checkpoint = n_iter % check_every == 0
-            newly = jnp.logical_and(
-                (state.previous_error - error) / error_at_init < tol,
-                at_checkpoint,
-            )
-            converged = jnp.logical_or(state.converged, newly)
-            previous_error = jnp.where(state.converged, state.previous_error, error)
-            return BetaState(w, h, n_iter, previous_error, converged)
-
-        def cond(state: BetaState) -> jnp.ndarray:
-            return jnp.logical_and(
-                jnp.max(state.n_iter) < max_iter,
-                ~jnp.all(state.converged),
-            )
-
-        init = BetaState(
-            w=wb,
-            h=hb,
-            n_iter=mark_varying(jnp.zeros((b,), jnp.int32), DATA_AXIS),
-            previous_error=error_at_init,
-            converged=mark_varying(jnp.zeros((b,), bool), DATA_AXIS),
+        return _convergence_driver(
+            xb, wb, hb, _local_kl_step, _local_kl_error, TIME_AXIS,
+            BetaState, max_iter, tol, check_every,
         )
-        return jax.lax.while_loop(cond, chunk, init)
 
     return fit(x, w0, h0)
 
@@ -404,47 +394,10 @@ def sharded_fit_mu_tp(
         ),
     )
     def fit(xb, wb, hb):
-        b = xb.shape[0]
-        error_at_init = _local_error_tp(xb, wb, hb, MODEL_AXIS)
-
-        def chunk(state: MUState) -> MUState:
-            steps = jnp.minimum(check_every, max_iter - jnp.max(state.n_iter))
-
-            def body(_, carry):
-                w, h = carry
-                w_new, h_new = _local_mu_step_tp(xb, w, h, MODEL_AXIS)
-                keep = state.converged[:, None, None]
-                return (
-                    jnp.where(keep, w, w_new),
-                    jnp.where(keep, h, h_new),
-                )
-
-            w, h = jax.lax.fori_loop(0, steps, body, (state.w, state.h))
-            n_iter = jnp.where(state.converged, state.n_iter, state.n_iter + steps)
-            error = _local_error_tp(xb, w, h, MODEL_AXIS)
-            at_checkpoint = n_iter % check_every == 0
-            newly = jnp.logical_and(
-                (state.previous_error - error) / error_at_init < tol,
-                at_checkpoint,
-            )
-            converged = jnp.logical_or(state.converged, newly)
-            previous_error = jnp.where(state.converged, state.previous_error, error)
-            return MUState(w, h, n_iter, previous_error, converged)
-
-        def cond(state: MUState) -> jnp.ndarray:
-            return jnp.logical_and(
-                jnp.max(state.n_iter) < max_iter,
-                ~jnp.all(state.converged),
-            )
-
-        init = MUState(
-            w=wb,
-            h=hb,
-            n_iter=mark_varying(jnp.zeros((b,), jnp.int32), DATA_AXIS),
-            previous_error=error_at_init,
-            converged=mark_varying(jnp.zeros((b,), bool), DATA_AXIS),
+        return _convergence_driver(
+            xb, wb, hb, _local_mu_step_tp, _local_error_tp, MODEL_AXIS,
+            MUState, max_iter, tol, check_every,
         )
-        return jax.lax.while_loop(cond, chunk, init)
 
     return fit(x, w0, h0)
 

@@ -330,3 +330,14 @@ def test_kl_pallas_fit_rejects_other_betas(problem):
     with pytest.raises(ValueError, match="beta=1"):
         fit_mu_beta_batch(np.stack([x]), np.stack([w0]), np.stack([h0]),
                           beta=0.0, impl="pallas")
+
+
+def test_transform_warns_on_exhausted_max_iter():
+    from sklearn.exceptions import ConvergenceWarning
+
+    rng = np.random.default_rng(47)
+    x = rng.random((60, 8)) + 0.01
+    model = mst.NMFModel(n_components=3, max_iter=400, tol=1e-6).fit(x)
+    model.max_iter = 2  # force the projection to exhaust its budget
+    with pytest.warns(ConvergenceWarning, match="Maximum number of"):
+        model.transform(x)

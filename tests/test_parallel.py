@@ -373,3 +373,27 @@ def test_sharded_fit_kl_matches_local_batch(mesh_2x4):
                                rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(np.asarray(got.previous_error),
                                np.asarray(ref.previous_error), rtol=1e-9)
+
+
+def test_sharded_tol_zero_runs_max_iter(mesh_2x4):
+    """tol=0 disables the sharded criterion, like the local solvers."""
+    from muscle_synergies_tpu.parallel import sharded_fit_kl, sharded_fit_mu
+    from muscle_synergies_tpu.parallel.mesh import DATA_AXIS, TIME_AXIS
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(41)
+    b, n, l, k = 8, 16, 6, 3
+    # perfectly factorizable data converges almost immediately, the
+    # regime where a ULP uptick could fake convergence under tol=0
+    wt = rng.random((b, n, k)); ht = rng.random((k, l))
+    xs = jnp.asarray(wt @ ht)
+    w0 = jnp.asarray(np.abs(rng.standard_normal((b, n, k))))
+    h0 = jnp.asarray(np.abs(rng.standard_normal((b, k, l))))
+    xs_s = jax.device_put(xs, NamedSharding(mesh_2x4, P(DATA_AXIS, TIME_AXIS)))
+    w_s = jax.device_put(w0, NamedSharding(mesh_2x4, P(DATA_AXIS, TIME_AXIS)))
+    h_s = jax.device_put(h0, NamedSharding(mesh_2x4, P(DATA_AXIS)))
+
+    for fit in (sharded_fit_mu, sharded_fit_kl):
+        state = fit(xs_s, w_s, h_s, mesh_2x4, max_iter=60, tol=0.0)
+        assert np.all(np.asarray(state.n_iter) == 60), fit.__name__
+        assert not np.any(np.asarray(state.converged)), fit.__name__
