@@ -441,13 +441,13 @@ def analyze_dataset(
         from .models.batch import fit_mu_beta_batch
 
         beta_impl = impl
-        if impl == "pallas" and beta != 1.0:
+        if impl == "pallas" and beta not in (0.0, 1.0):
             import warnings
 
             warnings.warn(
-                "analyze_dataset: impl='pallas' only covers the KL "
-                f"objective; beta_loss={beta_loss!r} runs on the XLA "
-                "batched solver.",
+                "analyze_dataset: impl='pallas' only covers the KL and "
+                f"Itakura-Saito objectives; beta_loss={beta_loss!r} runs "
+                "on the XLA batched solver.",
                 stacklevel=2,
             )
             beta_impl = "xla"

@@ -242,21 +242,22 @@ def fit_mu_beta_batch(
     :func:`muscle_synergies_tpu.models.beta.fit_mu_beta`; the batched
     ``while_loop`` freezes converged trials (vmap keeps each element's
     old carry once its own cond is false), so per-trial stopping
-    matches the unbatched solver exactly.  ``impl="pallas"`` (KL only,
-    ``beta == 1``) drives the VMEM-resident
-    :func:`muscle_synergies_tpu.models.kernels.kl_mu_iterations_pallas`
+    matches the unbatched solver exactly.  ``impl="pallas"`` (``beta``
+    in {1.0 KL, 0.0 Itakura-Saito}) drives the VMEM-resident
+    :func:`muscle_synergies_tpu.models.kernels.beta_mu_iterations_pallas`
     in ``check_every``-iteration chunks with the same per-trial
-    stopping semantics — ~2.6x the XLA path on a v5e.
+    stopping semantics — ~2.6x the XLA path on a v5e for KL.
     """
     if impl == "pallas":
-        if beta != 1.0:
+        if beta not in (0.0, 1.0):
             raise ValueError(
-                "impl='pallas' supports the KL objective (beta=1) only"
+                "impl='pallas' supports the KL (beta=1) and "
+                "Itakura-Saito (beta=0) objectives only"
             )
         if block_b is None:
             block_b = _default_block_b(xs.shape[0])
-        return _fit_kl_batch_pallas(
-            xs, w0, h0, max_iter, float(tol), check_every, block_b
+        return _fit_beta_batch_pallas(
+            xs, w0, h0, beta, max_iter, float(tol), check_every, block_b
         )
     if impl != "xla":
         raise ValueError(f"unknown impl: {impl!r}")
@@ -272,12 +273,14 @@ def fit_mu_beta_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iter", "tol", "check_every", "block_b", "interpret"),
+    static_argnames=(
+        "beta", "max_iter", "tol", "check_every", "block_b", "interpret",
+    ),
 )
-def _fit_kl_batch_pallas(
-    xs, w0, h0, max_iter, tol, check_every, block_b, interpret=False
+def _fit_beta_batch_pallas(
+    xs, w0, h0, beta, max_iter, tol, check_every, block_b, interpret=False
 ):
-    """KL fit driven by the Pallas kernel in convergence-checked chunks.
+    """Beta fit driven by the Pallas kernel in convergence-checked chunks.
 
     The kernel runs ``check_every`` iterations per dispatch; converged
     trials' updates are discarded (select on the convergence mask),
@@ -286,16 +289,16 @@ def _fit_kl_batch_pallas(
     chunk covers ``max_iter % check_every`` without a check.
     """
     from .beta import BetaState, beta_divergence
-    from .kernels import kl_mu_iterations_pallas
+    from .kernels import beta_mu_iterations_pallas
 
-    div = jax.vmap(lambda x, w, h: beta_divergence(x, w, h, 1.0))
+    div = jax.vmap(lambda x, w, h: beta_divergence(x, w, h, beta))
     err0 = div(xs, w0, h0)
     n_full = max_iter // check_every
     tail = max_iter % check_every
 
     def chunk(state):
-        w_new, h_new = kl_mu_iterations_pallas(
-            xs, state.w, state.h, check_every, block_b=block_b,
+        w_new, h_new = beta_mu_iterations_pallas(
+            xs, state.w, state.h, check_every, beta=beta, block_b=block_b,
             interpret=interpret,
         )
         keep = state.converged[:, None, None]
@@ -327,8 +330,9 @@ def _fit_kl_batch_pallas(
     state = jax.lax.while_loop(cond, chunk, state)
 
     if tail:
-        w_new, h_new = kl_mu_iterations_pallas(
-            xs, state.w, state.h, tail, block_b=block_b, interpret=interpret
+        w_new, h_new = beta_mu_iterations_pallas(
+            xs, state.w, state.h, tail, beta=beta, block_b=block_b,
+            interpret=interpret,
         )
         keep = state.converged[:, None, None]
         w = jnp.where(keep, state.w, w_new)

@@ -1,6 +1,6 @@
 """Pallas TPU kernels for the NMF hot loops."""
 
-from .beta_pallas import kl_mu_iterations_pallas
+from .beta_pallas import beta_mu_iterations_pallas, kl_mu_iterations_pallas
 from .cd_pallas import cd_iterations_pallas
 from .mu_pallas import fit_mu_pallas, mu_iterations_pallas
 
@@ -9,4 +9,5 @@ __all__ = [
     "fit_mu_pallas",
     "cd_iterations_pallas",
     "kl_mu_iterations_pallas",
+    "beta_mu_iterations_pallas",
 ]

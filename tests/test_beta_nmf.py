@@ -323,13 +323,34 @@ def test_kl_pallas_fit_matches_xla_batch(problem):
                                rtol=1e-8, atol=1e-11)
 
 
-def test_kl_pallas_fit_rejects_other_betas(problem):
+def test_pallas_beta_fit_rejects_fractional_betas(problem):
     from muscle_synergies_tpu.models.batch import fit_mu_beta_batch
 
     x, w0, h0 = problem
-    with pytest.raises(ValueError, match="beta=1"):
+    with pytest.raises(ValueError, match="Itakura-Saito"):
         fit_mu_beta_batch(np.stack([x]), np.stack([w0]), np.stack([h0]),
-                          beta=0.0, impl="pallas")
+                          beta=0.5, impl="pallas")
+
+
+def test_is_pallas_fit_matches_xla_batch(problem):
+    """impl='pallas' Itakura-Saito fit equals the XLA batch."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from muscle_synergies_tpu.models.batch import fit_mu_beta_batch
+
+    x, w0, h0 = problem
+    xs = np.stack([x + 0.01, x * 0.6 + 0.02])  # strictly positive
+    w0s, h0s = np.stack([w0] * 2), np.stack([h0] * 2)
+    ref = fit_mu_beta_batch(xs, w0s, h0s, beta=0.0, max_iter=120, tol=1e-5)
+    with pltpu.force_tpu_interpret_mode():
+        got = fit_mu_beta_batch(xs, w0s, h0s, beta=0.0, max_iter=120,
+                                tol=1e-5, impl="pallas")
+    np.testing.assert_array_equal(np.asarray(got.n_iter),
+                                  np.asarray(ref.n_iter))
+    np.testing.assert_allclose(np.asarray(got.w), np.asarray(ref.w),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.h), np.asarray(ref.h),
+                               rtol=1e-6, atol=1e-9)
 
 
 def test_transform_warns_on_exhausted_max_iter():

@@ -229,3 +229,23 @@ class TestKLKernel:
         d30 = sum(float(beta_divergence(xs[i], w30[i], h30[i], 1.0))
                   for i in range(B))
         assert d30 < d1
+
+
+def test_is_kernel_matches_beta_updates(problem):
+    """Itakura-Saito kernel vs the XLA beta updates (beta=0)."""
+    from muscle_synergies_tpu.models.beta import mu_update_beta
+    from muscle_synergies_tpu.models.kernels import beta_mu_iterations_pallas
+
+    xs, w, h = problem
+    xs = xs + 0.05  # strictly positive for IS
+    wp, hp = beta_mu_iterations_pallas(xs, w, h, 6, beta=0.0, block_b=B,
+                                       interpret=True)
+    wr, hr = w, h
+    for _ in range(6):
+        wr, hr = jax.vmap(lambda x, wi, hi: mu_update_beta(x, wi, hi, 0.0))(
+            xs, wr, hr
+        )
+    np.testing.assert_allclose(np.asarray(wp), np.asarray(wr),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hp), np.asarray(hr),
+                               rtol=1e-4, atol=1e-6)
