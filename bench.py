@@ -313,6 +313,26 @@ def _kl_reference_f64(x, w, h, iters):
     return w, h
 
 
+def _is_reference_f64(x, w, h, iters):
+    """float64 host reference of the Itakura-Saito MU iteration."""
+    x = x.astype(np.float64)
+    w = w.astype(np.float64)
+    h = h.astype(np.float64)
+    f64_eps = np.finfo(np.float64).eps
+    for _ in range(iters):
+        inv = 1.0 / np.maximum(w @ h, EPSILON)
+        den = inv @ h.T
+        den[den == 0] = EPSILON
+        w = w * np.sqrt(((x * inv * inv) @ h.T) / den)
+        w[w < f64_eps] = 0.0
+        inv = 1.0 / np.maximum(w @ h, EPSILON)
+        den = w.T @ inv
+        den[den == 0] = EPSILON
+        h = h * np.sqrt((w.T @ (x * inv * inv)) / den)
+        h[h < f64_eps] = 0.0
+    return w, h
+
+
 def run_check(args):
     """Device-numerics validation of the Pallas kernels.
 
@@ -374,6 +394,24 @@ def run_check(args):
             kl_err,
             np.max(np.abs(wk[i] - wr)) / np.max(np.abs(wr)),
             np.max(np.abs(hk[i] - hr)) / np.max(np.abs(hr)),
+        )
+
+    # --- Itakura-Saito branch (beta=0) vs a float64 host reference ---
+    from muscle_synergies_tpu.models.kernels import beta_mu_iterations_pallas
+
+    x_pos = x + np.float32(0.05)  # IS requires strictly positive data
+    is_iters = min(iters, 20)
+    wi, hi = beta_mu_iterations_pallas(
+        jnp.asarray(x_pos), jnp.asarray(w0), jnp.asarray(h0), is_iters,
+        beta=0.0, block_b=b, interpret=interpret,
+    )
+    wi, hi = np.asarray(wi), np.asarray(hi)
+    for i in range(b):
+        wr, hr = _is_reference_f64(x_pos[i], w0[i], h0[i], is_iters)
+        kl_err = max(
+            kl_err,
+            np.max(np.abs(wi[i] - wr)) / np.max(np.abs(wr)),
+            np.max(np.abs(hi[i] - hr)) / np.max(np.abs(hr)),
         )
 
     # --- fused filtfilt kernel vs scipy float64 ---

@@ -58,7 +58,8 @@ def _beta_step(x, w, h, k: int, l: int, beta: float):
         wh = sum(w[j] * h[j, m][None, :] for j in range(k))  # (N, B)
         a, bden = _num_den_weights(x[m], wh, beta)
         num_w.append(a)
-        den_w.append(bden)
+        if bden is not None:  # KL has no per-channel denominator weight
+            den_w.append(bden)
     w_new = []
     for i in range(k):
         num = sum(num_w[m] * h[i, m][None, :] for m in range(l))  # (N, B)
@@ -83,7 +84,8 @@ def _beta_step(x, w, h, k: int, l: int, beta: float):
         wh = sum(w[j] * h[j, m][None, :] for j in range(k))
         a, bden = _num_den_weights(x[m], wh, beta)
         num_w.append(a)
-        den_w.append(bden)
+        if bden is not None:
+            den_w.append(bden)
     h_new = []
     for i in range(k):
         if beta == 1.0:

@@ -347,6 +347,8 @@ def test_is_pallas_fit_matches_xla_batch(problem):
                                 tol=1e-5, impl="pallas")
     np.testing.assert_array_equal(np.asarray(got.n_iter),
                                   np.asarray(ref.n_iter))
+    np.testing.assert_array_equal(np.asarray(got.converged),
+                                  np.asarray(ref.converged))
     np.testing.assert_allclose(np.asarray(got.w), np.asarray(ref.w),
                                rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(np.asarray(got.h), np.asarray(ref.h),
