@@ -364,3 +364,48 @@ def test_transform_warns_on_exhausted_max_iter():
     model.max_iter = 2  # force the projection to exhaust its budget
     with pytest.warns(ConvergenceWarning, match="Maximum number of"):
         model.transform(x)
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis unavailable")
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(4, 40),
+    l=st.integers(2, 10),
+    k=st.integers(1, 5),
+    beta=st.sampled_from([0.0, 0.5, 1.0, 1.5, 2.5]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_update_step_property_matches_sklearn(n, l, k, beta, seed):
+    """One W+H update equals sklearn's pair for random shapes/betas."""
+    from sklearn.decomposition._nmf import (
+        _multiplicative_update_h,
+        _multiplicative_update_w,
+    )
+
+    rng = np.random.default_rng(seed)
+    x = rng.random((n, l)) + (0.01 if beta <= 0 else 0.0)
+    w0 = np.abs(rng.standard_normal((n, k))) + 1e-3
+    h0 = np.abs(rng.standard_normal((k, l))) + 1e-3
+
+    gamma = 1.0 / (2.0 - beta) if beta < 1 else (
+        1.0 / (beta - 1.0) if beta > 2 else 1.0
+    )
+    w, h = w0.copy(), h0.copy()
+    w, *_ = _multiplicative_update_w(x, w, h, beta, 0.0, 0.0, gamma)
+    if beta < 1:
+        w[w < np.finfo(np.float64).eps] = 0.0
+    h = _multiplicative_update_h(x, w, h, beta, 0.0, 0.0, gamma)
+    if beta <= 1:
+        h[h < np.finfo(np.float64).eps] = 0.0
+
+    wj, hj = mu_update_beta(x, w0, h0, beta=beta)
+    np.testing.assert_allclose(np.asarray(wj), w, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(hj), h, rtol=1e-9, atol=1e-12)
