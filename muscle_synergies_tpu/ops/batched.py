@@ -27,6 +27,7 @@ from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .emg import linear_envelope as _linear_envelope_single
 from .emg import moving_rms as _moving_rms_single
@@ -63,14 +64,38 @@ def zero_center_batch(
 
 
 @functools.partial(jax.jit, static_argnames=("window",))
-def moving_rms_batch(
-    xs: jnp.ndarray, window: int, mask: Optional[jnp.ndarray] = None
-) -> jnp.ndarray:
-    """Reference-exact moving RMS over a padded batch."""
+def _moving_rms_batch_jit(xs, window, mask):
     out = jax.vmap(lambda x: _moving_rms_single(x, window))(xs)
     if mask is not None:
         out = out * mask[..., None]
     return out
+
+
+def moving_rms_batch(
+    xs: jnp.ndarray, window: int, mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Reference-exact moving RMS over a padded batch.
+
+    Raises:
+        ValueError: when ``window`` exceeds any trial's *true* length
+            (from ``mask``) — the per-trial API rejects such windows,
+            and a padded batch must not silently average padding
+            instead.
+    """
+    if mask is not None:
+        lengths = np.asarray(jnp.sum(mask, axis=1))
+        if (lengths < window).any():
+            shortest = int(lengths.min())
+            raise ValueError(
+                f"window ({window} samples) is longer than the shortest "
+                f"trial ({shortest} valid samples)"
+            )
+    elif window > xs.shape[1]:
+        raise ValueError(
+            f"window ({window} samples) is longer than the signal "
+            f"({xs.shape[1]} samples)"
+        )
+    return _moving_rms_batch_jit(xs, window, mask)
 
 
 @functools.partial(jax.jit, static_argnames=("reduce_to",))

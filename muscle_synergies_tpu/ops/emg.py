@@ -113,6 +113,21 @@ def linear_envelope(
     )
 
 
+def _two_sum(a, b):
+    """Knuth's error-free transformation: a + b = s + e exactly."""
+    s = a + b
+    v = s - a
+    e = (a - (s - v)) + (b - v)
+    return s, e
+
+
+def _df_add(x, y):
+    """Double-float addition for the compensated scan (hi, lo) pairs."""
+    s, e = _two_sum(x[0], y[0])
+    e = e + x[1] + y[1]
+    return _two_sum(s, e)
+
+
 @functools.partial(jax.jit, static_argnames=("window",))
 def _moving_rms_jit(x, window):
     # Box-kernel "same" convolution as a cumulative-sum difference:
@@ -122,17 +137,27 @@ def _moving_rms_jit(x, window):
     # exactly: output i averages sq[i - w//2 : i + (w-1)//2 + 1],
     # zero-padded at the edges (the reference's edge behavior,
     # reference analysis.py:474-491).
+    #
+    # The running sum is kept in COMPENSATED (double-float) form: a
+    # plain f32 cumsum grows to the signal's total energy, and the
+    # windowed difference of two nearby ~1e7 totals cancels to zero —
+    # a quiet tail after a large transient reads exactly 0 RMS.  The
+    # (hi, lo) pair carries ~2x the mantissa, so window sums stay
+    # accurate relative to the window, not the whole-signal energy.
     n = x.shape[0]
     square = x * x
-    cs = jnp.concatenate(
-        [jnp.zeros((1, x.shape[1]), x.dtype), jnp.cumsum(square, axis=0)]
+    cs_hi, cs_lo = jax.lax.associative_scan(
+        _df_add, (square, jnp.zeros_like(square)), axis=0
     )
+    zero = jnp.zeros((1, x.shape[1]), x.dtype)
+    cs_hi = jnp.concatenate([zero, cs_hi])
+    cs_lo = jnp.concatenate([zero, cs_lo])
     idx = jnp.arange(n)
     lo = jnp.clip(idx - window // 2, 0, n)
     hi = jnp.clip(idx + (window - 1) // 2 + 1, 0, n)
-    mean_sq = (cs[hi] - cs[lo]) / window
-    # cumsum cancellation can leave tiny negatives where the true
-    # windowed sum is ~0
+    win_sum = (cs_hi[hi] - cs_hi[lo]) + (cs_lo[hi] - cs_lo[lo])
+    mean_sq = win_sum / window
+    # rounding can leave tiny negatives where the true sum is ~0
     return jnp.sqrt(jnp.maximum(mean_sq, 0.0))
 
 
@@ -175,9 +200,15 @@ def moving_rms(
 
 
 def normalize(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
-    """Divide each channel by its maximum absolute value."""
+    """Divide each channel by its maximum absolute value.
+
+    An all-zero channel (dead electrode) stays zero — a deliberate
+    deviation from the reference, whose 0/0 would propagate NaN into
+    every downstream step — matching ``normalize_batch``'s guard.
+    """
     x = jnp.asarray(x)
-    return x / jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    denom = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    return x / jnp.where(denom == 0, 1.0, denom)
 
 
 def subsample(x: jnp.ndarray, keep_every: Optional[int] = None) -> jnp.ndarray:

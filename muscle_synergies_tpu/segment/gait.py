@@ -100,12 +100,21 @@ def reactions(vicon_nexus_data: ViconNexusData) -> Tuple[pd.Series, pd.Series]:
 
 
 def _windowed_all(flags: np.ndarray, window: int) -> np.ndarray:
-    """``out[i] = flags[i:i+window].all()`` (truncated near the end)."""
+    """``out[i] = flags[i:i+window].all()``, requiring a FULL window.
+
+    Positions whose window would run past the signal end are False: the
+    debounce contract demands ``window`` consecutive samples, and the
+    reference's per-sample scan (reference segment.py:723-734) likewise
+    cannot accumulate them at the tail — a shorter glitch there must
+    not count as a debounced stretch.
+    """
     n = len(flags)
-    cs = np.concatenate([[0], np.cumsum(flags.astype(np.int64))])
-    ends = np.minimum(np.arange(n) + window, n)
-    lengths = ends - np.arange(n)
-    return (cs[ends] - cs[:n]) == lengths
+    out = np.zeros(n, dtype=bool)
+    m = n - window + 1
+    if m > 0:
+        cs = np.concatenate([[0], np.cumsum(flags.astype(np.int64))])
+        out[:m] = (cs[window:] - cs[:m]) == window
+    return out
 
 
 def transition_indices(
@@ -252,8 +261,6 @@ class Segmenter:
 
     # -- argument parsing --------------------------------------------------
     def _parse_args(self, trecho, cycle, phase_ref):
-        if phase_ref is not None and cycle is None:
-            raise ValueError("if a phase is given, a cycle should also be")
         extras_given = cycle is not None or phase_ref is not None
         if isinstance(trecho, tuple):
             if extras_given:
@@ -267,6 +274,10 @@ class Segmenter:
                 trecho, cycle = trecho
             else:
                 raise ValueError("expected (trecho, cycle[, phase]) tuple")
+        # validated AFTER tuple unpacking so (trecho, None, phase) gets
+        # the documented error rather than a KeyError downstream
+        if phase_ref is not None and cycle is None:
+            raise ValueError("if a phase is given, a cycle should also be")
         trecho = self._parse_trecho(trecho)
         cycle = self._parse_cycle(cycle)
         phase = self._parse_phase(trecho, phase_ref)
@@ -360,9 +371,18 @@ class Segmenter:
         for t, trecho in enumerate(self._trecho_keys):
             chunk = list(transitions[t * block : (t + 1) * block])
             boundaries = chunk[1:]  # 4*n_cycles phase starts + end
-            order = self._phase_order(boundaries[1], t + 1)
+            # Derive the phase order per CYCLE from that cycle's own
+            # second phase: the reference's 4x2 protocol repeats one
+            # support pattern within a pass (so this matches its
+            # per-pass derivation, reference segment.py:822-850), but
+            # generalized protocols may alternate the swing leg between
+            # cycles — a single per-pass order would swap every label
+            # in the alternated cycles.
             segments[trecho] = {
-                cyc: self._cycle_dict(order, boundaries[4 * c : 4 * c + 5])
+                cyc: self._cycle_dict(
+                    self._phase_order(boundaries[4 * c + 1], t + 1),
+                    boundaries[4 * c : 4 * c + 5],
+                )
                 for c, cyc in enumerate(self._cycle_keys)
             }
         return segments

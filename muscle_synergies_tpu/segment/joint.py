@@ -66,7 +66,16 @@ def phase_summary(
                 for p, plate in enumerate(data.forcepl[:2]):
                     arr = plate.array[start:stop]
                     cols = {c: j for j, c in enumerate(plate.coords)}
-                    fz = arr[:, cols["Fz"]] if "Fz" in cols else arr[:, -1]
+                    fz_key = next(
+                        (c for c in cols if c.lower() == "fz"), None
+                    )
+                    if fz_key is None:
+                        raise ValueError(
+                            f"force plate {plate.name!r} has no 'Fz' "
+                            f"column (coords: {list(cols)}); cannot "
+                            "compute vertical impulse"
+                        )
+                    fz = arr[:, cols[fz_key]]
                     row[f"plate{p}_impulse_z"] = float(
                         grf_impulse(fz, fs)
                     )

@@ -251,3 +251,56 @@ class TestInplaceSemantics:
         out = call(df)
         assert out is not df
         np.testing.assert_array_equal(df.to_numpy(), before)
+
+
+def test_moving_rms_f32_transient_precision():
+    """Quiet-tail RMS survives a large early transient in float32.
+
+    A plain f32 cumsum accumulates the transient's energy (~5e7) and
+    the windowed difference of two nearby totals cancels to exactly 0;
+    the compensated (double-float) scan keeps the tail accurate.
+    """
+    import jax.numpy as jnp
+
+    from muscle_synergies_tpu.ops.emg import moving_rms
+
+    rng = np.random.default_rng(0)
+    n = 60_000
+    x = 0.01 * rng.standard_normal(n)
+    x[:4000] += 100.0 * rng.standard_normal(4000)
+    got = np.asarray(moving_rms(jnp.asarray(x, jnp.float32), 1000))
+    sq = np.convolve(x.astype(np.float64) ** 2, np.ones(1000) / 1000,
+                     "same")
+    ref = np.sqrt(np.maximum(sq, 0))
+    tail = slice(10_000, None)
+    rel = np.abs(got[tail] - ref[tail]) / ref[tail]
+    assert float(rel.max()) < 1e-4
+    assert not (got[tail] == 0).any()
+
+
+def test_normalize_dead_channel_stays_zero():
+    """All-zero channels normalize to zero, not NaN (both APIs)."""
+    import jax.numpy as jnp
+
+    from muscle_synergies_tpu.ops.batched import normalize_batch
+    from muscle_synergies_tpu.ops.emg import normalize
+
+    x = np.zeros((50, 3))
+    x[:, 0] = np.sin(np.arange(50))
+    out = np.asarray(normalize(jnp.asarray(x)))
+    assert not np.isnan(out).any()
+    assert (out[:, 1:] == 0).all()
+    outb = np.asarray(normalize_batch(jnp.asarray(x)[None]))
+    np.testing.assert_array_equal(out, outb[0])
+
+
+def test_moving_rms_batch_rejects_short_trials():
+    import jax.numpy as jnp
+
+    from muscle_synergies_tpu.ops.batched import moving_rms_batch
+
+    xs = np.zeros((2, 100, 3))
+    mask = np.ones((2, 100))
+    mask[1, 30:] = 0.0  # trial 2 is only 30 valid samples long
+    with pytest.raises(ValueError, match="shortest"):
+        moving_rms_batch(jnp.asarray(xs), 50, jnp.asarray(mask))

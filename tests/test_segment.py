@@ -272,3 +272,40 @@ class TestSegmentPlotter:
         plt.close(fig)
         fig, ax = plotter.plot_segment(1, 1, "BL", show=False)
         plt.close(fig)
+
+
+class TestRegressionFixes:
+    """Round-2 review fixes: per-cycle phase order, tail debounce."""
+
+    def test_phase_labels_match_support_in_alternating_cycles(self):
+        """Each cycle's BL/AS labels must reflect its own loaded plate.
+
+        The custom synthetic alternates the swing leg per cycle; a
+        per-pass phase order (derived only from cycle 1) mislabels
+        every phase of the even cycles.
+        """
+        capture = _capture(_sequence(n_trechos=2, n_cycles=3))
+        seg = Segmenter(capture, n_trechos=2, n_cycles=3)
+        left = np.asarray(capture.forcepl[0].df.iloc[:, 0])
+        right = np.asarray(capture.forcepl[1].df.iloc[:, 0])
+        dev = capture.forcepl[0]
+        for trecho in (1, 2):
+            for cycle in (1, 2, 3):
+                for phase, want in (("BL", "left"), ("AS", "right")):
+                    sl = seg.get_times_of(trecho, cycle, phase)
+                    mid = (dev.to_index(sl.start) + dev.to_index(sl.stop)) // 2
+                    if want == "left":
+                        assert left[mid] != 0 and right[mid] == 0, (
+                            trecho, cycle, phase)
+                    else:
+                        assert right[mid] != 0 and left[mid] == 0, (
+                            trecho, cycle, phase)
+
+    def test_tail_glitch_not_accepted_as_debounced(self):
+        """A sub-window glitch in the final samples must not count."""
+        left = np.full(200, -100.0)
+        right = np.zeros(200)
+        right[-2:] = -50.0  # 2-sample ringing at the very end
+        with pytest.raises(ValueError, match="no phase found"):
+            transition_indices(left, right, min_phase_size=10,
+                               num_segments=2)
