@@ -229,5 +229,12 @@ def vaf(
     return pandas.DataFrame({lbl: [val] for lbl, val in zip(labels, values)})
 
 
-# find_synergies / SynergyRunResult live in models.select and are
-# re-exported here once imported at package level (see __init__).
+# Reference parity: the reference defines find_synergies in its
+# analysis module (reference analysis.py:713), so reference-era
+# `from ... analysis import find_synergies` imports must resolve here
+# too.  The implementations live in models.select.
+from .models.select import (  # noqa: E402  (re-export, placed last to
+    NMFModel,                 # avoid import cycles at package load)
+    SynergyRunResult,
+    find_synergies,
+)

@@ -351,7 +351,7 @@ class ViconNexusData:
 
         return (
             "ViconNexusData:\n"
-            f"+ emg: {amount(len(self.emg.df.columns), 'column')}\n"
+            f"+ emg: {amount(len(self.emg.coords), 'column')}\n"
             f"+ forcepl ({amount(len(self.forcepl), 'device')}): "
             f"{listing(self.forcepl)}\n"
             f"+ traj ({amount(len(self.traj), 'device')}): {listing(self.traj)}"

@@ -47,12 +47,18 @@ def _warn_if_unconverged(n_iter: int, max_iter: int, tol: float) -> None:
         )
 
 
-def _legacy_regularization(alpha: float, regularization: str, l1_ratio: float):
+# Sentinel distinguishing "regularization not passed" (sklearn 0.24's
+# default was 'both') from an explicit regularization=None (which that
+# version treated as NO regularization at all).
+_UNSET = object()
+
+
+def _legacy_regularization(alpha: float, regularization, l1_ratio: float):
     """sklearn <= 0.24's UNscaled penalties (the reference's pinned API).
 
     That era's ``_compute_regularization`` applied ``alpha`` directly —
     no ``n_samples`` / ``n_features`` factor — gated per factor by the
-    ``regularization`` selector.
+    ``regularization`` selector (``None`` = no penalties).
     """
     on_w = regularization in ("both", "transformation")
     on_h = regularization in ("both", "components")
@@ -121,30 +127,28 @@ class NMFModel:
         l1_ratio: float = 0.0,
         svd_method: str = "exact",
         alpha: Optional[float] = None,
-        regularization: Optional[str] = None,
+        regularization=_UNSET,
         verbose: int = 0,
     ):
         # Legacy sklearn <= 0.24 style (the version the reference pins,
         # reference requirements.txt:3): a single `alpha` applied per
-        # `regularization` in {'both', 'components', 'transformation'}.
+        # `regularization`.  0.24's default was 'both'; an EXPLICIT
+        # regularization=None meant no penalties at all.
         self._legacy_alpha = None
+        if regularization is not _UNSET and regularization not in (
+            None, "both", "components", "transformation"
+        ):
+            raise ValueError(
+                f"invalid regularization: {regularization!r} (expected "
+                "'both', 'components', 'transformation' or None)"
+            )
         if alpha is not None:
-            if regularization not in (
-                None, "both", "components", "transformation"
-            ):
-                raise ValueError(
-                    f"invalid regularization: {regularization!r} (expected "
-                    "'both', 'components' or 'transformation')"
-                )
+            reg = "both" if regularization is _UNSET else regularization
             # sklearn <= 0.24 applied alpha UNscaled (no n_samples /
             # n_features factor — _compute_regularization of that era);
             # keep those semantics so reference-era scripts reproduce
             # their pinned-sklearn fits.  Resolved in fit_transform.
-            self._legacy_alpha = (float(alpha), regularization or "both")
-        elif regularization is not None and regularization not in (
-            "both", "components", "transformation"
-        ):
-            raise ValueError(f"invalid regularization: {regularization!r}")
+            self._legacy_alpha = (float(alpha), reg)
         self.n_components = n_components
         self.solver = solver
         self.beta_loss = beta_loss
@@ -178,6 +182,9 @@ class NMFModel:
             raise ValueError(f"expected a 2-D matrix, got shape {x_arr.shape}")
         if x_arr.size == 0:
             raise ValueError("empty matrix passed to NMF")
+        if not np.all(np.isfinite(x_host)):
+            # sklearn's check_array rejects NaN/Inf before any fit
+            raise ValueError("Input X contains NaN or infinity.")
         if np.any(x_host < 0):
             raise ValueError("Negative values in data passed to NMF")
         if beta <= 0 and np.any(x_host == 0):
@@ -477,6 +484,8 @@ def _sweep_batched(
 
     beta = beta_loss_to_float(beta_loss)
     arr = processed_emg_df.to_numpy(dtype=float)
+    if not np.all(np.isfinite(arr)):
+        raise ValueError("Input X contains NaN or infinity.")
     if np.any(arr < 0):  # host-side: no device round trip for the test
         raise ValueError("Negative values in data passed to NMF")
     if beta <= 0 and np.any(arr == 0):

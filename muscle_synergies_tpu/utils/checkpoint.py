@@ -184,6 +184,18 @@ def find_synergies_checkpointed(
     from ..models import NMFModel
     from ..models.select import SynergyRunResult
 
+    # same validation surface as find_synergies (select.py)
+    if processed_emg_df.empty:
+        raise ValueError("empty EMG DataFrame")
+    num_features = len(processed_emg_df.columns)
+    if (
+        n_components < 1
+        or n_components > num_features
+        or max_components < n_components
+        or max_components > num_features
+    ):
+        raise ValueError("invalid number of components")
+
     ckpt = SweepCheckpoint(checkpoint_dir, backend=backend)
     runs = OrderedDict()
     for k in range(n_components, max_components + 1):

@@ -122,7 +122,8 @@ class PipelineConfig:
         from ..models import find_synergies
 
         kwargs = dict(
-            max_iter=self.max_iter, tol=self.tol, solver=self.solver
+            max_iter=self.max_iter, tol=self.tol, solver=self.solver,
+            beta_loss=self.beta_loss,
         )
         kwargs.update(overrides)
         return find_synergies(

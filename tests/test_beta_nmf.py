@@ -409,3 +409,60 @@ def test_update_step_property_matches_sklearn(n, l, k, beta, seed):
     wj, hj = mu_update_beta(x, w0, h0, beta=beta)
     np.testing.assert_allclose(np.asarray(wj), w, rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(np.asarray(hj), h, rtol=1e-9, atol=1e-12)
+
+
+def test_nan_input_rejected_like_sklearn(problem):
+    x, _, _ = problem
+    x_nan = x.copy()
+    x_nan[0, 0] = np.nan
+    with pytest.raises(ValueError, match="NaN"):
+        mst.NMFModel(n_components=2).fit_transform(x_nan)
+    import pandas as pd
+
+    df = pd.DataFrame(x_nan)
+    with pytest.raises(ValueError, match="NaN"):
+        mst.find_synergies(df, 1, 2, sweep="batched")
+
+
+def test_explicit_regularization_none_means_no_penalties(problem):
+    """sklearn 0.24: regularization=None disabled penalties entirely."""
+    x, w0, h0 = problem
+    none_reg = mst.NMFModel(
+        n_components=K, solver="mu", alpha=0.5, regularization=None,
+        init="custom", max_iter=60, tol=0.0,
+    )
+    w_none = none_reg.fit_transform(x, w=w0.copy(), h=h0.copy())
+    plain = mst.NMFModel(
+        n_components=K, solver="mu", init="custom", max_iter=60, tol=0.0,
+    )
+    w_plain = plain.fit_transform(x, w=w0.copy(), h=h0.copy())
+    np.testing.assert_array_equal(w_none, w_plain)
+
+
+def test_pipeline_config_forwards_beta_loss(problem):
+    import pandas as pd
+
+    from muscle_synergies_tpu.utils.config import PipelineConfig
+
+    x, _, _ = problem
+    df = pd.DataFrame(x, columns=[f"m{i}" for i in range(L)])
+    cfg = PipelineConfig(solver="mu", beta_loss="kullback-leibler",
+                         min_rank=2, max_rank=2, max_iter=300, tol=1e-5)
+    res = cfg.find_synergies(df)
+    direct = mst.find_synergies(df, 2, 2, solver="mu",
+                                beta_loss="kullback-leibler",
+                                max_iter=300, tol=1e-5)
+    assert res.model[2].n_iter_ == direct.model[2].n_iter_
+
+
+def test_checkpointed_sweep_validates_like_find_synergies(tmp_path, problem):
+    import pandas as pd
+
+    from muscle_synergies_tpu.utils import find_synergies_checkpointed
+
+    x, _, _ = problem
+    df = pd.DataFrame(x)
+    with pytest.raises(ValueError, match="invalid number"):
+        find_synergies_checkpointed(df, 3, 99, tmp_path / "c1")
+    with pytest.raises(ValueError, match="invalid number"):
+        find_synergies_checkpointed(df, 3, 2, tmp_path / "c2")
