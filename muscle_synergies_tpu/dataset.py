@@ -394,7 +394,11 @@ def analyze_dataset(
     grid_w = jnp.concatenate(w_blocks, axis=0)
     grid_h = jnp.concatenate(h_blocks, axis=0)
 
-    mesh_divides = mesh is not None and grid_x.shape[0] % mesh.shape["data"] == 0
+    mesh_divides = (
+        mesh is not None
+        and grid_x.shape[0] % mesh.shape["data"] == 0
+        and grid_x.shape[1] % mesh.shape.get("time", 1) == 0
+    )
     if mesh is not None and beta not in (1.0, 2.0):
         import warnings
 

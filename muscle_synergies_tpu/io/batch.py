@@ -60,6 +60,8 @@ def stack_trials(
         sharding: optional ``jax.sharding.Sharding`` for the batch.
         dtype: cast target (e.g. ``jnp.float32`` for TPU runs).
     """
+    if names is not None and len(names) != len(trials):
+        raise ValueError(f"got {len(names)} names for {len(trials)} trials")
     data, mask = pad_and_stack(trials, pad_to=pad_to)
     if dtype is not None:
         data = data.astype(dtype)
@@ -83,16 +85,30 @@ def batch_iterator(
     batch_size: int,
     pad_to: Optional[int] = None,
     drop_remainder: bool = False,
+    names: Optional[Sequence] = None,
     **stack_kwargs,
 ) -> Iterator[TrialBatch]:
-    """Yield :class:`TrialBatch` chunks of ``batch_size`` trials."""
+    """Yield :class:`TrialBatch` chunks of ``batch_size`` trials.
+
+    ``names`` (one per trial) is sliced alongside the trials so every
+    batch's ``names[i]`` labels its own ``data[i]``.
+    """
+    if names is not None and len(names) != len(trials):
+        raise ValueError(
+            f"got {len(names)} names for {len(trials)} trials"
+        )
     if pad_to is None:
         pad_to = max(t.shape[0] for t in trials)
     for start in range(0, len(trials), batch_size):
         chunk = trials[start : start + batch_size]
         if drop_remainder and len(chunk) < batch_size:
             return
-        yield stack_trials(chunk, pad_to=pad_to, **stack_kwargs)
+        chunk_names = (
+            names[start : start + batch_size] if names is not None else None
+        )
+        yield stack_trials(
+            chunk, pad_to=pad_to, names=chunk_names, **stack_kwargs
+        )
 
 
 def device_prefetch(
@@ -126,21 +142,43 @@ def device_prefetch(
             item,
         )
 
+    stop = threading.Event()
+
+    def offer(item) -> bool:
+        """Bounded put that gives up when the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for item in iterable:
-                q.put(put(item))
+                if not offer(put(item)):
+                    return  # consumer abandoned the generator
         except BaseException as exc:  # propagate to the consumer
-            q.put((_ERROR, exc))
+            offer((_ERROR, exc))
         else:
-            q.put(_END)
+            offer(_END)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERROR:
-            raise item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if (
+                isinstance(item, tuple)
+                and len(item) == 2
+                and item[0] is _ERROR
+            ):
+                raise item[1]
+            yield item
+    finally:
+        # unblock the producer on early exit (break / GeneratorExit) so
+        # it releases the upstream iterator's resources
+        stop.set()

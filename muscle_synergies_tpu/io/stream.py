@@ -70,10 +70,12 @@ def _open_lines(csv_filename: Union[str, os.PathLike]):
         if head == b"\x1f\x8b":  # gzip magic
             import gzip
 
-            return gzip.open(raw, "rt"), raw
+            # explicit utf-8: the whole-file parser decodes
+            # utf-8, and locale defaults must not diverge
+            return gzip.open(raw, "rt", encoding="utf-8"), raw
         import io as _io
 
-        wrapper = _io.TextIOWrapper(raw)
+        wrapper = _io.TextIOWrapper(raw, encoding="utf-8")
         return wrapper, raw
     except Exception:
         raw.close()

@@ -262,6 +262,25 @@ def _decode_data_block(
             na_filter=True,
             engine="c",
         )
+    except pd.errors.ParserError:
+        # ragged rows wider than the first line: the c engine raises,
+        # but the native decoder (and the contract: columns beyond
+        # num_cols are ignored) tolerates them — retry with the python
+        # engine truncating bad lines to num_cols
+        try:
+            frame = pd.read_csv(
+                io.BytesIO(data),
+                header=None,
+                dtype=float,
+                na_filter=True,
+                engine="python",
+                names=range(num_cols),
+                on_bad_lines=lambda row: row[:num_cols],
+            )
+        except Exception as exc:
+            raise _err(
+                first_lineno, f"could not decode data block: {exc}"
+            ) from exc
     except Exception as exc:
         raise _err(first_lineno, f"could not decode data block: {exc}") from exc
     arr = frame.to_numpy(dtype=float)
@@ -311,6 +330,10 @@ def _parse_section_header(
     # The units line is truncated to the column count but otherwise taken
     # verbatim (reference reader.py:797-836 keeps cells unstripped).
     units = _split_cells(lines[4])[:num_cols]
+    if len(units) < num_cols:
+        # writers may drop trailing commas for unitless columns; pad so
+        # every device's units align with its coords
+        units = units + [""] * (num_cols - len(units))
 
     if expected_type == "Devices":
         devices = _devices_from_forces_emg_headers(

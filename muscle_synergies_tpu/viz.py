@@ -44,10 +44,9 @@ def plot_signal(
             f"plot_dims {plot_dims} does not match "
             f"{len(signal_df.columns)} columns"
         )
-    fig, axs = plt.subplots(plot_dims[0], plot_dims[1], figsize=figsize)
-    axs = np.atleast_1d(axs)
-    if axs.ndim == 1:
-        axs = np.expand_dims(axs, axis=1)
+    fig, axs = plt.subplots(
+        plot_dims[0], plot_dims[1], figsize=figsize, squeeze=False
+    )
     for ax, col in zip(axs.flat, signal_df.columns):
         signal_df[col].plot(ax=ax, **plot_kwargs)
         ax.set_title(col)

@@ -141,3 +141,64 @@ def test_load_vicon_files_parallel(tmp_path):
     assert len(captures) == 3
     for cap in captures:
         assert cap.emg.array.shape == (6, 4)
+
+
+def test_batch_iterator_slices_names():
+    from muscle_synergies_tpu.io.batch import batch_iterator
+
+    trials = [np.zeros((4, 2)) for _ in range(5)]
+    names = [f"t{i}" for i in range(5)]
+    batches = list(batch_iterator(trials, 2, names=names))
+    assert [b.names for b in batches] == [["t0", "t1"], ["t2", "t3"], ["t4"]]
+    with pytest.raises(ValueError, match="names"):
+        list(batch_iterator(trials, 2, names=names[:3]))
+
+
+def test_device_prefetch_early_exit_releases_producer():
+    import threading
+    import time as _time
+
+    from muscle_synergies_tpu.io.batch import device_prefetch
+
+    released = threading.Event()
+
+    def source():
+        try:
+            for i in range(100):
+                yield np.zeros((2, 2)) + i
+        finally:
+            released.set()
+
+    for _ in device_prefetch(source(), buffer_size=1):
+        break  # abandon the generator immediately
+    for _ in range(100):
+        if released.is_set():
+            break
+        _time.sleep(0.05)
+    assert released.is_set(), "producer thread still pinned the source"
+
+
+def test_pandas_fallback_tolerates_wide_rows(tmp_path, monkeypatch):
+    """Rows wider than the first line decode like the native path."""
+    import muscle_synergies_tpu.io.vicon as vicon
+
+    monkeypatch.setenv("MST_DISABLE_NATIVE", "1")
+    arr = vicon._decode_data_block(b"1.0,2.0\n1.0,2.0,3.0,4.0", 3, 1)
+    assert arr.shape == (2, 3)
+    assert np.isnan(arr[0, 2]) and arr[1, 2] == 3.0
+
+
+def test_short_units_line_padded(tmp_path):
+    from tests.test_ingest import GOLDEN_CSV
+
+    # drop the trailing EMG units (writers may trim trailing commas)
+    lines = GOLDEN_CSV.splitlines()
+    assert lines[4].startswith(",,N,N")
+    lines[4] = ",".join(lines[4].split(",")[:20])  # cut the V,V,V,V tail
+    path = tmp_path / "short_units.csv"
+    path.write_text("\n".join(lines) + "\n")
+    from muscle_synergies_tpu import load_vicon_file
+
+    data = load_vicon_file(path)
+    assert data.emg.units == ("",) * 4  # padded, aligned with coords
+    assert len(data.forcepl[0].units) == 9
