@@ -319,6 +319,14 @@ class NMFModel:
         from .beta import beta_loss_to_float, fit_mu_beta
 
         beta = beta_loss_to_float(self.beta_loss)
+        if beta != 2.0 and self.solver != "mu":
+            # same guard as fit_transform: a hand-constructed or
+            # unpickled model with an incompatible (solver, beta_loss)
+            # pair must not silently transform with the MU solver
+            raise ValueError(
+                f"Invalid beta_loss parameter: solver {self.solver!r} does "
+                f"not handle beta_loss = {self.beta_loss!r}"
+            )
         if beta != 2.0 or self.solver == "mu":
             # sklearn seeds the multiplicative solver with the average
             # fill (zeros would be absorbing states for MU)

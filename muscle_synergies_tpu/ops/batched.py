@@ -80,16 +80,19 @@ def moving_rms_batch(
         ValueError: when ``window`` exceeds any trial's *true* length
             (from ``mask``) — the per-trial API rejects such windows,
             and a padded batch must not silently average padding
-            instead.
+            instead.  The check needs concrete mask values, so it is
+            skipped when tracing inside a caller's ``jax.jit`` (the
+            wrapper stays fully jittable; validate eagerly if needed).
     """
     if mask is not None:
-        lengths = np.asarray(jnp.sum(mask, axis=1))
-        if (lengths < window).any():
-            shortest = int(lengths.min())
-            raise ValueError(
-                f"window ({window} samples) is longer than the shortest "
-                f"trial ({shortest} valid samples)"
-            )
+        if not isinstance(mask, jax.core.Tracer):
+            lengths = np.asarray(jnp.sum(mask, axis=1))
+            if (lengths < window).any():
+                shortest = int(lengths.min())
+                raise ValueError(
+                    f"window ({window} samples) is longer than the shortest "
+                    f"trial ({shortest} valid samples)"
+                )
     elif window > xs.shape[1]:
         raise ValueError(
             f"window ({window} samples) is longer than the signal "

@@ -102,11 +102,16 @@ def reactions(vicon_nexus_data: ViconNexusData) -> Tuple[pd.Series, pd.Series]:
 def _windowed_all(flags: np.ndarray, window: int) -> np.ndarray:
     """``out[i] = flags[i:i+window].all()``, requiring a FULL window.
 
-    Positions whose window would run past the signal end are False: the
-    debounce contract demands ``window`` consecutive samples, and the
-    reference's per-sample scan (reference segment.py:723-734) likewise
-    cannot accumulate them at the tail — a shorter glitch there must
-    not count as a debounced stretch.
+    Positions whose window would run past the signal end are False.
+    This is a deliberate deviation from the reference's scan: its numpy
+    slice ``correct_activation[ind:ind+window].all()`` (reference
+    segment.py:730) truncates at the array end, so an all-active run
+    *shorter* than ``window`` in the final samples would count as a
+    debounced stretch there — e.g. two samples of sensor ringing at
+    the very end of a capture.  Here the debounce contract demands the
+    full ``window`` consecutive samples everywhere (pinned by
+    ``tests/test_segment.py::TestRegressionFixes::
+    test_tail_glitch_not_accepted_as_debounced``).
     """
     n = len(flags)
     out = np.zeros(n, dtype=bool)

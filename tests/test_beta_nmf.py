@@ -466,3 +466,19 @@ def test_checkpointed_sweep_validates_like_find_synergies(tmp_path, problem):
         find_synergies_checkpointed(df, 3, 99, tmp_path / "c1")
     with pytest.raises(ValueError, match="invalid number"):
         find_synergies_checkpointed(df, 3, 2, tmp_path / "c2")
+
+def test_transform_rejects_incompatible_solver_beta_pair(problem):
+    """A hand-constructed cd+beta!=2 model must raise, not silently MU.
+
+    Round-2 advisor finding: transform routed via ``beta != 2 or
+    solver == 'mu'``, so an unpickled model with ``solver='cd'`` and a
+    non-Frobenius loss transformed with the MU solver instead of
+    raising fit_transform's error.
+    """
+    x, _, _ = problem
+    model = mst.NMFModel(n_components=K, solver="mu",
+                         beta_loss="kullback-leibler", max_iter=200)
+    model.fit(x)
+    model.solver = "cd"  # simulate an unpickled/mutated model
+    with pytest.raises(ValueError, match="does not handle beta_loss"):
+        model.transform(x)

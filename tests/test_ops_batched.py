@@ -78,3 +78,26 @@ def test_no_mask_paths(ragged):
     _, batch, _ = ragged
     assert zero_center_batch(batch).shape == batch.shape
     assert time_normalize_batch(batch, 30).shape == (3, 30, 4)
+
+
+def test_moving_rms_batch_jittable_with_mask(ragged):
+    """The public wrapper must stay traceable inside a caller's jit.
+
+    Window validation needs concrete mask values, so it is skipped
+    under tracing (round-2 advisor finding: the host-sync check raised
+    TracerArrayConversionError from inside jax.jit).
+    """
+    import jax
+
+    _, batch, mask = ragged
+    eager = np.asarray(moving_rms_batch(batch, 8, mask))
+    jitted = np.asarray(
+        jax.jit(lambda xs, m: moving_rms_batch(xs, 8, m))(batch, mask)
+    )
+    np.testing.assert_allclose(jitted, eager, rtol=1e-6, atol=1e-9)
+
+
+def test_moving_rms_batch_still_validates_eagerly(ragged):
+    _, batch, mask = ragged
+    with pytest.raises(ValueError, match="longer than the shortest"):
+        moving_rms_batch(batch, 10_000, mask)
