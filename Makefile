@@ -2,7 +2,8 @@
 
 PYTHON ?= python
 
-.PHONY: test test-fast bench bench-quick bench-vaf bench-check entry native dist clean
+.PHONY: test test-fast bench bench-quick bench-vaf bench-check \
+	bench-solvers bench-all entry native dist clean
 
 test:
 	$(PYTHON) -m pytest tests/ -q
@@ -21,6 +22,15 @@ bench-vaf:  # BASELINE.md's second metric: time-to-90%-VAF
 
 bench-check:  # on-device Pallas kernel numerics vs float64 references
 	$(PYTHON) bench.py --check | tee BENCH_CHECK.json
+
+bench-solvers:  # per-solver throughput rows (mu, cd, kl, is) -> artifact
+	$(PYTHON) bench.py --solver mu > BENCH_SOLVERS.json
+	$(PYTHON) bench.py --solver cd >> BENCH_SOLVERS.json
+	$(PYTHON) bench.py --solver kl >> BENCH_SOLVERS.json
+	$(PYTHON) bench.py --solver is >> BENCH_SOLVERS.json
+	cat BENCH_SOLVERS.json
+
+bench-all: bench-check bench-vaf bench-solvers  # refresh every artifact
 
 entry:
 	JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \

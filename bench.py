@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Headline benchmark: MU-NMF iterations/sec/chip on a 1024-trial batch.
+"""Headline benchmark: NMF iterations/sec/chip on a 1024-trial batch.
 
 Default mode measures the throughput of the fused batched
 multiplicative-update iteration (rank-4 synergies from 8-channel gait
@@ -7,23 +7,34 @@ EMG, 200 time-normalized samples per trial — the BASELINE.json
 configuration) on the default JAX device.  Target from BASELINE.md:
 >= 10,000 MU iterations/sec/chip.
 
+``--solver {mu,cd,kl,is}`` selects the iteration being measured (and
+checked): Frobenius multiplicative updates (the headline), HALS
+coordinate descent (the TPU twin of sklearn's default ``solver='cd'``
+behind the reference's ``find_synergies`` — reference
+analysis.py:862), KL-loss MU (``beta_loss='kullback-leibler'``) and
+Itakura-Saito MU (``beta_loss='itakura-saito'``).  Every README
+throughput row is reproducible from this one harness.
+
 ``--metric vaf`` measures BASELINE.md's second metric — time to 90%
 batch VAF — as one on-device convergence loop (iteration count) priced
 at the measured per-iteration throughput, with ``vs_baseline`` the
 speedup over sklearn's NMF doing the same job trial-by-trial on the
 host CPU (the reference's execution model, analysis.py:909-913).
 
-``--check`` validates device numerics instead of speed: it runs the
-Pallas kernels (MU iterations, fused filtfilt) against float64 host
-references on the *active* platform and asserts the documented f32
-tolerances — on a real TPU this closes the gap that interpret-mode
-CPU tests cannot (BASELINE.md 1e-6 parity north star).
+``--check`` validates device numerics instead of speed: it runs every
+Pallas kernel (MU, CD, KL, IS iterations, fused filtfilt) against
+float64 host references on the *active* platform and asserts the
+documented f32 tolerances — on a real TPU this closes the gap that
+interpret-mode CPU tests cannot (BASELINE.md 1e-6 parity north star).
 
 Every mode prints exactly one JSON line:
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+(``--check``/``--metric vaf`` artifacts add a ``"date"`` stamp so
+tee'd JSON files record when they were produced.)
 """
 
 import argparse
+import datetime
 import json
 import sys
 import time
@@ -41,7 +52,7 @@ def _parse_args(argv=None):
     parser.add_argument("--channels", type=int, default=8)
     parser.add_argument("--rank", type=int, default=4)
     parser.add_argument("--iters", type=int, default=1000,
-                        help="MU iterations per timed run")
+                        help="solver iterations per timed run")
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--quick", action="store_true",
                         help="tiny smoke-test configuration")
@@ -52,8 +63,15 @@ def _parse_args(argv=None):
              "elsewhere",
     )
     parser.add_argument(
+        "--solver", choices=["mu", "cd", "kl", "is"], default="mu",
+        help="which solver iteration to measure/check: mu = Frobenius "
+             "multiplicative updates (headline), cd = HALS coordinate "
+             "descent (sklearn's default solver), kl / is = "
+             "beta-divergence MU (beta=1 / beta=0)",
+    )
+    parser.add_argument(
         "--metric", choices=["iters", "vaf"], default="iters",
-        help="iters = MU iterations/sec/chip (headline); vaf = "
+        help="iters = solver iterations/sec/chip (headline); vaf = "
              "time-to-90%%-VAF (BASELINE.md's second metric)",
     )
     parser.add_argument("--vaf-target", type=float, default=0.90)
@@ -65,6 +83,12 @@ def _parse_args(argv=None):
     return parser.parse_args(argv)
 
 
+def _utc_date() -> str:
+    return datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+
+
 def _resolve_impl(impl):
     import jax
 
@@ -73,30 +97,49 @@ def _resolve_impl(impl):
     return impl
 
 
-def _make_step(impl, batch):
-    """Return ``step(xs, w, h, iters)`` for the chosen implementation."""
-    if impl == "pallas":
-        from muscle_synergies_tpu.models.kernels import mu_iterations_pallas
+def _make_step(impl, batch, solver="mu"):
+    """Return ``step(xs, w, h, iters)`` for the chosen solver/impl."""
+    from muscle_synergies_tpu.models.batch import (
+        beta_mu_iterations_batch,
+        cd_iterations_batch,
+        mu_iterations_batch,
+    )
 
-        block_b = min(128, batch)
+    block_b = min(128, batch)
+
+    if solver == "mu":
+        def step_fn(xs, w, h, iters):
+            return mu_iterations_batch(
+                xs, w, h, iters, impl=impl, block_b=block_b
+            )
+    elif solver == "cd":
+        def step_fn(xs, w, h, iters):
+            return cd_iterations_batch(
+                xs, w, h, iters, impl=impl, block_b=block_b
+            )
+    else:
+        beta = 1.0 if solver == "kl" else 0.0
 
         def step_fn(xs, w, h, iters):
-            return mu_iterations_pallas(xs, w, h, iters, block_b=block_b)
-
-    else:
-        from muscle_synergies_tpu.models.batch import mu_iterations_batch
-
-        step_fn = mu_iterations_batch
+            return beta_mu_iterations_batch(
+                xs, w, h, iters, beta=beta, impl=impl, block_b=block_b
+            )
     return step_fn
 
 
-def _make_problem(args, dtype):
-    """Synthetic gait-like envelopes: nonneg low-rank + noise."""
+def _make_problem(args, dtype, solver="mu"):
+    """Synthetic gait-like envelopes: nonneg low-rank + noise.
+
+    The Itakura-Saito objective has poles at zero, so its problem is
+    shifted strictly positive (sklearn raises on zeros for beta <= 0).
+    """
     rng = np.random.default_rng(0)
     w_true = rng.random((args.batch, args.samples, 3))
     h_true = rng.random((args.batch, 3, args.channels))
     x_np = (w_true @ h_true + 0.05 * rng.random(
         (args.batch, args.samples, args.channels))).astype(dtype)
+    if solver == "is":
+        x_np = x_np + np.asarray(0.05, dtype)
     return x_np
 
 
@@ -169,25 +212,30 @@ def _measure_per_call(step_fn, xs, args, dtype, avg):
 
 
 def run_iters(args):
-    """Headline metric: MU iterations/sec/chip."""
+    """Headline metric: solver iterations/sec/chip."""
     import jax.numpy as jnp
 
     impl = _resolve_impl(args.impl)
-    step_fn = _make_step(impl, args.batch)
+    step_fn = _make_step(impl, args.batch, args.solver)
     dtype = jnp.dtype(args.dtype)
-    x_np = _make_problem(args, dtype)
+    x_np = _make_problem(args, dtype, args.solver)
     xs = jnp.asarray(x_np)
     avg = float(np.sqrt(x_np.mean() / args.rank))
 
     per_call = _measure_per_call(step_fn, xs, args, dtype, avg)
     iters_per_sec = args.iters / per_call
-    print(json.dumps({
-        "metric": "mu_nmf_iterations_per_sec_per_chip",
+    record = {
+        "metric": f"{args.solver}_nmf_iterations_per_sec_per_chip",
         "value": round(iters_per_sec, 2),
         "unit": f"iter/s (batch={args.batch}x{args.samples}x"
                 f"{args.channels}, k={args.rank}, {dtype.name}, {impl})",
         "vs_baseline": round(iters_per_sec / 10_000.0, 4),
-    }))
+    }
+    if args.solver != "mu":
+        # the headline MU line keeps the driver's exact 4-key schema;
+        # the per-solver artifact lines carry a date stamp
+        record["date"] = _utc_date()
+    print(json.dumps(record))
     return 0
 
 
@@ -206,9 +254,9 @@ def run_vaf(args):
     from muscle_synergies_tpu.models.batch import init_batch, vaf_batch
 
     impl = _resolve_impl(args.impl)
-    step_fn = _make_step(impl, args.batch)
+    step_fn = _make_step(impl, args.batch, args.solver)
     dtype = jnp.dtype(args.dtype)
-    x_np = _make_problem(args, dtype)
+    x_np = _make_problem(args, dtype, args.solver)
     # normalized like the tutorial pipeline output
     x_np = (x_np / x_np.max(axis=(1, 2), keepdims=True)).astype(dtype)
     xs = jnp.asarray(x_np)
@@ -253,28 +301,40 @@ def run_vaf(args):
     seconds = n_iter * per_call / args.iters
 
     # reference execution model: sklearn NMF per trial, host CPU
-    sk_per_trial = _sklearn_time_per_trial(x_np, args.rank, n_iter)
+    sk_per_trial = _sklearn_time_per_trial(
+        x_np, args.rank, n_iter, args.solver
+    )
     sk_total = sk_per_trial * args.batch
 
     print(json.dumps({
         "metric": f"time_to_{int(target * 100)}pct_vaf",
         "value": round(seconds * 1e3, 3),
-        "unit": f"ms for {args.batch} trials ({n_iter} MU iters, "
-                f"rank={args.rank}, {impl})",
+        "unit": f"ms for {args.batch} trials ({n_iter} {args.solver} "
+                f"iters, rank={args.rank}, {impl})",
         "vs_baseline": round(sk_total / seconds, 1),
+        "date": _utc_date(),
     }))
     return 0
 
 
-def _sklearn_time_per_trial(x_np, rank, n_iter):
-    """Median sklearn wall time to run the same MU solve on one trial."""
+_SKLEARN_SOLVER = {
+    "mu": ("mu", "frobenius"),
+    "cd": ("cd", "frobenius"),
+    "kl": ("mu", "kullback-leibler"),
+    "is": ("mu", "itakura-saito"),
+}
+
+
+def _sklearn_time_per_trial(x_np, rank, n_iter, solver="mu"):
+    """Median sklearn wall time to run the same solve on one trial."""
     from sklearn.decomposition import NMF
 
+    sk_solver, beta_loss = _SKLEARN_SOLVER[solver]
     times = []
     for b in range(min(4, x_np.shape[0])):
         model = NMF(
-            n_components=rank, solver="mu", init="random",
-            max_iter=n_iter, tol=0.0, random_state=0,
+            n_components=rank, solver=sk_solver, beta_loss=beta_loss,
+            init="random", max_iter=n_iter, tol=0.0, random_state=0,
         )
         t0 = time.perf_counter()
         model.fit_transform(np.asarray(x_np[b], dtype=np.float64))
@@ -313,6 +373,81 @@ def _kl_reference_f64(x, w, h, iters):
     return w, h
 
 
+def _beta_reference_f64(x, w, h, iters, beta):
+    """float64 host reference of the generic-beta MU iteration.
+
+    sklearn's ``_multiplicative_update_w/_h`` for an arbitrary float
+    ``beta_loss``: numerator ``X*(WH)^(beta-2)`` (clamped for beta<2),
+    denominator ``(WH)^(beta-1)`` (clamped for beta<1), gamma damping,
+    and the beta<1 / beta<=1 stability flushes.
+    """
+    x = x.astype(np.float64)
+    w = w.astype(np.float64)
+    h = h.astype(np.float64)
+    f64_eps = np.finfo(np.float64).eps
+    if beta < 1.0:
+        gamma = 1.0 / (2.0 - beta)
+    elif beta > 2.0:
+        gamma = 1.0 / (beta - 1.0)
+    else:
+        gamma = 1.0
+    for _ in range(iters):
+        wh = w @ h
+        whn = np.maximum(wh, EPSILON) if beta < 2.0 else wh
+        whd = np.maximum(wh, EPSILON) if beta < 1.0 else wh
+        num = (x * whn ** (beta - 2.0)) @ h.T
+        den = whd ** (beta - 1.0) @ h.T
+        den[den == 0] = EPSILON
+        delta = num / den
+        if gamma != 1.0:
+            delta = delta**gamma
+        w = w * delta
+        if beta < 1.0:
+            w[w < f64_eps] = 0.0
+        wh = w @ h
+        whn = np.maximum(wh, EPSILON) if beta < 2.0 else wh
+        whd = np.maximum(wh, EPSILON) if beta < 1.0 else wh
+        num = w.T @ (x * whn ** (beta - 2.0))
+        den = w.T @ whd ** (beta - 1.0)
+        den[den == 0] = EPSILON
+        delta = num / den
+        if gamma != 1.0:
+            delta = delta**gamma
+        h = h * delta
+        if beta <= 1.0:
+            h[h < f64_eps] = 0.0
+    return w, h
+
+
+def _cd_reference_f64(x, w, h, iters):
+    """float64 host reference of the CD/HALS outer iteration.
+
+    sklearn ``_update_coordinate_descent`` with ``shuffle=False``: a
+    cyclic Newton pass over W's components (H fixed), then the same
+    pass over Ht via X.T — the update order of
+    ``muscle_synergies_tpu.models.hals.fit_cd`` and the CD Pallas
+    kernel.
+    """
+    x = x.astype(np.float64)
+    w = w.astype(np.float64)
+    ht = h.astype(np.float64).T  # (L, k)
+
+    def cd_pass(xm, wm, htm):
+        hht = htm.T @ htm
+        xht = xm @ htm
+        for s in range(htm.shape[1]):
+            grad = wm @ hht[:, s] - xht[:, s]
+            hess = hht[s, s]
+            if hess != 0:
+                wm[:, s] = np.maximum(wm[:, s] - grad / hess, 0.0)
+        return wm
+
+    for _ in range(iters):
+        w = cd_pass(x, w, ht)
+        ht = cd_pass(x.T, ht, w)
+    return w, ht.T
+
+
 def _is_reference_f64(x, w, h, iters):
     """float64 host reference of the Itakura-Saito MU iteration."""
     x = x.astype(np.float64)
@@ -333,23 +468,35 @@ def _is_reference_f64(x, w, h, iters):
     return w, h
 
 
+def _factor_err(w_dev, h_dev, w_ref, h_ref):
+    """Max relative error of device factors vs float64 references."""
+    return max(
+        np.max(np.abs(w_dev - w_ref)) / np.max(np.abs(w_ref)),
+        np.max(np.abs(h_dev - h_ref)) / np.max(np.abs(h_ref)),
+    )
+
+
 def run_check(args):
     """Device-numerics validation of the Pallas kernels.
 
-    Runs the two hot kernels on the *active* platform (real TPU when
+    Runs every hot kernel — MU, CD/HALS, KL, Itakura-Saito iterations
+    and the fused filtfilt — on the *active* platform (real TPU when
     available; interpret mode elsewhere) and compares against float64
-    host references.  Documented f32 tolerances: MU iterations <= 1e-3
-    max relative error after 50 updates; fused filtfilt <= 5e-4
-    relative to signal scale even for an ill-conditioned 10 Hz / 2 kHz
-    lowpass, ~60x tighter than the XLA f32 scan's ~1e-2 on the same
-    problem (the pure-f32 VPU kernels are *more* accurate than the XLA
-    f32 paths, whose TPU matmuls round through bf16 MXU passes).
+    host references.  Documented f32 tolerances: solver iterations
+    <= 1e-3 max relative error after 50 updates (20 for IS); fused
+    filtfilt <= 5e-4 relative to signal scale even for an
+    ill-conditioned 10 Hz / 2 kHz lowpass, ~60x tighter than the XLA
+    f32 scan's ~1e-2 on the same problem (the pure-f32 VPU kernels are
+    *more* accurate than the XLA f32 paths, whose TPU matmuls round
+    through bf16 MXU passes).
     """
     import jax
     import jax.numpy as jnp
     from scipy import signal as sps
 
     from muscle_synergies_tpu.models.kernels import (
+        beta_mu_iterations_pallas,
+        cd_iterations_pallas,
         kl_mu_iterations_pallas,
         mu_iterations_pallas,
     )
@@ -367,52 +514,58 @@ def run_check(args):
     x = rng.random((b, n, l)).astype(np.float32)
     w0 = np.abs(rng.standard_normal((b, n, k))).astype(np.float32)
     h0 = np.abs(rng.standard_normal((b, k, l))).astype(np.float32)
+    xs, ws, hs = jnp.asarray(x), jnp.asarray(w0), jnp.asarray(h0)
     wp, hp = mu_iterations_pallas(
-        jnp.asarray(x), jnp.asarray(w0), jnp.asarray(h0), iters,
-        block_b=b, interpret=interpret,
+        xs, ws, hs, iters, block_b=b, interpret=interpret,
     )
     wp, hp = np.asarray(wp), np.asarray(hp)
     mu_err = 0.0
     for i in range(b):
         wr, hr = _mu_reference_f64(x[i], w0[i], h0[i], iters)
-        mu_err = max(
-            mu_err,
-            np.max(np.abs(wp[i] - wr)) / np.max(np.abs(wr)),
-            np.max(np.abs(hp[i] - hr)) / np.max(np.abs(hr)),
-        )
+        mu_err = max(mu_err, _factor_err(wp[i], hp[i], wr, hr))
+
+    # --- CD/HALS kernel (sklearn's default-solver twin) ---
+    wc, hc = cd_iterations_pallas(
+        xs, ws, hs, iters, block_b=b, interpret=interpret,
+    )
+    wc, hc = np.asarray(wc), np.asarray(hc)
+    cd_err = 0.0
+    for i in range(b):
+        wr, hr = _cd_reference_f64(x[i], w0[i], h0[i], iters)
+        cd_err = max(cd_err, _factor_err(wc[i], hc[i], wr, hr))
 
     # --- KL-loss MU kernel vs float64 host reference ---
     wk, hk = kl_mu_iterations_pallas(
-        jnp.asarray(x), jnp.asarray(w0), jnp.asarray(h0), iters,
-        block_b=b, interpret=interpret,
+        xs, ws, hs, iters, block_b=b, interpret=interpret,
     )
     wk, hk = np.asarray(wk), np.asarray(hk)
     kl_err = 0.0
     for i in range(b):
         wr, hr = _kl_reference_f64(x[i], w0[i], h0[i], iters)
-        kl_err = max(
-            kl_err,
-            np.max(np.abs(wk[i] - wr)) / np.max(np.abs(wr)),
-            np.max(np.abs(hk[i] - hr)) / np.max(np.abs(hr)),
-        )
+        kl_err = max(kl_err, _factor_err(wk[i], hk[i], wr, hr))
 
     # --- Itakura-Saito branch (beta=0) vs a float64 host reference ---
-    from muscle_synergies_tpu.models.kernels import beta_mu_iterations_pallas
-
     x_pos = x + np.float32(0.05)  # IS requires strictly positive data
     is_iters = min(iters, 20)
     wi, hi = beta_mu_iterations_pallas(
-        jnp.asarray(x_pos), jnp.asarray(w0), jnp.asarray(h0), is_iters,
+        jnp.asarray(x_pos), ws, hs, is_iters,
         beta=0.0, block_b=b, interpret=interpret,
     )
     wi, hi = np.asarray(wi), np.asarray(hi)
+    is_err = 0.0
     for i in range(b):
         wr, hr = _is_reference_f64(x_pos[i], w0[i], h0[i], is_iters)
-        kl_err = max(
-            kl_err,
-            np.max(np.abs(wi[i] - wr)) / np.max(np.abs(wr)),
-            np.max(np.abs(hi[i] - hr)) / np.max(np.abs(hr)),
-        )
+        is_err = max(is_err, _factor_err(wi[i], hi[i], wr, hr))
+
+    # --- generic-beta branch (beta=1.5) vs a float64 host reference ---
+    wb, hb = beta_mu_iterations_pallas(
+        xs, ws, hs, iters, beta=1.5, block_b=b, interpret=interpret,
+    )
+    wb, hb = np.asarray(wb), np.asarray(hb)
+    b15_err = 0.0
+    for i in range(b):
+        wr, hr = _beta_reference_f64(x[i], w0[i], h0[i], iters, 1.5)
+        b15_err = max(b15_err, _factor_err(wb[i], hb[i], wr, hr))
 
     # --- fused filtfilt kernel vs scipy float64 ---
     # EMG-envelope-like signal: low-frequency content the 10 Hz lowpass
@@ -449,17 +602,25 @@ def run_check(args):
 
     mu_tol, ff_tol = 1e-3, 5e-4
     ff_err = max(ff_err, batch_err)
-    ok = mu_err <= mu_tol and kl_err <= mu_tol and ff_err <= ff_tol
+    solver_errs = {
+        "mu": mu_err, "cd": cd_err, "kl": kl_err, "is": is_err,
+        "beta1.5": b15_err,
+    }
+    ok = (
+        all(e <= mu_tol for e in solver_errs.values()) and ff_err <= ff_tol
+    )
+    worst = max(max(solver_errs.values()), ff_err)
     print(json.dumps({
         "metric": "kernel_parity_max_rel_err",
-        "value": float(f"{max(mu_err, kl_err, ff_err):.3e}"),
+        "value": float(f"{worst:.3e}"),
         "unit": (
-            f"mu={mu_err:.2e} kl={kl_err:.2e} (tol {mu_tol:g}), "
-            f"filtfilt={ff_err:.2e} (tol {ff_tol:g}), "
+            " ".join(f"{s}={e:.2e}" for s, e in solver_errs.items())
+            + f" (tol {mu_tol:g}), filtfilt={ff_err:.2e} (tol {ff_tol:g}), "
             f"platform={jax.default_backend()}"
             f"{' interpret' if interpret else ''}"
         ),
         "vs_baseline": 1.0 if ok else 0.0,
+        "date": _utc_date(),
     }))
     return 0 if ok else 1
 

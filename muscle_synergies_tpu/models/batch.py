@@ -242,18 +242,13 @@ def fit_mu_beta_batch(
     :func:`muscle_synergies_tpu.models.beta.fit_mu_beta`; the batched
     ``while_loop`` freezes converged trials (vmap keeps each element's
     old carry once its own cond is false), so per-trial stopping
-    matches the unbatched solver exactly.  ``impl="pallas"`` (``beta``
-    in {1.0 KL, 0.0 Itakura-Saito}) drives the VMEM-resident
+    matches the unbatched solver exactly.  ``impl="pallas"`` (any
+    float ``beta``) drives the VMEM-resident
     :func:`muscle_synergies_tpu.models.kernels.beta_mu_iterations_pallas`
     in ``check_every``-iteration chunks with the same per-trial
     stopping semantics — ~2.6x the XLA path on a v5e for KL.
     """
     if impl == "pallas":
-        if beta not in (0.0, 1.0):
-            raise ValueError(
-                "impl='pallas' supports the KL (beta=1) and "
-                "Itakura-Saito (beta=0) objectives only"
-            )
         if block_b is None:
             block_b = _default_block_b(xs.shape[0])
         return _fit_beta_batch_pallas(
@@ -351,6 +346,89 @@ def _fit_beta_batch_pallas(
             state.converged,
         )
     return state
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def _cd_iterations_xla(xs, w, h, n_iters):
+    from .hals import cd_pass
+
+    def one_iter(x, w, h):
+        w, _ = cd_pass(x, w, jnp.swapaxes(h, -1, -2))
+        ht, _ = cd_pass(jnp.swapaxes(x, -1, -2), jnp.swapaxes(h, -1, -2), w)
+        return w, jnp.swapaxes(ht, -1, -2)
+
+    def body(_, wh):
+        return jax.vmap(one_iter)(xs, *wh)
+
+    return jax.lax.fori_loop(0, n_iters, body, (w, h))
+
+
+def cd_iterations_batch(
+    xs: jnp.ndarray,
+    w: jnp.ndarray,
+    h: jnp.ndarray,
+    n_iters: int,
+    impl: str = "xla",
+    block_b: Optional[int] = None,
+):
+    """Run ``n_iters`` CD/HALS outer iterations (no convergence checks).
+
+    The coordinate-descent counterpart of :func:`mu_iterations_batch`
+    — the fixed-iteration throughput primitive behind ``bench.py
+    --solver cd``.  One iteration is a cyclic pass over W's components
+    then H's, sklearn's ``shuffle=False`` order
+    (:func:`muscle_synergies_tpu.models.hals.cd_pass`), so iterates
+    match :func:`fit_cd_batch`'s up to float reordering.
+    """
+    if impl == "pallas":
+        from .kernels import cd_iterations_pallas
+
+        if block_b is None:
+            block_b = _default_block_b(xs.shape[0])
+        return cd_iterations_pallas(xs, w, h, n_iters, block_b=block_b)
+    if impl != "xla":
+        raise ValueError(f"unknown impl: {impl!r}")
+    return _cd_iterations_xla(xs, w, h, n_iters)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "beta"))
+def _beta_iterations_xla(xs, w, h, n_iters, beta):
+    from .beta import mu_update_beta
+
+    def body(_, wh):
+        return jax.vmap(
+            lambda x, w, h: mu_update_beta(x, w, h, beta=beta)
+        )(xs, *wh)
+
+    return jax.lax.fori_loop(0, n_iters, body, (w, h))
+
+
+def beta_mu_iterations_batch(
+    xs: jnp.ndarray,
+    w: jnp.ndarray,
+    h: jnp.ndarray,
+    n_iters: int,
+    beta: float = 1.0,
+    impl: str = "xla",
+    block_b: Optional[int] = None,
+):
+    """Run ``n_iters`` beta-MU iterations (no convergence checks).
+
+    The beta-divergence counterpart of :func:`mu_iterations_batch` —
+    the fixed-iteration throughput primitive behind ``bench.py
+    --solver {kl,is}`` and any float ``beta``.
+    """
+    if impl == "pallas":
+        from .kernels import beta_mu_iterations_pallas
+
+        if block_b is None:
+            block_b = _default_block_b(xs.shape[0])
+        return beta_mu_iterations_pallas(
+            xs, w, h, n_iters, beta=beta, block_b=block_b
+        )
+    if impl != "xla":
+        raise ValueError(f"unknown impl: {impl!r}")
+    return _beta_iterations_xla(xs, w, h, n_iters, beta)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "tol"))

@@ -53,10 +53,23 @@ def test_bench_vaf_metric_emits_json_contract():
     result = _run(["bench.py", "--quick", "--impl", "xla", "--metric", "vaf"])
     assert result.returncode == 0, result.stderr[-2000:]
     payload = json.loads(result.stdout.strip().splitlines()[-1])
-    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(payload)
     assert payload["metric"] == "time_to_90pct_vaf"
     assert payload["value"] > 0
     assert payload["vs_baseline"] > 1  # faster than sklearn's trial loop
+
+
+@pytest.mark.parametrize("solver", ["cd", "kl", "is"])
+def test_bench_solver_axis_emits_json_contract(solver):
+    """Every README throughput row reproduces from one harness."""
+    result = _run(
+        ["bench.py", "--quick", "--impl", "xla", "--solver", solver]
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    payload = json.loads(result.stdout.strip().splitlines()[-1])
+    assert {"metric", "value", "unit", "vs_baseline", "date"} <= set(payload)
+    assert payload["metric"] == f"{solver}_nmf_iterations_per_sec_per_chip"
+    assert payload["value"] > 0
 
 
 def test_bench_check_validates_kernel_numerics():
