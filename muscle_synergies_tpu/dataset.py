@@ -399,17 +399,7 @@ def analyze_dataset(
         and grid_x.shape[0] % mesh.shape["data"] == 0
         and grid_x.shape[1] % mesh.shape.get("time", 1) == 0
     )
-    if mesh is not None and beta not in (1.0, 2.0):
-        import warnings
-
-        warnings.warn(
-            "analyze_dataset: the sharded solvers cover the Frobenius "
-            f"and KL objectives; beta_loss={beta_loss!r} runs on the "
-            "local batched solver.",
-            stacklevel=2,
-        )
-        mesh_divides = False
-    elif mesh is not None and not mesh_divides:
+    if mesh is not None and not mesh_divides:
         import warnings
 
         warnings.warn(
@@ -421,7 +411,11 @@ def analyze_dataset(
             stacklevel=2,
         )
     if mesh_divides:
-        from .parallel import sharded_fit_cd, sharded_fit_mu
+        from .parallel import (
+            sharded_fit_beta,
+            sharded_fit_cd,
+            sharded_fit_mu,
+        )
         from .parallel.mesh import DATA_AXIS, TIME_AXIS
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -434,30 +428,22 @@ def analyze_dataset(
         grid_h = jax.device_put(
             grid_h, NamedSharding(mesh, P(DATA_AXIS, None, None))
         )
-        if beta == 1.0:
-            from .parallel import sharded_fit_kl as fit
-        elif solver == "mu":
-            fit = sharded_fit_mu
+        if beta != 2.0:
+            state = sharded_fit_beta(
+                grid_x, grid_w, grid_h, mesh, beta=beta,
+                max_iter=max_iter, tol=tol,
+            )
         else:
-            fit = sharded_fit_cd
-        state = fit(grid_x, grid_w, grid_h, mesh, max_iter=max_iter, tol=tol)
+            fit = sharded_fit_mu if solver == "mu" else sharded_fit_cd
+            state = fit(
+                grid_x, grid_w, grid_h, mesh, max_iter=max_iter, tol=tol
+            )
     elif beta != 2.0:
         from .models.batch import fit_mu_beta_batch
 
-        beta_impl = impl
-        if impl == "pallas" and beta not in (0.0, 1.0):
-            import warnings
-
-            warnings.warn(
-                "analyze_dataset: impl='pallas' only covers the KL and "
-                f"Itakura-Saito objectives; beta_loss={beta_loss!r} runs "
-                "on the XLA batched solver.",
-                stacklevel=2,
-            )
-            beta_impl = "xla"
         state = fit_mu_beta_batch(
             grid_x, grid_w, grid_h, beta=beta, max_iter=max_iter, tol=tol,
-            impl=beta_impl,
+            impl=impl,
         )
     elif solver == "mu":
         state = fit_mu_batch(

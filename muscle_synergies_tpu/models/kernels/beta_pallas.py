@@ -13,13 +13,20 @@ VMEM across iterations), specialized for the non-Frobenius objectives
   column-sum of W with sklearn's ``W_sum == 0 -> 1`` guard;
 - sklearn's post-update flush ``H[H < float64-eps] = 0`` is applied.
 
-For Itakura-Saito (``beta=0``) the denominator is the ``1/WH``
-projection and sklearn's ``gamma = 1/2`` square-root damping and
-``beta < 1`` W-flush apply.  Numerics match
-:func:`muscle_synergies_tpu.models.beta.mu_update_beta` for both
-betas (same clamps, same order).  ~50 KFLOP per trial per
-iteration at the benchmark shape — roughly 1.3x the Frobenius
-kernel's arithmetic, still VPU-roofline work.
+For betas other than 1 the denominator is the ``WH^(beta-1)``
+projection, sklearn's ``gamma`` damping (``1/(2-beta)`` for
+``beta < 1``, ``1/(beta-1)`` for ``beta > 2``) applies to the
+multiplicative delta, and the stability flushes zero sub-``f64-eps``
+entries of W (``beta < 1``) and H (``beta <= 1``).  Any float beta is
+supported — the reference forwards arbitrary ``beta_loss`` floats to
+sklearn through ``**kwargs`` (reference analysis.py:848-864) — with
+half-integer exponents lowered to sqrt/rsqrt chains and the rest to
+``exp(p*log(v))`` on the VPU.  Numerics match
+:func:`muscle_synergies_tpu.models.beta.mu_update_beta` for every
+beta (same clamps, same order).  ~50 KFLOP per trial per iteration
+at the benchmark shape for KL — roughly 1.3x the Frobenius kernel's
+arithmetic, still VPU-roofline work; transcendental-exponent betas
+pay a few extra VPU cycles per element.
 """
 
 from __future__ import annotations
@@ -31,27 +38,76 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..beta import F64_EPS
+from ..beta import F64_EPS, _gamma
 from ..mu import EPSILON
 
 __all__ = ["beta_mu_iterations_pallas", "kl_mu_iterations_pallas"]
 
 
+def _pow(v, p: float):
+    """``v ** p`` for a static exponent, cheap special cases first.
+
+    ``v`` is strictly positive (clamped by the caller).  Half-integer
+    exponents become multiply/sqrt chains; anything else lowers to
+    ``exp(p * log(v))``, which Mosaic maps onto the VPU's
+    transcendental units.
+    """
+    if p == 0.0:
+        return jnp.ones_like(v)
+    if p == 1.0:
+        return v
+    if p == 2.0:
+        return v * v
+    if p == -1.0:
+        return 1.0 / v
+    if p == -2.0:
+        inv = 1.0 / v
+        return inv * inv
+    if p == 0.5:
+        return jnp.sqrt(v)
+    if p == -0.5:
+        return 1.0 / jnp.sqrt(v)
+    if p == 1.5:
+        return v * jnp.sqrt(v)
+    if p == -1.5:
+        inv = 1.0 / v
+        return inv / jnp.sqrt(v)
+    return jnp.exp(p * jnp.log(v))
+
+
 def _num_den_weights(x_m, wh_m, beta: float):
     """Per-channel numerator/denominator weights for the MU update.
 
-    beta=1 (KL): numerator ``X/WH``, denominator constant (factor
-    sums, handled by the caller).  beta=0 (IS): numerator ``X/WH^2``,
-    denominator ``1/WH``.
+    Numerator weight ``X * WH^(beta-2)`` (WH clamped when ``beta < 2``,
+    sklearn's ``_multiplicative_update_w``); denominator weight
+    ``WH^(beta-1)`` (clamped when ``beta < 1``) — except beta=1 (KL),
+    whose denominator is constant (factor sums, handled by the caller).
     """
-    inv = 1.0 / jnp.maximum(wh_m, EPSILON)
+    wh_num = jnp.maximum(wh_m, EPSILON) if beta < 2.0 else wh_m
+    num = x_m * _pow(wh_num, beta - 2.0)
     if beta == 1.0:
-        return x_m * inv, None
-    return x_m * inv * inv, inv
+        return num, None
+    wh_den = jnp.maximum(wh_m, EPSILON) if beta < 1.0 else wh_m
+    return num, _pow(wh_den, beta - 1.0)
+
+
+def _damp(delta, gamma: float):
+    """sklearn's ``delta ** gamma`` exponent damping.
+
+    ``delta >= 0``; ``delta == 0`` maps to 0 through the IEEE
+    ``exp(gamma * -inf) = 0`` identity on the generic path.
+    """
+    if gamma == 1.0:
+        return delta
+    if gamma == 0.5:
+        return jnp.sqrt(delta)
+    return jnp.exp(gamma * jnp.log(delta))
 
 
 def _beta_step(x, w, h, k: int, l: int, beta: float):
     """One lane-parallel beta-MU update (W then H, sklearn's order)."""
+    gamma = _gamma(beta)
+
     # ---- W update ----
     num_w, den_w = [], []
     for m in range(l):
@@ -69,10 +125,7 @@ def _beta_step(x, w, h, k: int, l: int, beta: float):
         else:
             den = sum(den_w[m] * h[i, m][None, :] for m in range(l))
             den = jnp.where(den == 0, EPSILON, den)
-        delta = num / den
-        if beta == 0.0:
-            delta = jnp.sqrt(delta)  # sklearn's gamma = 1/(2-beta)
-        val = w[i] * delta
+        val = w[i] * _damp(num / den, gamma)
         if beta < 1.0:
             val = jnp.where(val < F64_EPS, 0.0, val)
         w_new.append(val)
@@ -99,10 +152,11 @@ def _beta_step(x, w, h, k: int, l: int, beta: float):
             else:
                 den = jnp.sum(w[i] * den_w[m], axis=0)
                 delta = num / jnp.where(den == 0, EPSILON, den)
-                delta = jnp.sqrt(delta)
-            val = h[i, m] * delta
-            # sklearn's beta<=1 stability flush
-            rows.append(jnp.where(val < F64_EPS, 0.0, val))
+            val = h[i, m] * _damp(delta, gamma)
+            if beta <= 1.0:
+                # sklearn's beta<=1 stability flush
+                val = jnp.where(val < F64_EPS, 0.0, val)
+            rows.append(val)
         h_new.append(jnp.stack(rows))
     return w, jnp.stack(h_new)
 
@@ -135,13 +189,12 @@ def beta_mu_iterations_pallas(
 
     Drop-in for the XLA path
     ``vmap(mu_update_beta(..., beta=beta))`` iterated ``n_iters``
-    times, for ``beta`` in {1.0 (KL), 0.0 (Itakura-Saito)}; the batch
-    size must divide by ``block_b``.
+    times, for any float ``beta`` (1.0 = KL, 0.0 = Itakura-Saito,
+    anything else the generic beta-divergence — sklearn accepts
+    arbitrary floats and the reference forwards them); the batch size
+    must divide by ``block_b``.
     """
-    if beta not in (0.0, 1.0):
-        raise ValueError(
-            f"the beta kernel covers beta in {{0, 1}}, got {beta}"
-        )
+    beta = float(beta)
     b, n, l = xs.shape
     k = w.shape[-1]
     if b % block_b != 0:

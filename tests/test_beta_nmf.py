@@ -190,8 +190,10 @@ def test_analyze_dataset_beta_guardrails(problem):
     with pytest.raises(ValueError, match="inner_iter"):
         mst.analyze_dataset(trials, 2000.0, ranks=(2,), solver="mu",
                             beta_loss="kullback-leibler", inner_iter=3)
-    # impl='pallas' with a non-KL beta degrades with a warning
-    with pytest.warns(UserWarning, match="KL"):
+    # impl='pallas' now covers every float beta (generic-beta kernel)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
         res = mst.analyze_dataset(
             trials, 2000.0, ranks=(2,), solver="mu", beta_loss=1.5,
             impl="pallas", max_iter=50, tol=1e-4,
@@ -323,13 +325,33 @@ def test_kl_pallas_fit_matches_xla_batch(problem):
                                rtol=1e-8, atol=1e-11)
 
 
-def test_pallas_beta_fit_rejects_fractional_betas(problem):
+@pytest.mark.parametrize("beta", [0.5, 1.5, 2.5])
+def test_pallas_beta_fit_matches_xla_for_fractional_betas(problem, beta):
+    """Any float beta runs on the kernel path and equals the XLA batch.
+
+    sklearn's MU accepts arbitrary ``beta_loss`` floats and the
+    reference forwards them via ``**kwargs`` (reference
+    analysis.py:848-864); the kernel must cover the same surface.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
     from muscle_synergies_tpu.models.batch import fit_mu_beta_batch
 
     x, w0, h0 = problem
-    with pytest.raises(ValueError, match="Itakura-Saito"):
-        fit_mu_beta_batch(np.stack([x]), np.stack([w0]), np.stack([h0]),
-                          beta=0.5, impl="pallas")
+    xs = np.stack([x + 0.01, x * 0.6 + 0.02])  # positive for beta < 1
+    w0s, h0s = np.stack([w0] * 2), np.stack([h0] * 2)
+    ref = fit_mu_beta_batch(xs, w0s, h0s, beta=beta, max_iter=120, tol=1e-5)
+    with pltpu.force_tpu_interpret_mode():
+        got = fit_mu_beta_batch(xs, w0s, h0s, beta=beta, max_iter=120,
+                                tol=1e-5, impl="pallas")
+    np.testing.assert_array_equal(np.asarray(got.n_iter),
+                                  np.asarray(ref.n_iter))
+    np.testing.assert_array_equal(np.asarray(got.converged),
+                                  np.asarray(ref.converged))
+    np.testing.assert_allclose(np.asarray(got.w), np.asarray(ref.w),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.h), np.asarray(ref.h),
+                               rtol=1e-6, atol=1e-9)
 
 
 def test_is_pallas_fit_matches_xla_batch(problem):
