@@ -12,6 +12,7 @@ from .mesh import (
     replicated,
 )
 from .nmf import (
+    sharded_fit_beta,
     sharded_fit_cd,
     sharded_fit_kl,
     sharded_fit_mu,
@@ -28,6 +29,7 @@ __all__ = [
     "replicated",
     "sharded_mu_step",
     "sharded_fit_mu",
+    "sharded_fit_beta",
     "sharded_fit_kl",
     "sharded_fit_mu_tp",
     "MODEL_AXIS",

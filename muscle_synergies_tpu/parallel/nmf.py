@@ -35,6 +35,7 @@ from .mesh import DATA_AXIS, MODEL_AXIS, TIME_AXIS
 __all__ = [
     "sharded_mu_step",
     "sharded_fit_mu",
+    "sharded_fit_beta",
     "sharded_fit_kl",
     "sharded_fit_cd",
     "sharded_fit_mu_tp",
@@ -218,82 +219,128 @@ def sharded_fit_mu(
     return fit(x, w0, h0)
 
 
-def _local_kl_step(x, w, h, axis_name: str):
-    """One KL-MU iteration on local time shards.
+def _local_beta_step(x, w, h, axis_name: str, beta: float = 1.0):
+    """One beta-MU iteration on local time shards (any float beta).
 
-    The W update is fully local (its numerator ``(X/WH) Ht`` and
-    denominator ``H`` row-sums touch only this device's sample rows);
-    the H update needs two time reductions — ``Wt (X/WH)`` and the
-    column-sums of W — completed by ``psum``.  Matches
-    :func:`muscle_synergies_tpu.models.beta.mu_update_beta` with
-    ``beta=1`` exactly (same clamps, guards and flush).
+    The W update is fully local: its numerator ``(X*(WH)^(b-2)) Ht``
+    and denominator — H row-sums for KL, ``(WH)^(b-1) Ht`` otherwise —
+    touch only this device's sample rows.  The H update needs two time
+    reductions, completed by ``psum``: ``Wt (X*(WH)^(b-2))`` and the
+    denominator projection (W column sums for KL, ``Wt (WH)^(b-1)``
+    otherwise).  Matches
+    :func:`muscle_synergies_tpu.models.beta.mu_update_beta` exactly
+    (same clamps, gamma damping, guards and stability flushes).
     """
-    from ..models.beta import F64_EPS
+    from ..models.beta import F64_EPS, _gamma, _wh_pow_times_x
+
+    gamma = _gamma(beta)
+
+    def damp(delta):
+        return delta if gamma == 1.0 else delta**gamma
+
+    ht = jnp.swapaxes(h, -1, -2)
 
     # --- W update: fully local ---
     wh = w @ h
-    quot = x / jnp.maximum(wh, EPSILON)
-    numerator = quot @ jnp.swapaxes(h, -1, -2)
-    h_sum = jnp.sum(h, axis=-1)  # (b, k), replicated over time
-    denominator = jnp.where(h_sum == 0, EPSILON, h_sum)[:, None, :]
-    w = w * (numerator / denominator)
+    numerator = _wh_pow_times_x(x, wh, beta) @ ht
+    if beta == 1.0:
+        h_sum = jnp.sum(h, axis=-1)  # (b, k), replicated over time
+        denominator = jnp.where(h_sum == 0, EPSILON, h_sum)[:, None, :]
+    else:
+        whd = jnp.maximum(wh, EPSILON) if beta - 1.0 < 0 else wh
+        denominator = whd ** (beta - 1.0) @ ht
+        denominator = jnp.where(denominator == 0, EPSILON, denominator)
+    w = w * damp(numerator / denominator)
+    if beta < 1.0:
+        w = jnp.where(w < F64_EPS, 0.0, w)
 
-    # --- H update: time-reduced quotient projection + W column sums ---
+    # --- H update: time-reduced projections ---
     wh = w @ h
-    quot = x / jnp.maximum(wh, EPSILON)
     wt = jnp.swapaxes(w, -1, -2)
-    numerator = time_sum(wt @ quot, axis_name)
-    w_sum = time_sum(jnp.sum(w, axis=-2), axis_name)  # (b, k)
-    w_sum = jnp.where(w_sum == 0, 1.0, w_sum)
-    h = h * (numerator / w_sum[:, :, None])
-    h = jnp.where(h < F64_EPS, 0.0, h)
+    numerator = time_sum(wt @ _wh_pow_times_x(x, wh, beta), axis_name)
+    if beta == 1.0:
+        w_sum = time_sum(jnp.sum(w, axis=-2), axis_name)  # (b, k)
+        w_sum = jnp.where(w_sum == 0, 1.0, w_sum)
+        denominator = w_sum[:, :, None]
+    else:
+        whd = jnp.maximum(wh, EPSILON) if beta - 1.0 < 0 else wh
+        denominator = time_sum(wt @ whd ** (beta - 1.0), axis_name)
+        denominator = jnp.where(denominator == 0, EPSILON, denominator)
+    h = h * damp(numerator / denominator)
+    if beta <= 1.0:
+        h = jnp.where(h < F64_EPS, 0.0, h)
     return w, h
 
 
-def _local_kl_error(x, w, h, axis_name: str):
-    """Per-trial sqrt(2*KL) with local partial sums psum'd over time.
+def _local_beta_error(x, w, h, axis_name: str, beta: float = 1.0):
+    """Per-trial sqrt(2*divergence) with local partial sums psum'd.
 
     Equals :func:`muscle_synergies_tpu.models.beta.beta_divergence`
-    (``beta=1, square_root=True``) on the gathered data: the masked
-    ``x log(x/WH)`` and ``x`` terms and the *unmasked* ``WH`` total
-    are each local sums completed by one reduction.
+    (``square_root=True``) on the gathered data: every data-dependent
+    term — including the sklearn quirk that the Itakura-Saito constant
+    counts *all* entries, masked or not — is a local sum completed by
+    one time reduction.
     """
     wh = w @ h
     whc = jnp.maximum(wh, EPSILON)
     mask = x > EPSILON
     div = jnp.where(mask, x / whc, 1.0)
-    # the WH total uses the reference's colsum(W) @ rowsum(H) structure
-    # (cheaper, and the same float summation shape as beta_divergence)
-    wh_total = jnp.einsum(
-        "bk,bk->b", jnp.sum(w, axis=-2), jnp.sum(h, axis=-1)
-    )
-    local = (
-        jnp.sum(jnp.where(mask, x * jnp.log(div), 0.0), axis=(-1, -2))
-        + wh_total
-        - jnp.sum(jnp.where(mask, x, 0.0), axis=(-1, -2))
-    )
+    if beta == 1.0:
+        # the WH total uses the reference's colsum(W) @ rowsum(H)
+        # structure (cheaper, and the same float summation shape as
+        # beta_divergence)
+        wh_total = jnp.einsum(
+            "bk,bk->b", jnp.sum(w, axis=-2), jnp.sum(h, axis=-1)
+        )
+        local = (
+            jnp.sum(jnp.where(mask, x * jnp.log(div), 0.0), axis=(-1, -2))
+            + wh_total
+            - jnp.sum(jnp.where(mask, x, 0.0), axis=(-1, -2))
+        )
+    elif beta == 0.0:
+        local = (
+            jnp.sum(jnp.where(mask, div, 0.0), axis=(-1, -2))
+            - x.shape[-1] * x.shape[-2]  # local share of np.prod(X.shape)
+            - jnp.sum(jnp.where(mask, jnp.log(div), 0.0), axis=(-1, -2))
+        )
+    else:
+        sum_wh_beta = jnp.sum(wh**beta, axis=(-1, -2))
+        sum_x_wh = jnp.sum(
+            jnp.where(mask, x * whc ** (beta - 1.0), 0.0), axis=(-1, -2)
+        )
+        local = (
+            jnp.sum(jnp.where(mask, x**beta, 0.0), axis=(-1, -2))
+            - beta * sum_x_wh
+            + sum_wh_beta * (beta - 1.0)
+        ) / (beta * (beta - 1.0))
     res = time_sum(local, axis_name)
     return jnp.sqrt(2.0 * jnp.maximum(res, 0.0))
 
 
-def sharded_fit_kl(
+def sharded_fit_beta(
     x: jnp.ndarray,
     w0: jnp.ndarray,
     h0: jnp.ndarray,
     mesh: Mesh,
+    beta: float = 1.0,
     max_iter: int = 200,
     tol: float = 1e-4,
     check_every: int = 10,
 ) -> "BetaState":
-    """KL-loss MU-NMF to convergence on a ``(data, time)`` mesh.
+    """Beta-divergence MU-NMF to convergence on a ``(data, time)`` mesh.
 
     The sequence-parallel execution of
-    :func:`muscle_synergies_tpu.models.beta.fit_mu_beta` (``beta=1``):
-    exact, with the H update's quotient projection and W column sums
-    as the only collectives.  Stopping semantics are sklearn's, per
-    trial, with converged trials frozen.
+    :func:`muscle_synergies_tpu.models.beta.fit_mu_beta` for any float
+    ``beta`` (1.0 = KL, 0.0 = Itakura-Saito, arbitrary floats as
+    sklearn accepts and the reference forwards): exact, with the H
+    update's two projections the only collectives.  Stopping semantics
+    are sklearn's, per trial, with converged trials frozen.
     """
     from ..models.beta import BetaState
+
+    beta = float(beta)
+    local_step = functools.partial(_local_beta_step, beta=beta)
+    local_error = functools.partial(_local_beta_error, beta=beta)
 
     @functools.partial(
         jax.shard_map,
@@ -313,11 +360,27 @@ def sharded_fit_kl(
     )
     def fit(xb, wb, hb):
         return _convergence_driver(
-            xb, wb, hb, _local_kl_step, _local_kl_error, TIME_AXIS,
+            xb, wb, hb, local_step, local_error, TIME_AXIS,
             BetaState, max_iter, tol, check_every,
         )
 
     return fit(x, w0, h0)
+
+
+def sharded_fit_kl(
+    x: jnp.ndarray,
+    w0: jnp.ndarray,
+    h0: jnp.ndarray,
+    mesh: Mesh,
+    max_iter: int = 200,
+    tol: float = 1e-4,
+    check_every: int = 10,
+) -> "BetaState":
+    """KL specialization of :func:`sharded_fit_beta` (``beta=1``)."""
+    return sharded_fit_beta(
+        x, w0, h0, mesh, beta=1.0, max_iter=max_iter, tol=tol,
+        check_every=check_every,
+    )
 
 
 def _local_mu_step_tp(x, w, h, axis_name: str):

@@ -397,3 +397,57 @@ def test_sharded_tol_zero_runs_max_iter(mesh_2x4):
         state = fit(xs_s, w_s, h_s, mesh_2x4, max_iter=60, tol=0.0)
         assert np.all(np.asarray(state.n_iter) == 60), fit.__name__
         assert not np.any(np.asarray(state.converged)), fit.__name__
+
+
+@pytest.mark.parametrize("beta", [0.0, 0.5, 1.5, 2.5])
+def test_sharded_fit_beta_matches_local_batch(mesh_2x4, beta):
+    """DP+SP generic-beta fit equals the local batched solver exactly.
+
+    Covers Itakura-Saito (beta=0) and fractional betas — every loss
+    the local solvers offer also runs sharded (SURVEY §2.5 DP row).
+    """
+    from muscle_synergies_tpu.models.batch import fit_mu_beta_batch
+    from muscle_synergies_tpu.parallel import sharded_fit_beta
+    from muscle_synergies_tpu.parallel.mesh import DATA_AXIS, TIME_AXIS
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(78)
+    b, n, l, k = 8, 16, 6, 3
+    xs = jnp.asarray(rng.random((b, n, l)) + 0.01)  # positive for beta<=0
+    w0 = jnp.asarray(np.abs(rng.standard_normal((b, n, k))))
+    h0 = jnp.asarray(np.abs(rng.standard_normal((b, k, l))))
+
+    xs_s = jax.device_put(xs, NamedSharding(mesh_2x4, P(DATA_AXIS, TIME_AXIS)))
+    w_s = jax.device_put(w0, NamedSharding(mesh_2x4, P(DATA_AXIS, TIME_AXIS)))
+    h_s = jax.device_put(h0, NamedSharding(mesh_2x4, P(DATA_AXIS)))
+
+    got = sharded_fit_beta(xs_s, w_s, h_s, mesh_2x4, beta=beta,
+                           max_iter=120, tol=1e-5)
+    ref = fit_mu_beta_batch(xs, w0, h0, beta=beta, max_iter=120, tol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.n_iter),
+                                  np.asarray(ref.n_iter))
+    np.testing.assert_array_equal(np.asarray(got.converged),
+                                  np.asarray(ref.converged))
+    np.testing.assert_allclose(np.asarray(got.w), np.asarray(ref.w),
+                               rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got.h), np.asarray(ref.h),
+                               rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got.previous_error),
+                               np.asarray(ref.previous_error), rtol=1e-8)
+
+
+def test_analyze_dataset_meshes_fractional_beta(mesh_2x4):
+    """A meshed analyze_dataset now shards any beta_loss (no fallback)."""
+    import warnings
+
+    from muscle_synergies_tpu import analyze_dataset
+
+    rng = np.random.default_rng(12)
+    trials = [rng.random((64, 6)) + 0.05 for _ in range(4)]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the old KL-only fallback warned
+        res = analyze_dataset(
+            trials, 200.0, ranks=(2, 3), solver="mu", beta_loss=1.5,
+            mesh=mesh_2x4, max_iter=60, tol=1e-4,
+        )
+    assert res.vaf_overall.shape == (2, 4)
