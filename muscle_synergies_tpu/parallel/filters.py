@@ -144,8 +144,18 @@ def sharded_sosfilt(
 
     Equivalent to :func:`muscle_synergies_tpu.ops.filters.sosfilt` with
     zero initial state, with the time axis sharded over ``axis_name``.
+    Any signal length is accepted: indivisible lengths are zero-padded
+    at the end to the device count (a causal filter's first ``N``
+    outputs are unaffected by appended samples) and trimmed.
     """
     sos_j = jnp.asarray(_normalize_sos(sos), dtype=x.dtype)
+    n_dev = mesh.shape[axis_name]
+    n = x.shape[0]
+    extra = (-n) % n_dev
+    if extra:
+        x = jnp.concatenate(
+            [x, jnp.zeros((extra, x.shape[1]), x.dtype)], axis=0
+        )
 
     @functools.partial(
         jax.shard_map,
@@ -160,7 +170,8 @@ def sharded_sosfilt(
         y, _ = _sharded_pass(xb, sos_j, zeros, axis_name, reverse=False)
         return y
 
-    return run(x)
+    y = run(x)
+    return y[:n] if extra else y
 
 
 def sharded_sosfiltfilt(
@@ -173,60 +184,105 @@ def sharded_sosfiltfilt(
     """Zero-phase SOS filtering of a time-sharded ``(N, C)`` signal.
 
     scipy-``sosfiltfilt`` semantics with the time axis sharded over
-    ``axis_name``: the odd-reflection pads are built and forward
-    filtered on the edge-owning devices, and only their per-section
-    filter states cross devices.  ``padlen`` must be smaller than the
-    per-device block length.
+    ``axis_name``.  The odd-reflection edge pads are built from the
+    global edges (a ``padlen x C`` slice each) and forward filtered
+    redundantly on every device; only per-section filter states and
+    the per-device boundary transforms cross devices.
+
+    The API is total over signal lengths (exactness is unconditional):
+
+    * when ``N`` does not divide the mesh, the first samples of the
+      right reflection pad are appended to the data blocks — the
+      extended sequence equals scipy's internal extension, so the
+      result is still exact — and the output is trimmed back to ``N``;
+    * when more padding would be needed than the reflection provides
+      (``N`` smaller than the device count, roughly), the computation
+      automatically falls back to the single-device
+      :func:`muscle_synergies_tpu.ops.filters.sosfiltfilt` on the
+      gathered signal, re-placed on the mesh's time sharding.
+
+    Raises:
+        ValueError: if ``padlen >= N`` (scipy's contract).
     """
     sos_np = _normalize_sos(sos)
     if padlen is None:
         padlen = default_padlen(sos_np)
+    padlen = int(padlen)
     n_dev = mesh.shape[axis_name]
     n = x.shape[0]
-    if n % n_dev != 0:
+    if padlen >= n:
         raise ValueError(
-            f"signal length {n} must divide evenly over {n_dev} devices"
+            "the length of the input vector x must be greater than "
+            f"padlen, which is {padlen}"
         )
-    if padlen >= n // n_dev:
-        raise ValueError(
-            f"padlen {padlen} must be smaller than the per-device block "
-            f"({n // n_dev} samples)"
-        )
+    extra = (-n) % n_dev
+    if extra > padlen:
+        # fewer reflection samples than the divisibility gap (signal
+        # shorter than roughly the device count): gather and run the
+        # single-device kernel; such a signal cannot usefully shard,
+        # so the result stays on the default placement
+        from ..ops.filters import sosfiltfilt as _local_sosfiltfilt
+
+        return _local_sosfiltfilt(sos_np, x, padlen=padlen)
+
     zi_unit = jnp.asarray(sosfilt_zi(sos_np), dtype=x.dtype)
     sos_j = jnp.asarray(sos_np, dtype=x.dtype)
+
+    # Build both edge pads from the global edges and forward-filter the
+    # left one eagerly — tiny (padlen x C) work, identical on every
+    # device, entering the sharded passes as replicated initial states.
+    if padlen > 0:
+        left_pad = 2 * x[0] - x[padlen:0:-1]
+        pad_entry = zi_unit[:, :, None] * left_pad[0]
+        _, fwd_states = _cascade_block(left_pad, sos_j, pad_entry)
+        right_refl = 2 * x[-1] - x[-2 : -padlen - 2 : -1]
+    else:
+        fwd_states = zi_unit[:, :, None] * x[0]
+        right_refl = x[:0]
+    x_ext = (
+        jnp.concatenate([x, right_refl[:extra]], axis=0) if extra else x
+    )
+    right_rem = right_refl[extra:]  # (padlen - extra, C)
+    rem = padlen - extra
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axis_name, None),),
+        in_specs=(P(axis_name, None), P(None, None), P(None, None, None)),
         out_specs=P(axis_name, None),
     )
-    def run(xb):
-        # ---- forward: left pad, owned by device 0 ----
-        left_pad = 2 * xb[0] - xb[padlen:0:-1]
-        x0 = left_pad[0]
-        pad_entry = zi_unit[:, :, None] * x0  # (n_sections, 2, C)
-        _, fwd_states_local = _cascade_block(left_pad, sos_j, pad_entry)
-        fwd_states = _owned(fwd_states_local, 0, axis_name)
-
+    def run(xb, rem_b, fwd_states_b):
+        # replicated operands feed varying loop carries inside the
+        # sharded pass — mark them so check_vma accepts the while/scan
+        fwd_states_b = mark_varying(fwd_states_b, axis_name)
+        rem_b = mark_varying(rem_b, axis_name)
         y, data_exit_local = _sharded_pass(
-            xb, sos_j, fwd_states, axis_name, reverse=False
+            xb, sos_j, fwd_states_b, axis_name, reverse=False
         )
         # per-section state at the global end of the data, owned by the
-        # last device
+        # last device and broadcast through the gather
         end_states = _owned(data_exit_local, -1, axis_name)
 
-        # ---- forward-filter the right pad (raw x), then reverse it to
-        # seed the backward pass; owned by the last device ----
-        right_pad = 2 * xb[-1] - xb[-2 : -padlen - 2 : -1]
-        fwd_right, _ = _cascade_block(right_pad, sos_j, end_states)
-        y0 = fwd_right[-1]
-        bwd_entry = zi_unit[:, :, None] * y0
-        _, bwd_states_local = _cascade_block(fwd_right[::-1], sos_j, bwd_entry)
-        bwd_states = _owned(bwd_states_local, -1, axis_name)
+        # ---- forward-filter the remaining right pad, then reverse it
+        # to seed the backward pass (replicated: every device computes
+        # the same few-sample block) ----
+        if rem > 0:
+            fwd_right, _ = _cascade_block(rem_b, sos_j, end_states)
+            y0 = fwd_right[-1]
+            bwd_entry = zi_unit[:, :, None] * y0
+            _, bwd_states = _cascade_block(
+                fwd_right[::-1], sos_j, bwd_entry
+            )
+        else:
+            # the whole reflection rode with the data blocks: the
+            # backward pass seeds directly from the global last
+            # forward-filtered sample
+            y0 = gather_time(y[-1], axis_name)[-1]
+            bwd_states = zi_unit[:, :, None] * y0
 
         # ---- backward pass over the data blocks ----
         out, _ = _sharded_pass(y, sos_j, bwd_states, axis_name, reverse=True)
         return out
 
-    return run(x)
+    out = run(x_ext, right_rem, fwd_states)
+    return out[:n] if extra else out

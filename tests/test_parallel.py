@@ -228,17 +228,66 @@ class TestShardedFilters:
             y_sharded, y_local, rtol=1e-7, atol=1e-8 * scale
         )
 
-    def test_rejects_uneven_split(self):
+    @pytest.mark.parametrize("n", [510, 509, 505])
+    def test_uneven_split_still_exact(self, n):
+        """Indivisible lengths shard via the reflection-pad extension."""
         mesh = make_mesh((1, 8))
         sos = sos_design(4, 10.0, 100.0)
-        with pytest.raises(ValueError, match="divide evenly"):
-            sharded_sosfiltfilt(sos, jnp.ones((510, 3)), mesh)
+        x = RNG.standard_normal((n, 3))
+        y_sharded = np.asarray(sharded_sosfiltfilt(sos, jnp.asarray(x), mesh))
+        ref = sps.sosfiltfilt(sos, x, axis=0)
+        scale = np.max(np.abs(ref))
+        assert y_sharded.shape == ref.shape
+        np.testing.assert_allclose(y_sharded, ref, rtol=1e-7, atol=1e-8 * scale)
 
-    def test_rejects_padlen_larger_than_block(self):
+    def test_padlen_exceeding_block_still_exact(self):
+        """The pad no longer constrains the per-device block length."""
+        mesh = make_mesh((1, 8))
+        sos = sos_design(4, 10.0, 100.0)  # default padlen 15 > 64/8
+        x = RNG.standard_normal((64, 3))
+        y_sharded = np.asarray(sharded_sosfiltfilt(sos, jnp.asarray(x), mesh))
+        ref = sps.sosfiltfilt(sos, x, axis=0)
+        scale = np.max(np.abs(ref))
+        np.testing.assert_allclose(y_sharded, ref, rtol=1e-7, atol=1e-8 * scale)
+
+    def test_single_sample_blocks_still_exact(self):
+        """N barely above the device count: 1-sample blocks, exact."""
+        mesh = make_mesh((1, 8))
+        sos = sos_design(2, 10.0, 100.0)
+        x = RNG.standard_normal((7, 2))
+        y_sharded = np.asarray(
+            sharded_sosfiltfilt(sos, jnp.asarray(x), mesh, padlen=5)
+        )
+        ref = sps.sosfiltfilt(sos, x, axis=0, padlen=5)
+        scale = np.max(np.abs(ref))
+        np.testing.assert_allclose(y_sharded, ref, rtol=1e-7, atol=1e-8 * scale)
+
+    def test_tiny_signal_falls_back_locally(self):
+        """Gap beyond the reflection: the gather fallback matches scipy."""
+        mesh = make_mesh((1, 8))
+        sos = sos_design(1, 10.0, 100.0)
+        x = RNG.standard_normal((3, 2))
+        y_sharded = np.asarray(
+            sharded_sosfiltfilt(sos, jnp.asarray(x), mesh, padlen=2)
+        )
+        ref = sps.sosfiltfilt(sos, x, axis=0, padlen=2)
+        scale = np.max(np.abs(ref))
+        np.testing.assert_allclose(y_sharded, ref, rtol=1e-7, atol=1e-8 * scale)
+
+    def test_padlen_at_least_signal_still_raises(self):
         mesh = make_mesh((1, 8))
         sos = sos_design(4, 10.0, 100.0)
         with pytest.raises(ValueError, match="padlen"):
-            sharded_sosfiltfilt(sos, jnp.ones((64, 3)), mesh)
+            sharded_sosfiltfilt(sos, jnp.ones((12, 3)), mesh)
+
+    def test_sosfilt_uneven_split_exact(self):
+        mesh = make_mesh((1, 8))
+        sos = sos_design(4, 10.0, 100.0)
+        x = RNG.standard_normal((509, 3))
+        y_sharded = np.asarray(sharded_sosfilt(sos, jnp.asarray(x), mesh))
+        y_local = np.asarray(sosfilt(sos, x))
+        assert y_sharded.shape == y_local.shape
+        np.testing.assert_allclose(y_sharded, y_local, rtol=1e-9, atol=1e-11)
 
 
 class TestShardedCD:
