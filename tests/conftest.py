@@ -32,3 +32,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 def pytest_report_header():
     return f"jax devices: {jax.device_count()} x {jax.devices()[0].platform}"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running tests (full-scale geometry, multi-process "
+        "rendezvous); always part of the suite, marked for selection",
+    )
