@@ -11,6 +11,26 @@ test:
 test-fast:
 	$(PYTHON) -m pytest tests/ -q -x --ignore=tests/test_parallel.py
 
+lint:  # stdlib-only static checks (see scripts/lint.py)
+	$(PYTHON) scripts/lint.py
+
+doctest:  # run every docstring example (the reference's --doctest-modules gate)
+	JAX_PLATFORMS=cpu $(PYTHON) -m pytest --doctest-modules \
+		muscle_synergies_tpu muscle_synergies -q -p no:cacheprovider
+
+check: lint  # full static gate: lint + bytecode-compile + optional mypy/pylint
+	$(PYTHON) -m compileall -q muscle_synergies_tpu muscle_synergies \
+		tests scripts benchmarks examples bench.py __graft_entry__.py
+	@command -v mypy >/dev/null 2>&1 \
+		&& mypy --ignore-missing-imports muscle_synergies_tpu \
+		|| echo "mypy not installed; skipped"
+
+docs-exec:  # executable documentation: example script + tutorial notebook
+	JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+		$(PYTHON) examples/full_workflow.py --platform cpu
+	JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+		$(PYTHON) scripts/exec_tutorial.py
+
 bench:
 	$(PYTHON) bench.py
 

@@ -33,7 +33,6 @@ def main():
     if args.quick:
         args.batch = 32
 
-    import jax
     import jax.numpy as jnp
 
     from muscle_synergies_tpu.models.batch import (

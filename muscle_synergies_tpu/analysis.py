@@ -153,6 +153,11 @@ def subsample(
     Implements the reference's *documented* decimation semantics; the
     reference code (analysis.py:548) actually head-slices, contradicting
     its own docstring.
+
+    Example:
+        >>> import pandas
+        >>> subsample(pandas.DataFrame({"m": range(6)}), 2)["m"].tolist()
+        [0, 2, 4]
     """
     if keep_every is None:
         return signal_df.iloc[:]

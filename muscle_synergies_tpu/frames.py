@@ -37,6 +37,12 @@ class SamplingFreq:
         freq_forces_emg: sampling rate (Hz) of the forces/EMG section.
         freq_traj: sampling rate (Hz) of the trajectories section.
         num_frames: total number of (trajectory) frames in the capture.
+
+    Example:
+        >>> sf = SamplingFreq(freq_forces_emg=2000, freq_traj=100,
+        ...                   num_frames=3)
+        >>> sf.num_subframes
+        20
     """
 
     freq_forces_emg: int
@@ -61,6 +67,17 @@ class FrameTracker(abc.ABC):
     The first data row of a section has index 0 and corresponds to frame
     1, subframe 0.  Concrete subclasses implement the conversion for the
     fast (forces/EMG) and slow (trajectory) sections.
+
+    Example:
+        >>> sf = SamplingFreq(freq_forces_emg=300, freq_traj=100,
+        ...                   num_frames=2)
+        >>> fast = ForcesEMGFrameTracker(sf)
+        >>> fast.to_index((2, 1))
+        4
+        >>> fast.to_framesubfr(4)
+        (2, 1)
+        >>> TrajFrameTracker(sf).to_index((2, 0))
+        1
     """
 
     def __init__(self, sampling_freq: SamplingFreq):

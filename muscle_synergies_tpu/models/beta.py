@@ -42,7 +42,14 @@ __all__ = ["beta_divergence", "mu_update_beta", "fit_mu_beta", "BetaState"]
 
 
 def beta_loss_to_float(beta_loss) -> float:
-    """sklearn's string-to-float mapping for ``beta_loss``."""
+    """sklearn's string-to-float mapping for ``beta_loss``.
+
+    Example:
+        >>> beta_loss_to_float("kullback-leibler")
+        1.0
+        >>> beta_loss_to_float(1.5)
+        1.5
+    """
     mapping = {"frobenius": 2.0, "kullback-leibler": 1.0, "itakura-saito": 0.0}
     if isinstance(beta_loss, str):
         try:

@@ -25,7 +25,7 @@ import pandas
 
 from .hals import fit_cd
 from .init import initialize_nmf
-from .mu import fit_mu, frobenius_error
+from .mu import fit_mu
 
 __all__ = ["NMFModel", "SynergyRunResult", "find_synergies", "compute_regularization"]
 

@@ -46,13 +46,25 @@ __all__ = [
 
 
 def zero_center(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
-    """Subtract each channel's mean (time axis defaults to 0)."""
+    """Subtract each channel's mean (time axis defaults to 0).
+
+    Example:
+        >>> import numpy as np
+        >>> np.asarray(zero_center(np.array([[1.0], [3.0]]))).ravel().tolist()
+        [-1.0, 1.0]
+    """
     x = jnp.asarray(x)
     return x - jnp.mean(x, axis=axis, keepdims=True)
 
 
 def rectify(x: jnp.ndarray) -> jnp.ndarray:
-    """Full-wave rectification."""
+    """Full-wave rectification.
+
+    Example:
+        >>> import numpy as np
+        >>> np.asarray(rectify(np.array([-2.0, 0.5]))).tolist()
+        [2.0, 0.5]
+    """
     return jnp.abs(x)
 
 

@@ -38,7 +38,7 @@ multiplies), not selects against replicated scalars.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

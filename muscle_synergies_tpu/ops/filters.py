@@ -55,6 +55,10 @@ def sos_design(
 ) -> np.ndarray:
     """Design an IIR filter, returning ``(n_sections, 6)`` SOS in float64.
 
+    Example:
+        >>> sos_design(4, 10.0, 2000.0).shape
+        (2, 6)
+
     Args:
         order: filter order.
         critical_freqs: cutoff (scalar for low/highpass, pair for

@@ -143,6 +143,13 @@ def transition_indices(
     Raises:
         ValueError: if ``num_segments > 0`` transitions cannot be found
             before the signal ends (try lowering ``min_phase_size``).
+
+    Example:
+        >>> left = np.full(60, -100.0)
+        >>> right = np.concatenate([np.zeros(30), np.full(30, -50.0)])
+        >>> transition_indices(left, right, min_phase_size=10,
+        ...                    num_segments=2)
+        [0, 30]
     """
     left = np.asarray(left_reaction)
     right = np.asarray(right_reaction)
