@@ -192,3 +192,19 @@ def test_quoted_cells_roundtrip_through_push_adapters(tmp_path):
     assert data.forcepl[0].name == direct.forcepl[0].name
     pd.testing.assert_frame_equal(data.emg.df, direct.emg.df)
     pd.testing.assert_frame_equal(data.forcepl[0].df, direct.forcepl[0].df)
+
+
+def test_module_path_twins_importable():
+    """Reference module paths reader/aggregator/user_data resolve."""
+    from muscle_synergies.vicon_data import aggregator, reader, user_data
+
+    assert reader.Reader is not None
+    assert aggregator.Aggregator is not None
+    from muscle_synergies.vicon_data.user_data import (
+        DeviceData,
+        ViconNexusData,
+    )
+    import muscle_synergies_tpu as mst
+
+    assert ViconNexusData is mst.ViconNexusData
+    assert DeviceData is mst.DeviceData
