@@ -28,7 +28,8 @@ check: lint  # full static gate: lint + bytecode-compile + optional mypy/pylint
 docs-exec:  # executable documentation: example script + tutorial notebook
 	JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \
 		$(PYTHON) examples/full_workflow.py --platform cpu
-	JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+	JAX_PLATFORMS=cpu TUTORIAL_FORCE_PLATFORM=cpu \
+		XLA_FLAGS="--xla_force_host_platform_device_count=8" \
 		$(PYTHON) scripts/exec_tutorial.py
 
 bench:

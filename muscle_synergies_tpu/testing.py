@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["synthesize_gait_emg", "GAIT_MUSCLES"]
+__all__ = ["synthesize_gait_emg", "write_synthetic_capture", "GAIT_MUSCLES"]
 
 #: The tutorial trial's electrode montage (reference notebook cell 8).
 GAIT_MUSCLES = ("VL", "RF", "GMED", "TFL", "GMAXS", "GMAXI", "BF", "ST")
@@ -86,3 +86,112 @@ def synthesize_gait_emg(
         (n_samples, len(GAIT_MUSCLES))
     )
     return pd.DataFrame(raw, columns=list(GAIT_MUSCLES))
+
+
+def write_synthetic_capture(
+    path: str,
+    state_len: int = 600,
+    n_trechos: int = 4,
+    n_cycles: int = 2,
+    freq_forces: int = 2000,
+    freq_traj: int = 100,
+    n_markers: int = 4,
+    seed: int = 12345,
+) -> str:
+    """Write a full synthetic gait capture as a Vicon Nexus CSV.
+
+    A drop-in stand-in for the reference's missing
+    ``dynamic_trial.csv`` (used by the executable tutorial): two force
+    plates whose ``Fz`` traces follow the lateral-walk support grammar
+    the reference's ``Segmenter`` expects (single-support lead-in, then
+    ``n_trechos`` passes of ``n_cycles`` alternating double/single
+    cycles each, separated by single-support gaps — reference
+    project/segment.py:667-917), an 8-channel EMG from
+    :func:`synthesize_gait_emg` (same VAF regime as the reference
+    notebook), and smooth trajectory markers at the slow rate.
+
+    Returns ``path``.
+    """
+    states = ["L"]
+    for t in range(n_trechos):
+        for c in range(n_cycles):
+            single = "L" if c % 2 == 0 else "R"
+            other = "R" if c % 2 == 0 else "L"
+            states += ["B", single, "B", other]
+        states += ["B", "L"]
+
+    left, right = [], []
+    for state in states:
+        left += [-100.0 if state in "LB" else 0.0] * state_len
+        right += [-50.0 if state in "RB" else 0.0] * state_len
+    subframes = freq_forces // freq_traj
+    n = len(left)
+    pad = (-n) % subframes
+    left = np.pad(np.asarray(left), (0, pad))
+    right = np.pad(np.asarray(right), (0, pad))
+    n = len(left)
+    n_frames = n // subframes
+
+    rng = np.random.default_rng(seed)
+    emg = synthesize_gait_emg(
+        n_samples=n, sampling_frequency=freq_forces, seed=seed
+    ).to_numpy()
+
+    def plate_block(fz):
+        block = np.round(rng.standard_normal((n, 9)) * 5.0, 5)
+        block[:, 2] = fz
+        return block
+
+    fp1 = plate_block(left)
+    fp2 = plate_block(right)
+    t_slow = np.arange(n_frames) / freq_traj
+    traj = np.round(
+        np.stack(
+            [
+                500.0 * np.sin(2 * np.pi * (0.3 + 0.1 * i) * t_slow + i)
+                for i in range(n_markers * 3)
+            ],
+            axis=1,
+        ),
+        5,
+    )
+
+    fp_cols = ["Fx", "Fy", "Fz", "Mx", "My", "Mz", "Cx", "Cy", "Cz"]
+    fp_units = ["N", "N", "N", "N.mm", "N.mm", "N.mm", "mm", "mm", "mm"]
+    with open(path, "w", newline="") as fh:
+        fh.write("Devices\n")
+        fh.write(f"{freq_forces}\n")
+        headers = [""] * 2
+        for plate in (1, 2):
+            for meas in ("Force", "Moment", "CoP"):
+                headers += [f"Synthetic Force Plate #{plate} - {meas}", "", ""]
+        headers += ["EMG2000 - Voltage"] + [""] * 7
+        fh.write(",".join(headers) + "\n")
+        fh.write(
+            "Frame,Sub Frame," + ",".join(fp_cols * 2 + list(GAIT_MUSCLES))
+            + "\n"
+        )
+        fh.write(",," + ",".join(fp_units * 2 + ["V"] * 8) + "\n")
+        body = pd.DataFrame(
+            np.column_stack([fp1, fp2, np.round(emg, 6)])
+        )
+        body.insert(0, "sub", np.tile(np.arange(subframes), n_frames))
+        body.insert(0, "fr", np.repeat(np.arange(1, n_frames + 1), subframes))
+        body.to_csv(fh, header=False, index=False)
+        fh.write("\n")
+
+        fh.write("Trajectories\n")
+        fh.write(f"{freq_traj}\n")
+        headers = [""] * 2
+        for i in range(n_markers):
+            headers += [f"Subject:M{i:02d}", "", ""]
+        fh.write(",".join(headers) + "\n")
+        fh.write(
+            "Frame,Sub Frame," + ",".join(["X", "Y", "Z"] * n_markers) + "\n"
+        )
+        fh.write(",," + ",".join(["mm"] * (n_markers * 3)) + "\n")
+        body = pd.DataFrame(traj)
+        body.insert(0, "sub", np.zeros(n_frames, dtype=int))
+        body.insert(0, "fr", np.arange(1, n_frames + 1))
+        body.to_csv(fh, header=False, index=False)
+    return path
