@@ -289,10 +289,11 @@ def analyze_dataset(
         ranks: rank or ranks to sweep.
         subjects: per-trial subject labels (alternative to passing a
             mapping; must be omitted when ``trials`` is one).
-        impl: batched-solver implementation (``"xla"`` or, for the MU
-            solver on TPU, ``"pallas"``); defaults to
-            ``config.solver_impl``.  Ignored when a ``mesh`` routes the
-            solve through the sharded solvers.
+        impl: batched-solver implementation (``"xla"`` or ``"pallas"``
+            — VMEM-resident fused kernels on TPU, available for every
+            solver and beta); defaults to ``config.solver_impl``.
+            Ignored when a ``mesh`` routes the solve through the
+            sharded solvers.
         inner_iter: accelerated-MU inner repetitions; defaults to
             ``config.inner_iter`` (1 = sklearn-exact).
         config: preprocessing + solver preset.
@@ -305,10 +306,10 @@ def analyze_dataset(
         beta_loss: ``"frobenius"`` (default via ``config.beta_loss``),
             ``"kullback-leibler"``, ``"itakura-saito"`` or a float
             beta; non-Frobenius losses require ``solver="mu"``.  With a
-            dividing ``mesh``, Frobenius and KL route through the
-            sharded solvers (``sharded_fit_mu``/``sharded_fit_kl``;
-            ``impl`` is ignored there, as for every meshed solve);
-            other betas warn and run on the local batched solver.
+            dividing ``mesh``, every loss routes through the sharded
+            solvers (``sharded_fit_mu``/``sharded_fit_cd``/
+            ``sharded_fit_beta``; ``impl`` is ignored there, as for
+            every meshed solve).
         dtype: computation dtype (e.g. ``jnp.float32`` on TPU).
 
     Returns:
@@ -358,8 +359,6 @@ def analyze_dataset(
     )
     if inner_iter != 1 and solver != "mu":
         raise ValueError("inner_iter > 1 is only meaningful for solver='mu'")
-    if impl == "pallas" and solver != "mu":
-        raise ValueError("impl='pallas' is only available for solver='mu'")
 
     channel_names = None
     first = trials[0]
@@ -451,7 +450,9 @@ def analyze_dataset(
             impl=impl, inner_iter=inner_iter,
         )
     else:
-        state = fit_cd_batch(grid_x, grid_w, grid_h, max_iter=max_iter, tol=tol)
+        state = fit_cd_batch(
+            grid_x, grid_w, grid_h, max_iter=max_iter, tol=tol, impl=impl
+        )
 
     h_final = state.h if solver == "mu" else jnp.swapaxes(state.ht, -1, -2)
     overall, per_channel = vaf_batch(grid_x, state.w, h_final)

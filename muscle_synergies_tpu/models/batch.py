@@ -432,17 +432,42 @@ def beta_mu_iterations_batch(
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "tol"))
+def _fit_cd_batch_xla(xs, w0, h0, max_iter, tol) -> CDState:
+    return jax.vmap(
+        lambda x, w, h: fit_cd(x, w, h, max_iter=max_iter, tol=tol)
+    )(xs, w0, h0)
+
+
 def fit_cd_batch(
     xs: jnp.ndarray,
     w0: jnp.ndarray,
     h0: jnp.ndarray,
     max_iter: int = 200,
     tol: float = 1e-4,
+    impl: str = "xla",
+    block_b: Optional[int] = None,
 ) -> CDState:
-    """Coordinate-descent NMF over a ``(B, N, L)`` batch."""
-    return jax.vmap(
-        lambda x, w, h: fit_cd(x, w, h, max_iter=max_iter, tol=tol)
-    )(xs, w0, h0)
+    """Coordinate-descent NMF over a ``(B, N, L)`` batch.
+
+    ``impl="pallas"`` routes through the VMEM-resident fused solver
+    (:func:`muscle_synergies_tpu.models.kernels.fit_cd_pallas`) —
+    sklearn's violation-based stopping per trial, the whole solve one
+    kernel dispatch.
+    """
+    if impl == "pallas":
+        from .kernels import fit_cd_pallas
+
+        if block_b is None:
+            block_b = _default_block_b(xs.shape[0])
+        w, h, n_iter, viol_init, converged = fit_cd_pallas(
+            xs, w0, h0, max_iter=max_iter, tol=tol, block_b=block_b
+        )
+        return CDState(
+            w, jnp.swapaxes(h, -1, -2), n_iter, viol_init, converged
+        )
+    if impl != "xla":
+        raise ValueError(f"unknown impl: {impl!r}")
+    return _fit_cd_batch_xla(xs, w0, h0, max_iter, tol)
 
 
 def _pad_rank(w: jnp.ndarray, h: jnp.ndarray, k: int, k_max: int):

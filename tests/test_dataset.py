@@ -240,10 +240,15 @@ def test_analyze_dataset_inner_iter():
         analyze_dataset(
             trials, 200, ranks=2, config=CFG, solver="cd", inner_iter=2
         )
-    with pytest.raises(ValueError, match="pallas"):
-        analyze_dataset(
-            trials, 200, ranks=2, config=CFG, solver="cd", impl="pallas"
+    # solver='cd' + impl='pallas' now routes the fused CD fit kernel
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        res = analyze_dataset(
+            trials, 200, ranks=2, config=CFG, solver="cd", impl="pallas",
+            max_iter=100,
         )
+    assert res.vaf_overall.shape == (1, 4)
 
 
 def test_analyze_dataset_cd_solver():

@@ -249,3 +249,61 @@ def test_is_kernel_matches_beta_updates(problem):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(hp), np.asarray(hr),
                                rtol=1e-4, atol=1e-6)
+
+
+class TestFitCDKernel:
+    def test_exact_stopping_parity_with_xla_fit(self, problem):
+        from muscle_synergies_tpu.models.batch import fit_cd_batch
+        from muscle_synergies_tpu.models.kernels import fit_cd_pallas
+
+        xs, w, h = problem
+        rng = np.random.default_rng(5)
+        wt = rng.random((B, N, 2))
+        ht = rng.random((B, 2, L))
+        xs2 = jnp.asarray(wt @ ht + 0.01 * rng.random((B, N, L)),
+                          dtype=jnp.float32)
+        wp, hp, n_iter, viol_init, conv = fit_cd_pallas(
+            xs2, w, h, max_iter=500, tol=1e-4, block_b=B, interpret=True
+        )
+        ref = fit_cd_batch(xs2, w, h, max_iter=500, tol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(n_iter), np.asarray(ref.n_iter)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(conv), np.asarray(ref.converged)
+        )
+        np.testing.assert_allclose(
+            np.asarray(wp), np.asarray(ref.w), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(hp), np.asarray(jnp.swapaxes(ref.ht, -1, -2)),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(viol_init), np.asarray(ref.violation_init),
+            rtol=1e-4,
+        )
+
+    def test_batch_impl_pallas_roundtrip(self, problem):
+        """fit_cd_batch(impl='pallas') returns a CDState-shaped result."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from muscle_synergies_tpu.models.batch import fit_cd_batch
+
+        xs, w, h = problem
+        with pltpu.force_tpu_interpret_mode():
+            state = fit_cd_batch(
+                xs, w, h, max_iter=50, tol=1e-4, impl="pallas", block_b=B
+            )
+        assert state.w.shape == (B, N, K)
+        assert state.ht.shape == (B, L, K)
+
+    def test_max_iter_cap(self, problem):
+        from muscle_synergies_tpu.models.kernels import fit_cd_pallas
+
+        xs, w, h = problem
+        _, _, n_iter, _, conv = fit_cd_pallas(
+            xs, w, h, max_iter=20, tol=0.0, block_b=B, interpret=True
+        )
+        assert np.all(np.asarray(n_iter) == 20)
+        assert not np.any(np.asarray(conv))
