@@ -393,20 +393,26 @@ def analyze_dataset(
     grid_w = jnp.concatenate(w_blocks, axis=0)
     grid_h = jnp.concatenate(h_blocks, axis=0)
 
+    # The data axis is exact under padding (every fit is independent):
+    # an indivisible (ranks x trials) grid gains duplicate fits that are
+    # dropped from the result.  The time axis cannot be padded without
+    # changing the factorization (padded samples would enter the
+    # Grams), so indivisible sample counts still fall back.
+    n_fits = grid_x.shape[0]
+    pad_fits = (-n_fits) % mesh.shape["data"] if mesh is not None else 0
     mesh_divides = (
         mesh is not None
-        and grid_x.shape[0] % mesh.shape["data"] == 0
         and grid_x.shape[1] % mesh.shape.get("time", 1) == 0
     )
     if mesh is not None and not mesh_divides:
         import warnings
 
         warnings.warn(
-            f"analyze_dataset: problem grid of {grid_x.shape[0]} fits "
-            f"(ranks x trials) does not divide over the mesh's "
-            f"{mesh.shape['data']}-way data axis; falling back to the "
-            "local single-device solver. Pad the trial list or resize "
-            "the mesh to keep the fit sharded.",
+            f"analyze_dataset: trial length {grid_x.shape[1]} does not "
+            f"divide over the mesh's "
+            f"{mesh.shape.get('time', 1)}-way time axis; falling back "
+            "to the local single-device solver. Adjust reduce_to or "
+            "the mesh shape to keep the fit sharded.",
             stacklevel=2,
         )
     if mesh_divides:
@@ -418,6 +424,16 @@ def analyze_dataset(
         from .parallel.mesh import DATA_AXIS, TIME_AXIS
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if pad_fits:
+            grid_x = jnp.concatenate(
+                [grid_x, jnp.repeat(grid_x[:1], pad_fits, axis=0)], axis=0
+            )
+            grid_w = jnp.concatenate(
+                [grid_w, jnp.repeat(grid_w[:1], pad_fits, axis=0)], axis=0
+            )
+            grid_h = jnp.concatenate(
+                [grid_h, jnp.repeat(grid_h[:1], pad_fits, axis=0)], axis=0
+            )
         grid_x = jax.device_put(
             grid_x, NamedSharding(mesh, P(DATA_AXIS, TIME_AXIS, None))
         )
@@ -437,6 +453,9 @@ def analyze_dataset(
             state = fit(
                 grid_x, grid_w, grid_h, mesh, max_iter=max_iter, tol=tol
             )
+        if pad_fits:
+            state = jax.tree.map(lambda a: a[:n_fits], state)
+            grid_x = grid_x[:n_fits]
     elif beta != 2.0:
         from .models.batch import fit_mu_beta_batch
 

@@ -261,3 +261,25 @@ def test_analyze_dataset_cd_solver():
     assert np.all(res.vaf_overall[1] > 0.98)
     # rank padding stays exact under CD too
     np.testing.assert_array_equal(res.h[0][:, 1:, :], 0)
+
+
+def test_sharded_pads_indivisible_fit_grid():
+    """A (ranks x trials) grid that does not divide the data axis now
+    shards via duplicate-fit padding instead of falling back, and the
+    results match the local solver exactly."""
+    import warnings
+
+    trials = _trials(b=3)  # 3 fits on a 4-way data axis
+    kwargs = dict(ranks=(2,), config=CFG, solver="mu", max_iter=200,
+                  tol=1e-6)
+    local = analyze_dataset(trials, 200, **kwargs)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the old path warned + fell back
+        sharded = analyze_dataset(
+            trials, 200, mesh=make_mesh((4, 2)), **kwargs
+        )
+    np.testing.assert_allclose(
+        sharded.vaf_overall, local.vaf_overall, rtol=1e-6
+    )
+    np.testing.assert_array_equal(sharded.n_iter, local.n_iter)
+    assert sharded.vaf_overall.shape == (1, 3)
