@@ -325,7 +325,7 @@ def test_kl_pallas_fit_matches_xla_batch(problem):
                                rtol=1e-8, atol=1e-11)
 
 
-@pytest.mark.parametrize("beta", [0.5, 1.5, 2.5])
+@pytest.mark.parametrize("beta", [-0.5, 0.5, 1.5, 2.5])
 def test_pallas_beta_fit_matches_xla_for_fractional_betas(problem, beta):
     """Any float beta runs on the kernel path and equals the XLA batch.
 
