@@ -3,7 +3,8 @@
 PYTHON ?= python
 
 .PHONY: test test-fast bench bench-quick bench-vaf bench-check \
-	bench-solvers bench-all entry native dist clean
+	bench-solvers bench-all lint doctest check docs-exec entry native \
+	dist clean
 
 test:
 	$(PYTHON) -m pytest tests/ -q

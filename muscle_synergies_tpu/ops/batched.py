@@ -68,6 +68,13 @@ def _moving_rms_batch_jit(xs, window, mask):
     out = jax.vmap(lambda x: _moving_rms_single(x, window))(xs)
     if mask is not None:
         out = out * mask[..., None]
+        # The eager wrapper rejects windows longer than a trial; under
+        # tracing that check cannot raise, so poison the offending
+        # trials with NaN instead — a silent average over padding must
+        # never look like a valid envelope (downstream NMF rejects
+        # NaN inputs loudly).
+        bad = jnp.sum(mask, axis=1) < window
+        out = jnp.where(bad[:, None, None], jnp.nan, out)
     return out
 
 
@@ -80,9 +87,11 @@ def moving_rms_batch(
         ValueError: when ``window`` exceeds any trial's *true* length
             (from ``mask``) — the per-trial API rejects such windows,
             and a padded batch must not silently average padding
-            instead.  The check needs concrete mask values, so it is
-            skipped when tracing inside a caller's ``jax.jit`` (the
-            wrapper stays fully jittable; validate eagerly if needed).
+            instead.  The check needs concrete mask values, so when
+            tracing inside a caller's ``jax.jit`` it cannot raise;
+            there the offending trials' outputs are NaN instead (the
+            wrapper stays fully jittable, and a too-long window is
+            loud either way).
     """
     if mask is not None:
         if not isinstance(mask, jax.core.Tracer):

@@ -227,37 +227,44 @@ def sharded_sosfiltfilt(
 
     zi_unit = jnp.asarray(sosfilt_zi(sos_np), dtype=x.dtype)
     sos_j = jnp.asarray(sos_np, dtype=x.dtype)
+    run_all = _build_sharded_filtfilt(mesh, axis_name, padlen, extra)
+    return run_all(sos_j, zi_unit, x)
 
-    # Build both edge pads from the global edges and forward-filter the
-    # left one eagerly — tiny (padlen x C) work, identical on every
-    # device, entering the sharded passes as replicated initial states.
-    if padlen > 0:
-        left_pad = 2 * x[0] - x[padlen:0:-1]
-        pad_entry = zi_unit[:, :, None] * left_pad[0]
-        _, fwd_states = _cascade_block(left_pad, sos_j, pad_entry)
-        right_refl = 2 * x[-1] - x[-2 : -padlen - 2 : -1]
-    else:
-        fwd_states = zi_unit[:, :, None] * x[0]
-        right_refl = x[:0]
-    x_ext = (
-        jnp.concatenate([x, right_refl[:extra]], axis=0) if extra else x
-    )
-    right_rem = right_refl[extra:]  # (padlen - extra, C)
+
+@functools.lru_cache(maxsize=64)
+def _build_sharded_filtfilt(
+    mesh: Mesh, axis_name: str, padlen: int, extra: int
+):
+    """One jitted program per (mesh, pad geometry): pads + passes + trim.
+
+    Everything — edge-pad construction, the left-pad forward filter,
+    the sharded passes and the output trim — traces into a single
+    ``jit`` so an eager caller issues ONE dispatch (un-jitted glue ops
+    each cost milliseconds through a remote-device relay; see the
+    round-1 lesson in CLAUDE.md).  Filter coefficients are traced
+    arguments, so new designs reuse the compiled program.
+    """
     rem = padlen - extra
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axis_name, None), P(None, None), P(None, None, None)),
+        in_specs=(
+            P(axis_name, None),
+            P(None, None),
+            P(None, None, None),
+            P(None, None),
+            P(None, None),
+        ),
         out_specs=P(axis_name, None),
     )
-    def run(xb, rem_b, fwd_states_b):
+    def run(xb, rem_b, fwd_states_b, sos_b, zi_b):
         # replicated operands feed varying loop carries inside the
         # sharded pass — mark them so check_vma accepts the while/scan
         fwd_states_b = mark_varying(fwd_states_b, axis_name)
         rem_b = mark_varying(rem_b, axis_name)
         y, data_exit_local = _sharded_pass(
-            xb, sos_j, fwd_states_b, axis_name, reverse=False
+            xb, sos_b, fwd_states_b, axis_name, reverse=False
         )
         # per-section state at the global end of the data, owned by the
         # last device and broadcast through the gather
@@ -267,22 +274,42 @@ def sharded_sosfiltfilt(
         # to seed the backward pass (replicated: every device computes
         # the same few-sample block) ----
         if rem > 0:
-            fwd_right, _ = _cascade_block(rem_b, sos_j, end_states)
+            fwd_right, _ = _cascade_block(rem_b, sos_b, end_states)
             y0 = fwd_right[-1]
-            bwd_entry = zi_unit[:, :, None] * y0
+            bwd_entry = zi_b[:, :, None] * y0
             _, bwd_states = _cascade_block(
-                fwd_right[::-1], sos_j, bwd_entry
+                fwd_right[::-1], sos_b, bwd_entry
             )
         else:
             # the whole reflection rode with the data blocks: the
             # backward pass seeds directly from the global last
             # forward-filtered sample
             y0 = gather_time(y[-1], axis_name)[-1]
-            bwd_states = zi_unit[:, :, None] * y0
+            bwd_states = zi_b[:, :, None] * y0
 
         # ---- backward pass over the data blocks ----
-        out, _ = _sharded_pass(y, sos_j, bwd_states, axis_name, reverse=True)
+        out, _ = _sharded_pass(y, sos_b, bwd_states, axis_name, reverse=True)
         return out
 
-    out = run(x_ext, right_rem, fwd_states)
-    return out[:n] if extra else out
+    @jax.jit
+    def run_all(sos_j, zi_unit, x):
+        n = x.shape[0]
+        # Both edge pads come from the global edges — tiny (padlen, C)
+        # slices — and the left one forward-filters replicated into
+        # the sharded passes' initial states.
+        if padlen > 0:
+            left_pad = 2 * x[0] - x[padlen:0:-1]
+            pad_entry = zi_unit[:, :, None] * left_pad[0]
+            _, fwd_states = _cascade_block(left_pad, sos_j, pad_entry)
+            right_refl = 2 * x[-1] - x[-2 : -padlen - 2 : -1]
+        else:
+            fwd_states = zi_unit[:, :, None] * x[0]
+            right_refl = x[:0]
+        x_ext = (
+            jnp.concatenate([x, right_refl[:extra]], axis=0) if extra else x
+        )
+        right_rem = right_refl[extra:]  # (padlen - extra, C)
+        out = run(x_ext, right_rem, fwd_states, sos_j, zi_unit)
+        return out[:n] if extra else out
+
+    return run_all

@@ -282,6 +282,12 @@ def _local_beta_error(x, w, h, axis_name: str, beta: float = 1.0):
     one time reduction.
     """
     wh = w @ h
+    if beta == 2.0:
+        # beta_divergence's dedicated Frobenius branch: unmasked,
+        # unclamped sum((x - wh)^2)/2, then sqrt(2*res)
+        local = jnp.sum((x - wh) ** 2, axis=(-1, -2)) / 2.0
+        res = time_sum(local, axis_name)
+        return jnp.sqrt(2.0 * jnp.maximum(res, 0.0))
     whc = jnp.maximum(wh, EPSILON)
     mask = x > EPSILON
     div = jnp.where(mask, x / whc, 1.0)

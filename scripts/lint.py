@@ -64,7 +64,9 @@ def check_file(path: Path):
     for i, line in enumerate(lines, 1):
         if "noqa" in line or "http://" in line or "https://" in line:
             continue
-        if len(line) > MAX_LINE and i not in in_string:
+        if i in in_string:  # data, not code — exempt from all line checks
+            continue
+        if len(line) > MAX_LINE:
             findings.append((path, i, f"line too long ({len(line)} > {MAX_LINE})"))
         if line != line.rstrip():
             findings.append((path, i, "trailing whitespace"))

@@ -101,3 +101,17 @@ def test_moving_rms_batch_still_validates_eagerly(ragged):
     _, batch, mask = ragged
     with pytest.raises(ValueError, match="longer than the shortest"):
         moving_rms_batch(batch, 10_000, mask)
+
+
+def test_moving_rms_batch_poisons_bad_window_under_jit(ragged):
+    """Inside jit the length guard cannot raise: short trials go NaN."""
+    import jax
+
+    trials, _, _ = ragged
+    batch, mask = pad_and_stack(trials)  # lengths 120/90/150
+    out = np.asarray(
+        jax.jit(lambda xs, m: moving_rms_batch(xs, 100, m))(batch, mask)
+    )
+    assert np.isnan(out[1]).all()      # 90-sample trial: window too long
+    assert not np.isnan(out[0]).any()  # valid trials unaffected
+    assert not np.isnan(out[2]).any()

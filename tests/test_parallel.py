@@ -448,7 +448,7 @@ def test_sharded_tol_zero_runs_max_iter(mesh_2x4):
         assert not np.any(np.asarray(state.converged)), fit.__name__
 
 
-@pytest.mark.parametrize("beta", [0.0, 0.5, 1.5, 2.5])
+@pytest.mark.parametrize("beta", [0.0, 0.5, 1.5, 2.0, 2.5])
 def test_sharded_fit_beta_matches_local_batch(mesh_2x4, beta):
     """DP+SP generic-beta fit equals the local batched solver exactly.
 
