@@ -1,0 +1,201 @@
+"""Command-line entry point: ``python -m muscle_synergies_tpu``.
+
+The reference is library-only (SURVEY §1: "no scheduler, no server, no
+CLI"); production deployments want a shell-scriptable surface, so this
+module exposes the two everyday operations:
+
+``describe``
+    Parse a Vicon Nexus CSV export and print the capture summary
+    (devices, shapes, sampling rates).
+
+``analyze``
+    Run the full pipeline — load, preprocess (linear envelope or
+    moving RMS, time/amplitude normalization), VAF rank sweep — and
+    write a JSON report (per-rank overall + per-muscle VAF, solver
+    telemetry, optional components).
+
+Both run on whatever JAX backend is active (TPU in production, CPU
+elsewhere); ``--platform cpu`` forces the CPU backend before any
+device query.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_ranks(spec: str):
+    """``"4"`` -> (4, None); ``"2:5"`` / ``"2-5"`` -> (2, 5)."""
+    sep = ":" if ":" in spec else "-" if "-" in spec else None
+    if sep:
+        lo, hi = spec.split(sep, 1)
+        return int(lo), int(hi)
+    return int(spec), None
+
+
+def _build_parser():
+    parser = argparse.ArgumentParser(
+        prog="python -m muscle_synergies_tpu",
+        description="TPU-native muscle-synergy analysis",
+    )
+    parser.add_argument(
+        "--platform", default=None,
+        help="force a JAX platform (e.g. 'cpu') before any device query",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_desc = sub.add_parser("describe", help="summarize a Vicon CSV export")
+    p_desc.add_argument("csv", help="path to the Vicon Nexus CSV export")
+
+    p_an = sub.add_parser("analyze", help="EMG -> synergies pipeline")
+    p_an.add_argument("csv", help="path to the Vicon Nexus CSV export")
+    p_an.add_argument(
+        "--ranks", default="1:4",
+        help="rank or range to sweep, e.g. '3' or '2:5' (default 1:4)",
+    )
+    p_an.add_argument(
+        "--solver", choices=["cd", "mu"], default="cd",
+        help="NMF solver (default: cd, sklearn's default)",
+    )
+    p_an.add_argument(
+        "--beta-loss", default="frobenius",
+        help="frobenius | kullback-leibler | itakura-saito | float beta "
+             "(non-Frobenius requires --solver mu)",
+    )
+    p_an.add_argument("--max-iter", type=int, default=100_000)
+    p_an.add_argument("--tol", type=float, default=1e-6)
+    p_an.add_argument(
+        "--rms", type=float, metavar="SECONDS", default=None,
+        help="moving-RMS smoothing window instead of the filtered "
+             "envelope (e.g. 0.5)",
+    )
+    p_an.add_argument(
+        "--envelope-hz", type=float, default=4.0,
+        help="low-pass cutoff for the linear envelope (default 4 Hz)",
+    )
+    p_an.add_argument(
+        "--reduce-to", type=int, default=200,
+        help="time-normalization length (default 200)",
+    )
+    p_an.add_argument(
+        "--output", "-o", default=None,
+        help="write the JSON report here (default: stdout)",
+    )
+    p_an.add_argument(
+        "--components", action="store_true",
+        help="include the synergy component matrices in the report",
+    )
+    return parser
+
+
+def _cmd_describe(args) -> int:
+    import muscle_synergies_tpu as mst
+
+    data = mst.load_vicon_file(args.csv)
+    print(data.describe())
+    print(f"forces/EMG sampling rate: {data.sampling_frequency('emg')} Hz")
+    print(f"trajectory sampling rate: {data.sampling_frequency('traj')} Hz")
+    print(f"EMG samples: {data.emg.df.shape[0]}")
+    return 0
+
+
+def _cmd_analyze(args) -> int:
+    import numpy as np
+
+    import muscle_synergies_tpu as mst
+
+    data = mst.load_vicon_file(args.csv)
+    emg_df = data.emg.df
+    fs = data.emg.sampling_frequency
+
+    if args.rms is not None:
+        proc = mst.rms(
+            mst.zero_center(emg_df), window_size=args.rms,
+            sampling_frequency=fs,
+        )
+    else:
+        proc = mst.linear_envelope(
+            emg_df, critical_freqs=args.envelope_hz,
+            sampling_frequency=fs, order=4,
+        ).abs()
+    if args.reduce_to:
+        proc = mst.time_normalize(proc, reduce_to=args.reduce_to)
+    proc = mst.normalize(proc).abs()
+
+    lo, hi = _parse_ranks(args.ranks)
+    try:
+        beta_loss = float(args.beta_loss)
+    except ValueError:
+        beta_loss = args.beta_loss
+    result = mst.find_synergies(
+        proc, lo, hi, solver=args.solver, beta_loss=beta_loss,
+        max_iter=args.max_iter, tol=args.tol,
+    )
+
+    if isinstance(result.model, dict):
+        # rank sweep: vaf_values rows are indexed by rank
+        ranks = list(result.vaf_values.index)
+        models, comps = result.model, result.components
+        rows = {k: result.vaf_values.loc[k] for k in ranks}
+    else:
+        # single run: one unlabeled row for the requested rank
+        ranks = [lo]
+        models = {lo: result.model}
+        comps = {lo: result.components}
+        rows = {lo: result.vaf_values.iloc[0]}
+    report = {
+        "file": args.csv,
+        "sampling_frequency": float(fs),
+        "muscles": list(emg_df.columns),
+        "pipeline": {
+            "smoothing": (
+                {"rms_window_s": args.rms} if args.rms is not None
+                else {"envelope_lowpass_hz": args.envelope_hz}
+            ),
+            "reduce_to": args.reduce_to,
+            "solver": args.solver,
+            "beta_loss": args.beta_loss,
+            "max_iter": args.max_iter,
+            "tol": args.tol,
+        },
+        "ranks": {},
+    }
+    for k in ranks:
+        row = rows[k]
+        entry = {
+            "vaf_overall": float(row["All signals"]),
+            "vaf_per_muscle": {
+                m: float(row[m]) for m in emg_df.columns
+            },
+            "n_iter": int(models[k].n_iter_),
+            "reconstruction_err": float(models[k].reconstruction_err_),
+        }
+        if args.components:
+            entry["components"] = np.asarray(comps[k]).tolist()
+        report["ranks"][str(k)] = entry
+
+    text = json.dumps(report, indent=2)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(text + "\n")
+        print(f"wrote {args.output}")
+    else:
+        print(text)
+    return 0
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    if args.command == "describe":
+        return _cmd_describe(args)
+    return _cmd_analyze(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,68 @@
+"""The ``python -m muscle_synergies_tpu`` command-line surface."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def capture_csv(tmp_path_factory):
+    from muscle_synergies_tpu.testing import write_synthetic_capture
+
+    path = tmp_path_factory.mktemp("cli") / "trial.csv"
+    # small capture: 2 trechos keep the CLI tests fast
+    return write_synthetic_capture(str(path), state_len=300, n_trechos=2)
+
+
+def _run(args, timeout=300):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    return subprocess.run(
+        [sys.executable, "-m", "muscle_synergies_tpu", "--platform", "cpu"]
+        + args,
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+def test_describe_prints_summary(capture_csv):
+    result = _run(["describe", capture_csv])
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "emg: 8 columns" in result.stdout
+    assert "2000 Hz" in result.stdout
+
+
+def test_analyze_writes_json_report(capture_csv, tmp_path):
+    out = tmp_path / "report.json"
+    result = _run([
+        "analyze", capture_csv, "--ranks", "2:3", "--rms", "0.5",
+        "--max-iter", "500", "--tol", "1e-5", "--components",
+        "-o", str(out),
+    ])
+    assert result.returncode == 0, result.stderr[-2000:]
+    report = json.loads(out.read_text())
+    assert set(report["ranks"]) == {"2", "3"}
+    r2 = report["ranks"]["2"]
+    assert 0.5 < r2["vaf_overall"] <= 1.0
+    assert len(r2["vaf_per_muscle"]) == 8
+    assert r2["n_iter"] >= 1
+    assert len(r2["components"]) == 2  # rank-2 synergy matrix rows
+
+
+def test_analyze_single_rank_to_stdout(capture_csv):
+    result = _run([
+        "analyze", capture_csv, "--ranks", "2", "--rms", "0.5",
+        "--max-iter", "200", "--tol", "1e-4", "--solver", "mu",
+    ])
+    assert result.returncode == 0, result.stderr[-2000:]
+    report = json.loads(result.stdout)
+    assert list(report["ranks"]) == ["2"]
