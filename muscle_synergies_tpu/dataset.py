@@ -289,11 +289,12 @@ def analyze_dataset(
         ranks: rank or ranks to sweep.
         subjects: per-trial subject labels (alternative to passing a
             mapping; must be omitted when ``trials`` is one).
-        impl: batched-solver implementation (``"xla"`` or ``"pallas"``
-            — VMEM-resident fused kernels on TPU, available for every
-            solver and beta); defaults to ``config.solver_impl``.
-            Ignored when a ``mesh`` routes the solve through the
-            sharded solvers.
+        impl: batched-solver implementation — ``"xla"``, ``"pallas"``
+            (VMEM-resident fused kernels on TPU, available for every
+            solver and beta) or ``"auto"`` (pallas on TPU when the fit
+            grid packs lanes reasonably, xla elsewhere); defaults to
+            ``config.solver_impl``.  Ignored when a ``mesh`` routes
+            the solve through the sharded solvers.
         inner_iter: accelerated-MU inner repetitions; defaults to
             ``config.inner_iter`` (1 = sklearn-exact).
         config: preprocessing + solver preset.
@@ -354,6 +355,19 @@ def analyze_dataset(
     max_iter = max_iter if max_iter is not None else config.max_iter
     tol = tol if tol is not None else config.tol
     impl = impl if impl is not None else getattr(config, "solver_impl", "xla")
+    if impl == "auto":
+        # fused VMEM kernels on TPU, batched XLA elsewhere; lane-packed
+        # blocks only pay off when the fit grid fills a decent fraction
+        # of the 128-wide lane dimension
+        from .models.batch import _default_block_b
+
+        n_fits_auto = len(trials) * len(ranks)  # both normalized above
+        impl = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and _default_block_b(max(n_fits_auto, 1)) >= 8
+            else "xla"
+        )
     inner_iter = (
         inner_iter if inner_iter is not None else getattr(config, "inner_iter", 1)
     )

@@ -283,3 +283,14 @@ def test_sharded_pads_indivisible_fit_grid():
     )
     np.testing.assert_array_equal(sharded.n_iter, local.n_iter)
     assert sharded.vaf_overall.shape == (1, 3)
+
+
+def test_impl_auto_resolves_by_backend():
+    """impl='auto' picks xla off-TPU and still produces correct fits."""
+    trials = _trials(b=2)
+    res = analyze_dataset(
+        trials, 200, ranks=2, config=CFG, impl="auto", max_iter=200,
+        tol=1e-6,
+    )
+    assert res.vaf_overall.shape == (1, 2)
+    assert np.all(res.vaf_overall > 0.9)
