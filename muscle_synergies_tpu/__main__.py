@@ -27,12 +27,30 @@ import sys
 
 
 def _parse_ranks(spec: str):
-    """``"4"`` -> (4, None); ``"2:5"`` / ``"2-5"`` -> (2, 5)."""
-    sep = ":" if ":" in spec else "-" if "-" in spec else None
-    if sep:
-        lo, hi = spec.split(sep, 1)
-        return int(lo), int(hi)
-    return int(spec), None
+    """``"4"`` -> (4, None); ``"2:5"`` / ``"2-5"`` -> (2, 5).
+
+    Raises ``argparse.ArgumentTypeError`` with the offending spec on
+    anything else (empty bounds, non-integers, inverted ranges).
+    """
+    def _bad(why):
+        raise argparse.ArgumentTypeError(
+            f"invalid --ranks {spec!r}: {why} (expected e.g. '3' or '2:5')"
+        )
+
+    sep = ":" if ":" in spec else "-" if "-" in spec.strip("-") else None
+    try:
+        if sep:
+            lo_s, hi_s = spec.split(sep, 1)
+            lo, hi = int(lo_s), int(hi_s)
+        else:
+            lo, hi = int(spec), None
+    except ValueError:
+        _bad("not an integer or integer range")
+    if lo < 1:
+        _bad("ranks start at 1")
+    if hi is not None and hi < lo:
+        _bad("range upper bound below lower bound")
+    return lo, hi
 
 
 def _build_parser():
@@ -52,7 +70,7 @@ def _build_parser():
     p_an = sub.add_parser("analyze", help="EMG -> synergies pipeline")
     p_an.add_argument("csv", help="path to the Vicon Nexus CSV export")
     p_an.add_argument(
-        "--ranks", default="1:4",
+        "--ranks", type=_parse_ranks, default="1:4",
         help="rank or range to sweep, e.g. '3' or '2:5' (default 1:4)",
     )
     p_an.add_argument(
@@ -96,7 +114,8 @@ def _cmd_describe(args) -> int:
     data = mst.load_vicon_file(args.csv)
     print(data.describe())
     print(f"forces/EMG sampling rate: {data.sampling_frequency('emg')} Hz")
-    print(f"trajectory sampling rate: {data.sampling_frequency('traj')} Hz")
+    if data.traj:  # marker-less (EMG/force-only) captures are valid
+        print(f"trajectory sampling rate: {data.sampling_frequency('traj')} Hz")
     print(f"EMG samples: {data.emg.df.shape[0]}")
     return 0
 
@@ -124,7 +143,7 @@ def _cmd_analyze(args) -> int:
         proc = mst.time_normalize(proc, reduce_to=args.reduce_to)
     proc = mst.normalize(proc).abs()
 
-    lo, hi = _parse_ranks(args.ranks)
+    lo, hi = args.ranks
     try:
         beta_loss = float(args.beta_loss)
     except ValueError:
@@ -132,6 +151,10 @@ def _cmd_analyze(args) -> int:
     result = mst.find_synergies(
         proc, lo, hi, solver=args.solver, beta_loss=beta_loss,
         max_iter=args.max_iter, tol=args.tol,
+        # a rank range solves as ONE zero-rank-padded device dispatch
+        # instead of a sequential host loop (per-dispatch latency
+        # dominates on remote accelerators)
+        sweep="batched" if hi is not None else "loop",
     )
 
     if isinstance(result.model, dict):

@@ -52,11 +52,14 @@ def check_file(path: Path):
     # Interior lines of multi-line strings (CSV fixtures, docstrings
     # quoting reference paths) are data, not code — exempt from the
     # length limit.
+    # Interior lines only: the first and last lines of a multi-line
+    # string hold the opening/closing quotes and surrounding code, so
+    # they stay subject to every check.
     in_string = set()
     try:
         for tok in tokenize.generate_tokens(io.StringIO(src).readline):
             if tok.type == tokenize.STRING and tok.end[0] > tok.start[0]:
-                in_string.update(range(tok.start[0], tok.end[0] + 1))
+                in_string.update(range(tok.start[0] + 1, tok.end[0]))
     except tokenize.TokenError:
         pass
 

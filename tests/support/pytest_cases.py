@@ -88,7 +88,9 @@ def _expand_unions(names, values):
 
     expanded = []
     for v in values:
-        tup = v if isinstance(v, tuple) else (v,)
+        # a tuple value is a per-argname spread only for multi-name
+        # parametrizes; for a single argname it IS the value
+        tup = v if isinstance(v, tuple) and len(names) > 1 else (v,)
         options = []
         for entry in tup:
             if isinstance(entry, fixture_ref) and entry.name in _UNIONS:

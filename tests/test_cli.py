@@ -66,3 +66,10 @@ def test_analyze_single_rank_to_stdout(capture_csv):
     assert result.returncode == 0, result.stderr[-2000:]
     report = json.loads(result.stdout)
     assert list(report["ranks"]) == ["2"]
+
+
+def test_bad_ranks_spec_gives_clear_error(capture_csv):
+    for spec in ["-3", ":4", "5:2", "abc", "0"]:
+        result = _run(["analyze", capture_csv, "--ranks", spec])
+        assert result.returncode == 2, (spec, result.stderr[-500:])
+        assert "invalid --ranks" in result.stderr, (spec, result.stderr[-500:])
