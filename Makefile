@@ -3,7 +3,7 @@
 PYTHON ?= python
 
 .PHONY: test test-fast bench bench-quick bench-vaf bench-check \
-	bench-solvers bench-all lint doctest check docs-exec entry native \
+	bench-solvers bench-fit bench-all lint doctest check docs-exec entry native \
 	dist clean
 
 test:
@@ -52,7 +52,14 @@ bench-solvers:  # per-solver throughput rows (mu, cd, kl, is) -> artifact
 	$(PYTHON) bench.py --solver is >> BENCH_SOLVERS.json
 	cat BENCH_SOLVERS.json
 
-bench-all: bench-check bench-vaf bench-solvers  # refresh every artifact
+bench-fit:  # full convergence-fit wall time per solver -> artifact
+	$(PYTHON) bench.py --metric fit --solver mu > BENCH_FIT.json
+	$(PYTHON) bench.py --metric fit --solver cd >> BENCH_FIT.json
+	$(PYTHON) bench.py --metric fit --solver kl >> BENCH_FIT.json
+	$(PYTHON) bench.py --metric fit --solver is >> BENCH_FIT.json
+	cat BENCH_FIT.json
+
+bench-all: bench-check bench-vaf bench-solvers bench-fit  # refresh artifacts
 
 entry:
 	JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \

@@ -70,9 +70,11 @@ def _parse_args(argv=None):
              "beta-divergence MU (beta=1 / beta=0)",
     )
     parser.add_argument(
-        "--metric", choices=["iters", "vaf"], default="iters",
+        "--metric", choices=["iters", "vaf", "fit"], default="iters",
         help="iters = solver iterations/sec/chip (headline); vaf = "
-             "time-to-90%%-VAF (BASELINE.md's second metric)",
+             "time-to-90%%-VAF (BASELINE.md's second metric); fit = "
+             "full convergence-fit wall time for the batch, fused "
+             "pallas vs batched XLA",
     )
     parser.add_argument("--vaf-target", type=float, default=0.90)
     parser.add_argument(
@@ -312,6 +314,114 @@ def run_vaf(args):
         "unit": f"ms for {args.batch} trials ({n_iter} {args.solver} "
                 f"iters, rank={args.rank}, {impl})",
         "vs_baseline": round(sk_total / seconds, 1),
+        "date": _utc_date(),
+    }))
+    return 0
+
+
+def run_fit(args):
+    """Convergence-fit wall time: the whole batch solved to tolerance.
+
+    Times the per-trial-stopping fit (``fit_mu_batch`` /
+    ``fit_cd_batch`` / ``fit_mu_beta_batch``) for the chosen solver on
+    both implementations with the relay-aware protocol: chains of
+    dependent fits (each from an on-device-perturbed init, so nothing
+    uploads and nothing caches) inside one jitted ``fori_loop``,
+    differenced over two chain lengths to cancel dispatch latency.
+    ``vs_baseline`` is the XLA-vs-pallas speedup.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from muscle_synergies_tpu.models.batch import (
+        fit_cd_batch,
+        fit_mu_batch,
+        fit_mu_beta_batch,
+    )
+
+    dtype = jnp.dtype(args.dtype)
+    x_np = _make_problem(args, dtype, args.solver)
+    xs = jnp.asarray(x_np)
+    rng = np.random.default_rng(7)
+    avg = float(np.sqrt(x_np.mean() / args.rank))
+    w0 = jnp.asarray(avg * np.abs(rng.standard_normal(
+        (args.batch, args.samples, args.rank))).astype(dtype))
+    h0 = jnp.asarray(avg * np.abs(rng.standard_normal(
+        (args.batch, args.rank, args.channels))).astype(dtype))
+    max_iter, tol = 500, 1e-4
+    block_b = min(128, args.batch)
+
+    def make_fit(impl):
+        if args.solver == "mu":
+            def fit(xs, w, h):
+                return fit_mu_batch(
+                    xs, w, h, max_iter=max_iter, tol=tol, impl=impl,
+                    block_b=block_b,
+                )
+        elif args.solver == "cd":
+            def fit(xs, w, h):
+                return fit_cd_batch(
+                    xs, w, h, max_iter=max_iter, tol=tol, impl=impl,
+                    block_b=block_b,
+                )
+        else:
+            beta = 1.0 if args.solver == "kl" else 0.0
+
+            def fit(xs, w, h):
+                return fit_mu_beta_batch(
+                    xs, w, h, beta=beta, max_iter=max_iter, tol=tol,
+                    impl=impl, block_b=block_b,
+                )
+        return fit
+
+    def time_impl(impl):
+        fit = make_fit(impl)
+
+        @jax.jit
+        def chain(xs, w0, h0, n_calls):
+            def body(i, acc):
+                w = w0 * (1.0 + 1e-4 * i.astype(dtype))
+                state = fit(xs, w, h0)
+                return acc + jnp.sum(state.w) + jnp.sum(
+                    state.n_iter.astype(dtype)
+                )
+
+            return jax.lax.fori_loop(
+                0, n_calls, body, jnp.zeros((), dtype)
+            )
+
+        def timed(n_calls, _seed):
+            t0 = time.perf_counter()
+            float(chain(xs, w0, h0, jnp.int32(n_calls)))
+            return time.perf_counter() - t0
+
+        timed(1, 0)  # compile
+        est = max((timed(6, 1) - timed(2, 2)) / 4, 1e-4)
+        k2 = 2 + int(np.clip(round(2.0 / est), 4, 200))
+        samples = [
+            (timed(k2, 10 + r) - timed(2, 20 + r)) / (k2 - 2)
+            for r in range(args.repeats)
+        ]
+        return float(np.median(samples))
+
+    import contextlib
+
+    ctx = contextlib.nullcontext()
+    if jax.default_backend() != "tpu":
+        # CPU smoke runs exercise the kernel in interpret mode (the
+        # timing is then only a plumbing check, not a perf number)
+        from jax.experimental.pallas import tpu as pltpu
+
+        ctx = pltpu.force_tpu_interpret_mode()
+    with ctx:
+        pallas_s = time_impl("pallas")
+    xla_s = time_impl("xla")
+    print(json.dumps({
+        "metric": f"{args.solver}_fit_ms_batch",
+        "value": round(pallas_s * 1e3, 3),
+        "unit": f"ms per full {args.batch}-trial fit to tol={tol:g} "
+                f"(max_iter={max_iter}, pallas; xla={xla_s * 1e3:.1f} ms)",
+        "vs_baseline": round(xla_s / pallas_s, 2),
         "date": _utc_date(),
     }))
     return 0
@@ -635,6 +745,8 @@ def main(argv=None):
         return run_check(args)
     if args.metric == "vaf":
         return run_vaf(args)
+    if args.metric == "fit":
+        return run_fit(args)
     return run_iters(args)
 
 

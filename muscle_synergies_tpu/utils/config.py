@@ -61,8 +61,10 @@ class PipelineConfig:
         min_rank / max_rank: VAF rank-sweep range.
         solver / max_iter / tol: NMF solver settings.
         solver_impl: batched-solver implementation for dataset-scale
-            runs — ``"xla"`` (any backend) or ``"pallas"`` (the fused
-            VMEM kernel, TPU only, MU solver).
+            runs — ``"xla"`` (any backend), ``"pallas"`` (the fused
+            VMEM kernels, TPU only; every solver and beta) or
+            ``"auto"`` (pallas on TPU when the fit grid packs lanes
+            reasonably, xla elsewhere).
         inner_iter: accelerated-MU inner repetitions per outer
             iteration (1 = sklearn-exact plain MU).
     """
