@@ -156,8 +156,41 @@ def _fresh_factors(args, dtype, seed, avg):
     return w0, h0
 
 
+def _differenced_timing(timed_chain, repeats, clip=(10, 2000)):
+    """Median differenced chain timing; returns seconds per call.
+
+    The shared relay-aware protocol: ``timed_chain(n_calls, seed)``
+    must run ``n_calls`` dependent calls with seed-FRESH inputs (so
+    repeats are never byte-identical and the relay's result cache
+    cannot serve them) and end in a scalar readback.  Differencing two
+    chain lengths cancels fixed dispatch/transfer latency; a
+    non-finite or non-positive median falls back to the long-chain
+    average — a strict upper bound per call, so the reported number is
+    an underestimate of speed, never nonsense.
+    """
+    timed_chain(1, seed=999)  # warm-up: compile
+
+    def diff_measure(k1, k2, seed):
+        t1 = timed_chain(k1, seed=seed)
+        t2 = timed_chain(k2, seed=seed + 1)
+        return (t2 - t1) / (k2 - k1)
+
+    # size the longer chain so its compute dwarfs the relay jitter
+    est = diff_measure(2, 12, seed=5000)
+    if not np.isfinite(est) or est <= 0:
+        est = 5e-3
+    k2 = 2 + int(np.clip(round(2.0 / est), *clip))
+    samples = [
+        diff_measure(2, k2, seed=1000 + 10 * rep) for rep in range(repeats)
+    ]
+    per_call = float(np.median(samples))
+    if not np.isfinite(per_call) or per_call <= 0:
+        per_call = timed_chain(k2, seed=4242) / k2
+    return per_call
+
+
 def _measure_per_call(step_fn, xs, args, dtype, avg):
-    """Median differenced chain timing; returns seconds per step call.
+    """Seconds per ``step_fn`` call (``args.iters`` iterations each).
 
     The whole chain of dependent calls runs inside ONE jitted
     ``fori_loop`` (one executable launch), so per-call dispatch never
@@ -166,9 +199,8 @@ def _measure_per_call(step_fn, xs, args, dtype, avg):
     understates kernel throughput by ~35%.  Fresh factors per chain
     defeat transparent result caching; the scalar readback forces
     execution to complete even where ``block_until_ready`` can return
-    optimistically; differencing two chain lengths cancels the
-    remaining fixed dispatch/transfer latency.  The loop bound is a
-    traced argument, so both chain lengths share one compilation.
+    optimistically.  The loop bound is a traced argument, so both
+    chain lengths share one compilation.
     """
     import jax
     import jax.numpy as jnp
@@ -188,29 +220,7 @@ def _measure_per_call(step_fn, xs, args, dtype, avg):
         float(chain(xs, w, h, jnp.int32(n_calls)))
         return time.perf_counter() - t0
 
-    timed_chain(1, seed=999)  # warm-up: compile
-
-    def diff_measure(k1, k2, seed):
-        t1 = timed_chain(k1, seed=seed)
-        t2 = timed_chain(k2, seed=seed + 1)
-        return (t2 - t1) / (k2 - k1)
-
-    # size the longer chain so its compute dwarfs the relay jitter
-    est = diff_measure(2, 12, seed=5000)
-    if not np.isfinite(est) or est <= 0:
-        est = 5e-3
-    k2 = 2 + int(np.clip(round(2.0 / est), 10, 2000))
-    samples = [
-        diff_measure(2, k2, seed=1000 + 10 * rep)
-        for rep in range(args.repeats)
-    ]
-    per_call = float(np.median(samples))
-    if not np.isfinite(per_call) or per_call <= 0:
-        # jitter swamped the differencing; fall back to the long-chain
-        # average, a strict upper bound on the per-call time (so the
-        # reported throughput is an underestimate, never nonsense)
-        per_call = timed_chain(k2, seed=4242) / k2
-    return per_call
+    return _differenced_timing(timed_chain, args.repeats)
 
 
 def run_iters(args):
@@ -323,13 +333,17 @@ def run_fit(args):
     """Convergence-fit wall time: the whole batch solved to tolerance.
 
     Times the per-trial-stopping fit (``fit_mu_batch`` /
-    ``fit_cd_batch`` / ``fit_mu_beta_batch``) for the chosen solver on
-    both implementations with the relay-aware protocol: chains of
-    dependent fits (each from an on-device-perturbed init, so nothing
-    uploads and nothing caches) inside one jitted ``fori_loop``,
-    differenced over two chain lengths to cancel dispatch latency.
-    ``vs_baseline`` is the XLA-vs-pallas speedup.
+    ``fit_cd_batch`` / ``fit_mu_beta_batch``) for the resolved
+    ``--impl`` (and, when it is the pallas path, the XLA twin as the
+    baseline) with the shared relay-aware protocol: chains of
+    dependent fits inside one jitted ``fori_loop``, seed-fresh factor
+    uploads per chain so the relay's result cache never serves a
+    repeat, differenced over two chain lengths to cancel
+    dispatch/transfer latency.  ``vs_baseline`` is the XLA/pallas
+    wall-time ratio (1.0 when only XLA runs).
     """
+    import contextlib
+
     import jax
     import jax.numpy as jnp
 
@@ -342,27 +356,20 @@ def run_fit(args):
     dtype = jnp.dtype(args.dtype)
     x_np = _make_problem(args, dtype, args.solver)
     xs = jnp.asarray(x_np)
-    rng = np.random.default_rng(7)
     avg = float(np.sqrt(x_np.mean() / args.rank))
-    w0 = jnp.asarray(avg * np.abs(rng.standard_normal(
-        (args.batch, args.samples, args.rank))).astype(dtype))
-    h0 = jnp.asarray(avg * np.abs(rng.standard_normal(
-        (args.batch, args.rank, args.channels))).astype(dtype))
     max_iter, tol = 500, 1e-4
-    block_b = min(128, args.batch)
 
     def make_fit(impl):
+        # block_b=None lets the fit pick the largest dividing block
         if args.solver == "mu":
             def fit(xs, w, h):
                 return fit_mu_batch(
-                    xs, w, h, max_iter=max_iter, tol=tol, impl=impl,
-                    block_b=block_b,
+                    xs, w, h, max_iter=max_iter, tol=tol, impl=impl
                 )
         elif args.solver == "cd":
             def fit(xs, w, h):
                 return fit_cd_batch(
-                    xs, w, h, max_iter=max_iter, tol=tol, impl=impl,
-                    block_b=block_b,
+                    xs, w, h, max_iter=max_iter, tol=tol, impl=impl
                 )
         else:
             beta = 1.0 if args.solver == "kl" else 0.0
@@ -370,7 +377,7 @@ def run_fit(args):
             def fit(xs, w, h):
                 return fit_mu_beta_batch(
                     xs, w, h, beta=beta, max_iter=max_iter, tol=tol,
-                    impl=impl, block_b=block_b,
+                    impl=impl,
                 )
         return fit
 
@@ -378,10 +385,9 @@ def run_fit(args):
         fit = make_fit(impl)
 
         @jax.jit
-        def chain(xs, w0, h0, n_calls):
+        def chain(xs, w, h, n_calls):
             def body(i, acc):
-                w = w0 * (1.0 + 1e-4 * i.astype(dtype))
-                state = fit(xs, w, h0)
+                state = fit(xs, w * (1.0 + 1e-4 * i.astype(dtype)), h)
                 return acc + jnp.sum(state.w) + jnp.sum(
                     state.n_iter.astype(dtype)
                 )
@@ -390,38 +396,34 @@ def run_fit(args):
                 0, n_calls, body, jnp.zeros((), dtype)
             )
 
-        def timed(n_calls, _seed):
+        def timed_chain(n_calls, seed):
+            w, h = _fresh_factors(args, dtype, seed, avg)
             t0 = time.perf_counter()
-            float(chain(xs, w0, h0, jnp.int32(n_calls)))
+            float(chain(xs, w, h, jnp.int32(n_calls)))
             return time.perf_counter() - t0
 
-        timed(1, 0)  # compile
-        est = max((timed(6, 1) - timed(2, 2)) / 4, 1e-4)
-        k2 = 2 + int(np.clip(round(2.0 / est), 4, 200))
-        samples = [
-            (timed(k2, 10 + r) - timed(2, 20 + r)) / (k2 - 2)
-            for r in range(args.repeats)
-        ]
-        return float(np.median(samples))
+        return _differenced_timing(timed_chain, args.repeats, clip=(4, 200))
 
-    import contextlib
+    impl = _resolve_impl(args.impl)
+    if impl == "pallas":
+        ctx = contextlib.nullcontext()
+        if jax.default_backend() != "tpu":
+            # explicit --impl pallas off-TPU: interpret-mode plumbing
+            # check, not a perf number
+            from jax.experimental.pallas import tpu as pltpu
 
-    ctx = contextlib.nullcontext()
-    if jax.default_backend() != "tpu":
-        # CPU smoke runs exercise the kernel in interpret mode (the
-        # timing is then only a plumbing check, not a perf number)
-        from jax.experimental.pallas import tpu as pltpu
-
-        ctx = pltpu.force_tpu_interpret_mode()
-    with ctx:
-        pallas_s = time_impl("pallas")
-    xla_s = time_impl("xla")
+            ctx = pltpu.force_tpu_interpret_mode()
+        with ctx:
+            main_s = time_impl("pallas")
+        xla_s = time_impl("xla")
+    else:
+        main_s = xla_s = time_impl("xla")
     print(json.dumps({
         "metric": f"{args.solver}_fit_ms_batch",
-        "value": round(pallas_s * 1e3, 3),
+        "value": round(main_s * 1e3, 3),
         "unit": f"ms per full {args.batch}-trial fit to tol={tol:g} "
-                f"(max_iter={max_iter}, pallas; xla={xla_s * 1e3:.1f} ms)",
-        "vs_baseline": round(xla_s / pallas_s, 2),
+                f"(max_iter={max_iter}, {impl}; xla={xla_s * 1e3:.1f} ms)",
+        "vs_baseline": round(xla_s / main_s, 2),
         "date": _utc_date(),
     }))
     return 0
