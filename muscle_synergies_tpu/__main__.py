@@ -105,6 +105,41 @@ def _build_parser():
         "--components", action="store_true",
         help="include the synergy component matrices in the report",
     )
+
+    p_ds = sub.add_parser(
+        "analyze-dataset",
+        help="batched EMG -> synergies across many captures (one device "
+             "program for the whole trial x rank grid)",
+    )
+    p_ds.add_argument("csvs", nargs="+", help="Vicon Nexus CSV exports")
+    p_ds.add_argument(
+        "--ranks", type=_parse_ranks, default="1:4",
+        help="rank or range to sweep (default 1:4)",
+    )
+    p_ds.add_argument(
+        "--subjects", default=None,
+        help="comma-separated subject label per capture (enables "
+             "grouped reporting)",
+    )
+    p_ds.add_argument("--solver", choices=["cd", "mu"], default="cd")
+    p_ds.add_argument("--beta-loss", default="frobenius")
+    p_ds.add_argument("--max-iter", type=int, default=10_000)
+    p_ds.add_argument("--tol", type=float, default=1e-6)
+    p_ds.add_argument(
+        "--rms", type=float, metavar="SECONDS", default=None,
+        help="moving-RMS window instead of the filtered envelope",
+    )
+    p_ds.add_argument("--reduce-to", type=int, default=200)
+    p_ds.add_argument(
+        "--impl", choices=["auto", "xla", "pallas"], default="auto",
+        help="batched-solver implementation (default auto: fused "
+             "kernels on TPU)",
+    )
+    p_ds.add_argument(
+        "--vaf-threshold", type=float, default=0.90,
+        help="threshold for the minimum-rank report (default 0.90)",
+    )
+    p_ds.add_argument("--output", "-o", default=None)
     return parser
 
 
@@ -209,6 +244,85 @@ def _cmd_analyze(args) -> int:
     return 0
 
 
+def _cmd_analyze_dataset(args) -> int:
+    import numpy as np
+
+    import muscle_synergies_tpu as mst
+    from muscle_synergies_tpu.utils import PipelineConfig
+
+    captures = [mst.load_vicon_file(p) for p in args.csvs]
+    fs = captures[0].emg.sampling_frequency
+    for path, cap in zip(args.csvs, captures):
+        if cap.emg.sampling_frequency != fs:
+            raise SystemExit(
+                f"{path}: EMG sampling rate "
+                f"{cap.emg.sampling_frequency} != {fs} of {args.csvs[0]}"
+            )
+    trials = [cap.emg.df for cap in captures]
+
+    subjects = None
+    if args.subjects:
+        subjects = [s.strip() for s in args.subjects.split(",")]
+        if len(subjects) != len(trials):
+            raise SystemExit(
+                f"--subjects gives {len(subjects)} labels for "
+                f"{len(trials)} captures"
+            )
+
+    lo, hi = args.ranks
+    ranks = tuple(range(lo, (hi if hi is not None else lo) + 1))
+    try:
+        beta_loss = float(args.beta_loss)
+    except ValueError:
+        beta_loss = args.beta_loss
+    config = PipelineConfig(
+        use_rms=args.rms is not None,
+        rms_window_s=args.rms if args.rms is not None else 0.5,
+        reduce_to=args.reduce_to,
+    )
+    res = mst.analyze_dataset(
+        trials, fs, ranks=ranks, config=config, solver=args.solver,
+        beta_loss=beta_loss, max_iter=args.max_iter, tol=args.tol,
+        impl=args.impl, subjects=subjects,
+    )
+
+    vaf = np.asarray(res.vaf_overall)  # (R, B)
+    min_ranks = res.min_rank_reaching(args.vaf_threshold)
+    report = {
+        "files": list(args.csvs),
+        "sampling_frequency": float(fs),
+        "ranks": list(ranks),
+        # per-trial sections are lists aligned with "files" (paths may
+        # legitimately repeat, so they cannot key a mapping)
+        "vaf_overall": [
+            {str(k): float(vaf[i, b]) for i, k in enumerate(ranks)}
+            for b in range(len(args.csvs))
+        ],
+        "n_iter": np.asarray(res.n_iter).tolist(),
+        f"min_rank_reaching_{args.vaf_threshold:g}": [
+            (int(r) if r > 0 else None) for r in np.asarray(min_ranks)
+        ],
+    }
+    if subjects:
+        report["subjects"] = subjects
+        report["subject_mean_vaf"] = {
+            subj: {
+                str(k): float(v)
+                for k, v in res.subject_table("mean").loc[subj].items()
+            }
+            for subj in dict.fromkeys(subjects)
+        }
+
+    text = json.dumps(report, indent=2)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(text + "\n")
+        print(f"wrote {args.output}")
+    else:
+        print(text)
+    return 0
+
+
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
     if args.platform:
@@ -217,6 +331,8 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
     if args.command == "describe":
         return _cmd_describe(args)
+    if args.command == "analyze-dataset":
+        return _cmd_analyze_dataset(args)
     return _cmd_analyze(args)
 
 

@@ -73,3 +73,32 @@ def test_bad_ranks_spec_gives_clear_error(capture_csv):
         result = _run(["analyze", capture_csv, "--ranks", spec])
         assert result.returncode == 2, (spec, result.stderr[-500:])
         assert "invalid --ranks" in result.stderr, (spec, result.stderr[-500:])
+
+
+def test_analyze_dataset_groups_subjects(capture_csv, tmp_path):
+    out = tmp_path / "dataset.json"
+    result = _run([
+        "analyze-dataset", capture_csv, capture_csv,
+        "--ranks", "1:2", "--rms", "0.5", "--max-iter", "300",
+        "--tol", "1e-5", "--subjects", "s1,s2", "-o", str(out),
+    ])
+    assert result.returncode == 0, result.stderr[-2000:]
+    report = json.loads(out.read_text())
+    assert report["ranks"] == [1, 2]
+    assert set(report["subject_mean_vaf"]) == {"s1", "s2"}
+    assert len(report["vaf_overall"]) == 2  # aligned with files
+    assert all(
+        0 < v <= 1
+        for ranks in report["vaf_overall"]
+        for v in ranks.values()
+    )
+    assert len(report["min_rank_reaching_0.9"]) == 2
+
+
+def test_analyze_dataset_rejects_mismatched_subjects(capture_csv):
+    result = _run([
+        "analyze-dataset", capture_csv, "--subjects", "a,b",
+        "--ranks", "1", "--rms", "0.5", "--max-iter", "50",
+    ])
+    assert result.returncode != 0
+    assert "labels" in result.stderr
