@@ -250,6 +250,15 @@ def _cmd_analyze_dataset(args) -> int:
     import muscle_synergies_tpu as mst
     from muscle_synergies_tpu.utils import PipelineConfig
 
+    subjects = None
+    if args.subjects:  # validate the cheap flag before any ingest
+        subjects = [s.strip() for s in args.subjects.split(",")]
+        if len(subjects) != len(args.csvs):
+            raise SystemExit(
+                f"--subjects gives {len(subjects)} labels for "
+                f"{len(args.csvs)} captures"
+            )
+
     captures = [mst.load_vicon_file(p) for p in args.csvs]
     fs = captures[0].emg.sampling_frequency
     for path, cap in zip(args.csvs, captures):
@@ -260,21 +269,16 @@ def _cmd_analyze_dataset(args) -> int:
             )
     trials = [cap.emg.df for cap in captures]
 
-    subjects = None
-    if args.subjects:
-        subjects = [s.strip() for s in args.subjects.split(",")]
-        if len(subjects) != len(trials):
-            raise SystemExit(
-                f"--subjects gives {len(subjects)} labels for "
-                f"{len(trials)} captures"
-            )
-
     lo, hi = args.ranks
     ranks = tuple(range(lo, (hi if hi is not None else lo) + 1))
     try:
         beta_loss = float(args.beta_loss)
     except ValueError:
         beta_loss = args.beta_loss
+    if not args.reduce_to:
+        # analyze_dataset requires a common time base for the batch;
+        # "skip" (0) cannot work across ragged captures
+        raise SystemExit("--reduce-to must be a positive length")
     config = PipelineConfig(
         use_rms=args.rms is not None,
         rms_window_s=args.rms if args.rms is not None else 0.5,
@@ -298,18 +302,16 @@ def _cmd_analyze_dataset(args) -> int:
             {str(k): float(vaf[i, b]) for i, k in enumerate(ranks)}
             for b in range(len(args.csvs))
         ],
-        "n_iter": np.asarray(res.n_iter).tolist(),
+        "n_iter": np.asarray(res.n_iter).T.tolist(),  # [trial][rank]
         f"min_rank_reaching_{args.vaf_threshold:g}": [
             (int(r) if r > 0 else None) for r in np.asarray(min_ranks)
         ],
     }
     if subjects:
         report["subjects"] = subjects
+        means = res.subject_table("mean")
         report["subject_mean_vaf"] = {
-            subj: {
-                str(k): float(v)
-                for k, v in res.subject_table("mean").loc[subj].items()
-            }
+            subj: {str(k): float(v) for k, v in means.loc[subj].items()}
             for subj in dict.fromkeys(subjects)
         }
 

@@ -94,6 +94,42 @@ def synthesize_gait_emg(
     return pd.DataFrame(raw, columns=list(GAIT_MUSCLES))
 
 
+FP_COLS = ("Fx", "Fy", "Fz", "Mx", "My", "Mz", "Cx", "Cy", "Cz")
+FP_UNITS = ("N", "N", "N", "N.mm", "N.mm", "N.mm", "mm", "mm", "mm")
+
+
+def _write_section(fh, title, freq, device_headers, col_names, units, body,
+                   frames, subframes):
+    """Emit one Vicon CSV section (shared by the capture writers).
+
+    ``device_headers`` is a list of ``(name, n_cols)`` pairs — each
+    device name appears over its first column and spans ``n_cols``
+    columns, matching the export grammar the parser sniffs.
+    """
+    fh.write(f"{title}\n{freq}\n")
+    headers = [""] * 2
+    for name, n_cols in device_headers:
+        headers += [name] + [""] * (n_cols - 1)
+    fh.write(",".join(headers) + "\n")
+    fh.write("Frame,Sub Frame," + ",".join(col_names) + "\n")
+    fh.write(",," + ",".join(units) + "\n")
+    df = pd.DataFrame(body)
+    df.insert(0, "sub", subframes)
+    df.insert(0, "fr", frames)
+    df.to_csv(fh, header=False, index=False)
+
+
+def _forces_emg_headers(plate_name, emg_name="EMG2000 - Voltage"):
+    """Device headers for 2 force plates (Force/Moment/CoP triplets)
+    plus one 8-channel EMG, as ``(name, n_cols)`` pairs."""
+    headers = []
+    for plate in (1, 2):
+        for meas in ("Force", "Moment", "CoP"):
+            headers.append((f"{plate_name} #{plate} - {meas}", 3))
+    headers.append((emg_name, 8))
+    return headers
+
+
 def write_synthetic_capture(
     path: str,
     state_len: int = 600,
@@ -162,44 +198,26 @@ def write_synthetic_capture(
         5,
     )
 
-    fp_cols = ["Fx", "Fy", "Fz", "Mx", "My", "Mz", "Cx", "Cy", "Cz"]
-    fp_units = ["N", "N", "N", "N.mm", "N.mm", "N.mm", "mm", "mm", "mm"]
     with open(path, "w", newline="") as fh:
-        fh.write("Devices\n")
-        fh.write(f"{freq_forces}\n")
-        headers = [""] * 2
-        for plate in (1, 2):
-            for meas in ("Force", "Moment", "CoP"):
-                headers += [f"Synthetic Force Plate #{plate} - {meas}", "", ""]
-        headers += ["EMG2000 - Voltage"] + [""] * 7
-        fh.write(",".join(headers) + "\n")
-        fh.write(
-            "Frame,Sub Frame," + ",".join(fp_cols * 2 + list(GAIT_MUSCLES))
-            + "\n"
+        _write_section(
+            fh, "Devices", freq_forces,
+            _forces_emg_headers("Synthetic Force Plate"),
+            list(FP_COLS) * 2 + list(GAIT_MUSCLES),
+            list(FP_UNITS) * 2 + ["V"] * 8,
+            np.column_stack([fp1, fp2, np.round(emg, 6)]),
+            frames=np.repeat(np.arange(1, n_frames + 1), subframes),
+            subframes=np.tile(np.arange(subframes), n_frames),
         )
-        fh.write(",," + ",".join(fp_units * 2 + ["V"] * 8) + "\n")
-        body = pd.DataFrame(
-            np.column_stack([fp1, fp2, np.round(emg, 6)])
-        )
-        body.insert(0, "sub", np.tile(np.arange(subframes), n_frames))
-        body.insert(0, "fr", np.repeat(np.arange(1, n_frames + 1), subframes))
-        body.to_csv(fh, header=False, index=False)
         fh.write("\n")
-
-        fh.write("Trajectories\n")
-        fh.write(f"{freq_traj}\n")
-        headers = [""] * 2
-        for i in range(n_markers):
-            headers += [f"Subject:M{i:02d}", "", ""]
-        fh.write(",".join(headers) + "\n")
-        fh.write(
-            "Frame,Sub Frame," + ",".join(["X", "Y", "Z"] * n_markers) + "\n"
+        _write_section(
+            fh, "Trajectories", freq_traj,
+            [(f"Subject:M{i:02d}", 3) for i in range(n_markers)],
+            ["X", "Y", "Z"] * n_markers,
+            ["mm"] * (n_markers * 3),
+            traj,
+            frames=np.arange(1, n_frames + 1),
+            subframes=np.zeros(n_frames, dtype=int),
         )
-        fh.write(",," + ",".join(["mm"] * (n_markers * 3)) + "\n")
-        body = pd.DataFrame(traj)
-        body.insert(0, "sub", np.zeros(n_frames, dtype=int))
-        body.insert(0, "fr", np.arange(1, n_frames + 1))
-        body.to_csv(fh, header=False, index=False)
     return path
 
 
@@ -239,48 +257,33 @@ def write_reference_fulldata_twin(path: str) -> str:
         0.6619629388, -22.88525715, -250.2051074, -24750.45294,
         -1610.309803, 405.6094715, 225.1692542, 827.3422018, 0.0,
     )
-    fp_cols = ["Fx", "Fy", "Fz", "Mx", "My", "Mz", "Cx", "Cy", "Cz"]
-    fp_units = ["N", "N", "N", "N.mm", "N.mm", "N.mm", "mm", "mm", "mm"]
-    emg_names = list(GAIT_MUSCLES)
+    n_markers = len(REFERENCE_TRAJ_MARKERS)
 
     fp2 = np.zeros((n_fast, 9))
     fp2[-5000:] = np.asarray(fp2_mean)
-    traj = np.zeros((n_slow, len(REFERENCE_TRAJ_MARKERS) * 3))
+    traj = np.zeros((n_slow, n_markers * 3))
     traj[:, :3] = np.asarray(hv_mean)
 
     with open(path, "w", newline="") as fh:
-        fh.write("Devices\n2000\n")
-        headers = [""] * 2
-        for plate in (1, 2):
-            for meas in ("Force", "Moment", "CoP"):
-                headers += [
-                    f"Imported AMTI OR6 Series Force Plate #{plate} - {meas}",
-                    "", "",
-                ]
-        headers += ["EMG2000 - Voltage"] + [""] * 7
-        fh.write(",".join(headers) + "\n")
-        fh.write("Frame,Sub Frame," + ",".join(fp_cols * 2 + emg_names) + "\n")
-        fh.write(",," + ",".join(fp_units * 2 + ["V"] * 8) + "\n")
-        body = pd.DataFrame(
-            np.column_stack([np.zeros((n_fast, 9)), fp2, np.zeros((n_fast, 8))])
+        _write_section(
+            fh, "Devices", 2000,
+            _forces_emg_headers("Imported AMTI OR6 Series Force Plate"),
+            list(FP_COLS) * 2 + list(GAIT_MUSCLES),
+            list(FP_UNITS) * 2 + ["V"] * 8,
+            np.column_stack(
+                [np.zeros((n_fast, 9)), fp2, np.zeros((n_fast, 8))]
+            ),
+            frames=np.repeat(np.arange(1, n_slow + 1), subframes),
+            subframes=np.tile(np.arange(subframes), n_slow),
         )
-        body.insert(0, "sub", np.tile(np.arange(subframes), n_slow))
-        body.insert(0, "fr", np.repeat(np.arange(1, n_slow + 1), subframes))
-        body.to_csv(fh, header=False, index=False)
         fh.write("\n")
-
-        fh.write("Trajectories\n100\n")
-        headers = [""] * 2
-        for marker in REFERENCE_TRAJ_MARKERS:
-            headers += [f"Angelica:{marker}", "", ""]
-        fh.write(",".join(headers) + "\n")
-        fh.write(
-            "Frame,Sub Frame,"
-            + ",".join(["X", "Y", "Z"] * len(REFERENCE_TRAJ_MARKERS)) + "\n"
+        _write_section(
+            fh, "Trajectories", 100,
+            [(f"Angelica:{marker}", 3) for marker in REFERENCE_TRAJ_MARKERS],
+            ["X", "Y", "Z"] * n_markers,
+            ["mm"] * (n_markers * 3),
+            traj,
+            frames=np.arange(1, n_slow + 1),
+            subframes=np.zeros(n_slow, dtype=int),
         )
-        fh.write(",," + ",".join(["mm"] * (len(REFERENCE_TRAJ_MARKERS) * 3)) + "\n")
-        body = pd.DataFrame(traj)
-        body.insert(0, "sub", np.zeros(n_slow, dtype=int))
-        body.insert(0, "fr", np.arange(1, n_slow + 1))
-        body.to_csv(fh, header=False, index=False)
     return path
