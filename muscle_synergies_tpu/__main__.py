@@ -105,6 +105,11 @@ def _build_parser():
         "--components", action="store_true",
         help="include the synergy component matrices in the report",
     )
+    p_an.add_argument(
+        "--plot", metavar="DIR", default=None,
+        help="save figures here: processed signals and one synergy "
+             "heatmap per rank (PNG)",
+    )
 
     p_ds = sub.add_parser(
         "analyze-dataset",
@@ -233,6 +238,28 @@ def _cmd_analyze(args) -> int:
         if args.components:
             entry["components"] = np.asarray(comps[k]).tolist()
         report["ranks"][str(k)] = entry
+
+    if args.plot:
+        import os
+
+        import matplotlib
+
+        matplotlib.use("Agg")  # headless: files, not windows
+        import matplotlib.pyplot as plt
+
+        os.makedirs(args.plot, exist_ok=True)
+        fig = mst.plot_signal(proc, title="processed EMG", show=False)
+        fig.savefig(os.path.join(args.plot, "processed_signals.png"),
+                    bbox_inches="tight")
+        plt.close(fig)
+        for k in ranks:
+            fig = mst.synergy_heatmap(comps[k], show=False)
+            fig.savefig(
+                os.path.join(args.plot, f"synergies_rank{k}.png"),
+                bbox_inches="tight",
+            )
+            plt.close(fig)
+        print(f"figures in {args.plot}")
 
     text = json.dumps(report, indent=2)
     if args.output:

@@ -102,3 +102,19 @@ def test_analyze_dataset_rejects_mismatched_subjects(capture_csv):
     ])
     assert result.returncode != 0
     assert "labels" in result.stderr
+
+
+def test_analyze_plot_writes_figures(capture_csv, tmp_path):
+    plots = tmp_path / "figs"
+    result = _run([
+        "analyze", capture_csv, "--ranks", "2:3", "--rms", "0.5",
+        "--max-iter", "200", "--tol", "1e-4", "--plot", str(plots),
+        "-o", str(tmp_path / "r.json"),
+    ])
+    assert result.returncode == 0, result.stderr[-2000:]
+    names = {p.name for p in plots.iterdir()}
+    assert names == {
+        "processed_signals.png", "synergies_rank2.png",
+        "synergies_rank3.png",
+    }
+    assert all((plots / n).stat().st_size > 1000 for n in names)
