@@ -148,10 +148,22 @@ def _build_parser():
     return parser
 
 
+def _load(path):
+    """Load a capture, turning parse errors into clean CLI messages."""
+    import muscle_synergies_tpu as mst
+
+    try:
+        return mst.load_vicon_file(path)
+    except FileNotFoundError:
+        raise SystemExit(f"{path}: no such file")
+    except mst.ViconCSVError as exc:
+        raise SystemExit(f"{path}: {exc}")
+
+
 def _cmd_describe(args) -> int:
     import muscle_synergies_tpu as mst
 
-    data = mst.load_vicon_file(args.csv)
+    data = _load(args.csv)
     print(data.describe())
     print(f"forces/EMG sampling rate: {data.sampling_frequency('emg')} Hz")
     if data.traj:  # marker-less (EMG/force-only) captures are valid
@@ -165,7 +177,7 @@ def _cmd_analyze(args) -> int:
 
     import muscle_synergies_tpu as mst
 
-    data = mst.load_vicon_file(args.csv)
+    data = _load(args.csv)
     emg_df = data.emg.df
     fs = data.emg.sampling_frequency
 
@@ -286,7 +298,7 @@ def _cmd_analyze_dataset(args) -> int:
                 f"{len(args.csvs)} captures"
             )
 
-    captures = [mst.load_vicon_file(p) for p in args.csvs]
+    captures = [_load(p) for p in args.csvs]
     fs = captures[0].emg.sampling_frequency
     for path, cap in zip(args.csvs, captures):
         if cap.emg.sampling_frequency != fs:

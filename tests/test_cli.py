@@ -118,3 +118,15 @@ def test_analyze_plot_writes_figures(capture_csv, tmp_path):
         "synergies_rank3.png",
     }
     assert all((plots / n).stat().st_size > 1000 for n in names)
+
+
+def test_malformed_csv_gives_clean_error(tmp_path):
+    bad = tmp_path / "bad.csv"
+    bad.write_text("NotDevices\n300\n")
+    result = _run(["describe", str(bad)])
+    assert result.returncode == 1
+    assert "Traceback" not in result.stderr
+    assert "bad.csv" in result.stderr
+    result = _run(["analyze", str(tmp_path / "missing.csv"), "--ranks", "2"])
+    assert result.returncode == 1
+    assert "no such file" in result.stderr
