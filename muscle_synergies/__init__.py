@@ -37,7 +37,7 @@ from muscle_synergies_tpu import (
 )
 from muscle_synergies_tpu.frames import FrameSubfr
 
-from . import vicon_data  # noqa: E402  (compat submodule)
+from . import analysis, vicon_data  # noqa: E402  (compat submodules)
 
 __version__ = "0.1.0"
 

@@ -85,6 +85,25 @@ def _build_parser():
     p_an.add_argument("--max-iter", type=int, default=100_000)
     p_an.add_argument("--tol", type=float, default=1e-6)
     p_an.add_argument(
+        "--alpha-w", type=float, default=0.0,
+        help="sklearn-scaled sparsity strength on W (default 0: none)",
+    )
+    p_an.add_argument(
+        "--alpha-h", default="same",
+        help="sparsity strength on H: a float, or 'same' as --alpha-w "
+             "(default)",
+    )
+    p_an.add_argument(
+        "--l1-ratio", type=float, default=0.0,
+        help="L1/L2 mix for the sparsity penalties (0 = pure L2, "
+             "1 = pure L1; default 0)",
+    )
+    p_an.add_argument(
+        "--inner-iter", type=int, default=1,
+        help="accelerated-MU inner repetitions per outer iteration "
+             "(Frobenius MU only; 1 = sklearn-exact)",
+    )
+    p_an.add_argument(
         "--rms", type=float, metavar="SECONDS", default=None,
         help="moving-RMS smoothing window instead of the filtered "
              "envelope (e.g. 0.5)",
@@ -181,33 +200,54 @@ def _cmd_analyze(args) -> int:
     emg_df = data.emg.df
     fs = data.emg.sampling_frequency
 
-    if args.rms is not None:
-        proc = mst.rms(
-            mst.zero_center(emg_df), window_size=args.rms,
-            sampling_frequency=fs,
-        )
-    else:
-        proc = mst.linear_envelope(
-            emg_df, critical_freqs=args.envelope_hz,
-            sampling_frequency=fs, order=4,
-        ).abs()
-    if args.reduce_to:
-        proc = mst.time_normalize(proc, reduce_to=args.reduce_to)
-    proc = mst.normalize(proc).abs()
+    try:
+        if args.rms is not None:
+            proc = mst.rms(
+                mst.zero_center(emg_df), window_size=args.rms,
+                sampling_frequency=fs,
+            )
+        else:
+            proc = mst.linear_envelope(
+                emg_df, critical_freqs=args.envelope_hz,
+                sampling_frequency=fs, order=4,
+            ).abs()
+        if args.reduce_to:
+            proc = mst.time_normalize(proc, reduce_to=args.reduce_to)
+        proc = mst.normalize(proc).abs()
+    except ValueError as exc:
+        # e.g. a capture shorter than the filter's edge padding
+        raise SystemExit(f"{args.csv}: {exc}")
 
     lo, hi = args.ranks
     try:
         beta_loss = float(args.beta_loss)
     except ValueError:
         beta_loss = args.beta_loss
-    result = mst.find_synergies(
-        proc, lo, hi, solver=args.solver, beta_loss=beta_loss,
-        max_iter=args.max_iter, tol=args.tol,
-        # a rank range solves as ONE zero-rank-padded device dispatch
-        # instead of a sequential host loop (per-dispatch latency
-        # dominates on remote accelerators)
-        sweep="batched" if hi is not None else "loop",
-    )
+    try:
+        alpha_h = float(args.alpha_h)
+    except ValueError:
+        if args.alpha_h != "same":
+            raise SystemExit(
+                f"invalid --alpha-h {args.alpha_h!r}: expected a float "
+                "or 'same'"
+            )
+        alpha_h = "same"
+    try:
+        result = mst.find_synergies(
+            proc, lo, hi, solver=args.solver, beta_loss=beta_loss,
+            max_iter=args.max_iter, tol=args.tol,
+            alpha_W=args.alpha_w, alpha_H=alpha_h,
+            l1_ratio=args.l1_ratio, inner_iter=args.inner_iter,
+            # a rank range solves as ONE zero-rank-padded device dispatch
+            # instead of a sequential host loop (per-dispatch latency
+            # dominates on remote accelerators)
+            sweep="batched" if hi is not None else "loop",
+        )
+    except ValueError as exc:
+        # invalid parameter combinations (e.g. --solver cd with a
+        # non-Frobenius --beta-loss) get the same clean exit as
+        # missing/malformed capture files
+        raise SystemExit(str(exc))
 
     if isinstance(result.model, dict):
         # rank sweep: vaf_values rows are indexed by rank
@@ -323,11 +363,14 @@ def _cmd_analyze_dataset(args) -> int:
         rms_window_s=args.rms if args.rms is not None else 0.5,
         reduce_to=args.reduce_to,
     )
-    res = mst.analyze_dataset(
-        trials, fs, ranks=ranks, config=config, solver=args.solver,
-        beta_loss=beta_loss, max_iter=args.max_iter, tol=args.tol,
-        impl=args.impl, subjects=subjects,
-    )
+    try:
+        res = mst.analyze_dataset(
+            trials, fs, ranks=ranks, config=config, solver=args.solver,
+            beta_loss=beta_loss, max_iter=args.max_iter, tol=args.tol,
+            impl=args.impl, subjects=subjects,
+        )
+    except ValueError as exc:
+        raise SystemExit(str(exc))
 
     vaf = np.asarray(res.vaf_overall)  # (R, B)
     min_ranks = res.min_rank_reaching(args.vaf_threshold)

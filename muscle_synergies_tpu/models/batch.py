@@ -177,15 +177,19 @@ def mu_iterations_batch(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iter", "tol", "check_every", "inner_iter")
+    jax.jit,
+    static_argnames=("max_iter", "tol", "check_every", "inner_iter",
+                     "l1_reg_w", "l2_reg_w", "l1_reg_h", "l2_reg_h"),
 )
 def _fit_mu_batch_xla(
-    xs, w0, h0, max_iter, tol, check_every, inner_iter=1
+    xs, w0, h0, max_iter, tol, check_every, inner_iter=1,
+    l1_reg_w=0.0, l2_reg_w=0.0, l1_reg_h=0.0, l2_reg_h=0.0,
 ) -> MUState:
     return jax.vmap(
         lambda x, w, h: fit_mu(
             x, w, h, max_iter=max_iter, tol=tol, check_every=check_every,
-            inner_iter=inner_iter,
+            inner_iter=inner_iter, l1_reg_w=l1_reg_w, l2_reg_w=l2_reg_w,
+            l1_reg_h=l1_reg_h, l2_reg_h=l2_reg_h,
         )
     )(xs, w0, h0)
 
@@ -200,14 +204,25 @@ def fit_mu_batch(
     impl: str = "xla",
     block_b: Optional[int] = None,
     inner_iter: int = 1,
+    l1_reg_w: float = 0.0,
+    l2_reg_w: float = 0.0,
+    l1_reg_h: float = 0.0,
+    l2_reg_h: float = 0.0,
 ) -> MUState:
     """MU-NMF over a ``(B, N, L)`` batch with per-trial convergence.
 
     ``impl="pallas"`` routes through the VMEM-resident fused solver
     (:func:`muscle_synergies_tpu.models.kernels.fit_mu_pallas`) —
-    same stopping semantics, pure-f32 arithmetic.
+    same stopping semantics, pure-f32 arithmetic.  The L1/L2 penalties
+    (sklearn's pre-scaled regularizers) run on the XLA path only.
     """
+    regs = (l1_reg_w, l2_reg_w, l1_reg_h, l2_reg_h)
     if impl == "pallas":
+        if any(r != 0.0 for r in regs):
+            raise ValueError(
+                "L1/L2 regularization is not supported by impl='pallas'; "
+                "use impl='xla'"
+            )
         from .kernels import fit_mu_pallas
 
         if block_b is None:
@@ -221,7 +236,7 @@ def fit_mu_batch(
     if impl != "xla":
         raise ValueError(f"unknown impl: {impl!r}")
     return _fit_mu_batch_xla(
-        xs, w0, h0, max_iter, tol, check_every, inner_iter
+        xs, w0, h0, max_iter, tol, check_every, inner_iter, *regs
     )
 
 
@@ -235,6 +250,10 @@ def fit_mu_beta_batch(
     check_every: int = 10,
     impl: str = "xla",
     block_b: Optional[int] = None,
+    l1_reg_w: float = 0.0,
+    l2_reg_w: float = 0.0,
+    l1_reg_h: float = 0.0,
+    l2_reg_h: float = 0.0,
 ):
     """Beta-divergence MU over a ``(B, N, L)`` batch.
 
@@ -248,7 +267,13 @@ def fit_mu_beta_batch(
     in ``check_every``-iteration chunks with the same per-trial
     stopping semantics — ~2.6x the XLA path on a v5e for KL.
     """
+    regs = (l1_reg_w, l2_reg_w, l1_reg_h, l2_reg_h)
     if impl == "pallas":
+        if any(r != 0.0 for r in regs):
+            raise ValueError(
+                "L1/L2 regularization is not supported by impl='pallas'; "
+                "use impl='xla'"
+            )
         if block_b is None:
             block_b = _default_block_b(xs.shape[0])
         return _fit_beta_batch_pallas(
@@ -261,7 +286,8 @@ def fit_mu_beta_batch(
     return jax.vmap(
         lambda x, w, h: fit_mu_beta(
             x, w, h, beta=beta, max_iter=max_iter, tol=tol,
-            check_every=check_every,
+            check_every=check_every, l1_reg_w=l1_reg_w, l2_reg_w=l2_reg_w,
+            l1_reg_h=l1_reg_h, l2_reg_h=l2_reg_h,
         )
     )(xs, w0, h0)
 
@@ -431,10 +457,20 @@ def beta_mu_iterations_batch(
     return _beta_iterations_xla(xs, w, h, n_iters, beta)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "tol"))
-def _fit_cd_batch_xla(xs, w0, h0, max_iter, tol) -> CDState:
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "tol", "l1_reg_w", "l2_reg_w", "l1_reg_h",
+                     "l2_reg_h"),
+)
+def _fit_cd_batch_xla(
+    xs, w0, h0, max_iter, tol,
+    l1_reg_w=0.0, l2_reg_w=0.0, l1_reg_h=0.0, l2_reg_h=0.0,
+) -> CDState:
     return jax.vmap(
-        lambda x, w, h: fit_cd(x, w, h, max_iter=max_iter, tol=tol)
+        lambda x, w, h: fit_cd(
+            x, w, h, max_iter=max_iter, tol=tol, l1_reg_w=l1_reg_w,
+            l2_reg_w=l2_reg_w, l1_reg_h=l1_reg_h, l2_reg_h=l2_reg_h,
+        )
     )(xs, w0, h0)
 
 
@@ -446,15 +482,25 @@ def fit_cd_batch(
     tol: float = 1e-4,
     impl: str = "xla",
     block_b: Optional[int] = None,
+    l1_reg_w: float = 0.0,
+    l2_reg_w: float = 0.0,
+    l1_reg_h: float = 0.0,
+    l2_reg_h: float = 0.0,
 ) -> CDState:
     """Coordinate-descent NMF over a ``(B, N, L)`` batch.
 
     ``impl="pallas"`` routes through the VMEM-resident fused solver
     (:func:`muscle_synergies_tpu.models.kernels.fit_cd_pallas`) —
     sklearn's violation-based stopping per trial, the whole solve one
-    kernel dispatch.
+    kernel dispatch.  The L1/L2 penalties run on the XLA path only.
     """
+    regs = (l1_reg_w, l2_reg_w, l1_reg_h, l2_reg_h)
     if impl == "pallas":
+        if any(r != 0.0 for r in regs):
+            raise ValueError(
+                "L1/L2 regularization is not supported by impl='pallas'; "
+                "use impl='xla'"
+            )
         from .kernels import fit_cd_pallas
 
         if block_b is None:
@@ -467,7 +513,7 @@ def fit_cd_batch(
         )
     if impl != "xla":
         raise ValueError(f"unknown impl: {impl!r}")
-    return _fit_cd_batch_xla(xs, w0, h0, max_iter, tol)
+    return _fit_cd_batch_xla(xs, w0, h0, max_iter, tol, *regs)
 
 
 def _pad_rank(w: jnp.ndarray, h: jnp.ndarray, k: int, k_max: int):
@@ -487,14 +533,22 @@ def rank_sweep_batch(
     seed: int = 0,
     svd_method: str = "exact",
     beta_loss="frobenius",
+    inner_iter: int = 1,
+    l1_reg_w: float = 0.0,
+    l2_reg_w: float = 0.0,
+    l1_reg_h: float = 0.0,
+    l2_reg_h: float = 0.0,
 ):
     """Factorize one trial at several ranks in a single vmapped fit.
 
     Factors for every rank are zero-padded to ``max(ranks)``; the
     padded components remain exactly zero under all solvers — the
-    Frobenius MU/CD Gram guards and the beta-MU zero numerators alike
-    — so entry ``i`` equals an independent rank-``ranks[i]`` fit.
-    ``beta_loss != 'frobenius'`` requires ``solver='mu'``.
+    Frobenius MU/CD Gram guards and the beta-MU zero numerators alike,
+    with or without the L1/L2 penalties (a padded component's update
+    numerator is identically zero, and CD's Newton step projects the
+    L1 pull to zero) — so entry ``i`` equals an independent
+    rank-``ranks[i]`` fit.  ``beta_loss != 'frobenius'`` requires
+    ``solver='mu'``; so does ``inner_iter > 1``.
 
     Returns:
         ``(states, vafs)``: the stacked solver states (leading axis =
@@ -523,16 +577,25 @@ def rank_sweep_batch(
         raise ValueError(
             f"beta_loss={beta_loss!r} requires solver='mu', got {solver!r}"
         )
+    if inner_iter != 1 and (solver != "mu" or beta != 2.0):
+        raise ValueError(
+            "inner_iter > 1 is only available for the Frobenius MU solver"
+        )
+    regs = dict(l1_reg_w=l1_reg_w, l2_reg_w=l2_reg_w,
+                l1_reg_h=l1_reg_h, l2_reg_h=l2_reg_h)
     if beta != 2.0:
         states = fit_mu_beta_batch(
-            xs, w0s, h0s, beta=beta, max_iter=max_iter, tol=tol
+            xs, w0s, h0s, beta=beta, max_iter=max_iter, tol=tol, **regs
         )
         w_final, h_final = states.w, states.h
     elif solver == "mu":
-        states = fit_mu_batch(xs, w0s, h0s, max_iter=max_iter, tol=tol)
+        states = fit_mu_batch(
+            xs, w0s, h0s, max_iter=max_iter, tol=tol,
+            inner_iter=inner_iter, **regs,
+        )
         w_final, h_final = states.w, states.h
     elif solver == "cd":
-        states = fit_cd_batch(xs, w0s, h0s, max_iter=max_iter, tol=tol)
+        states = fit_cd_batch(xs, w0s, h0s, max_iter=max_iter, tol=tol, **regs)
         w_final, h_final = states.w, jnp.swapaxes(states.ht, -1, -2)
     else:
         raise ValueError(f"unknown solver: {solver!r}")

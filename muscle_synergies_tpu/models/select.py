@@ -98,6 +98,9 @@ class NMFModel:
     ``l1_ratio`` with sklearn's dimension-scaled penalties; the legacy
     sklearn <= 0.24 spelling ``alpha=`` + ``regularization=`` (the API
     of the version the reference pins) is accepted and mapped.
+    ``inner_iter > 1`` (Frobenius MU only) repeats each factor's update
+    reusing the fixed factor's cross products — the accelerated MU of
+    Gillis & Glineur 2012; ``inner_iter=1`` is sklearn-exact.
     ``verbose`` is accepted for signature compatibility and ignored.
     ``svd_method="randomized"`` makes the NNDSVD-family inits
     bit-identical to sklearn's (host-side randomized SVD seeded by
@@ -128,6 +131,7 @@ class NMFModel:
         svd_method: str = "exact",
         alpha: Optional[float] = None,
         regularization=_UNSET,
+        inner_iter: int = 1,
         verbose: int = 0,
     ):
         # Legacy sklearn <= 0.24 style (the version the reference pins,
@@ -160,7 +164,10 @@ class NMFModel:
         self.alpha_H = alpha_H
         self.l1_ratio = l1_ratio
         self.svd_method = svd_method
+        self.inner_iter = inner_iter
         self.verbose = verbose
+        if inner_iter < 1:
+            raise ValueError(f"inner_iter must be >= 1, got {inner_iter}")
 
     def fit_transform(
         self,
@@ -234,6 +241,11 @@ class NMFModel:
                 f"Invalid beta_loss parameter: solver {self.solver!r} does "
                 f"not handle beta_loss = {self.beta_loss!r}"
             )
+        if self.inner_iter != 1 and (self.solver != "mu" or beta != 2.0):
+            raise ValueError(
+                "inner_iter > 1 is only available for the Frobenius MU "
+                "solver"
+            )
         if beta != 2.0:
             state = fit_mu_beta(
                 x_arr,
@@ -259,6 +271,7 @@ class NMFModel:
                 l2_reg_w=l2_w,
                 l1_reg_h=l1_h,
                 l2_reg_h=l2_h,
+                inner_iter=self.inner_iter,
             )
             w_final, h_final = state.w, state.h
         elif self.solver == "cd":
@@ -401,8 +414,10 @@ def find_synergies(
     so each entry equals its independent fit).  In float64 the two
     modes stop at identical iterates; in float32 the vmapped solve can
     fuse differently and shift a convergence checkpoint by a step or
-    two (components agree to round-off).  ``"batched"`` does not
-    support the sparsity penalties or custom inits.
+    two (components agree to round-off).  ``"batched"`` supports the
+    full sparsity surface (``alpha_W``/``alpha_H``/``l1_ratio`` and the
+    legacy ``alpha=``/``regularization=``) plus ``inner_iter``; custom
+    inits still require ``sweep="loop"``.
 
     Raises:
         ValueError: when the EMG frame is empty, or the rank range does
@@ -469,6 +484,13 @@ def _sweep_batched(
     init: Optional[str] = None,
     random_state: Optional[int] = None,
     svd_method: str = "exact",
+    alpha_W: float = 0.0,
+    alpha_H: Union[float, str] = "same",
+    l1_ratio: float = 0.0,
+    alpha: Optional[float] = None,
+    regularization=_UNSET,
+    inner_iter: int = 1,
+    verbose: int = 0,
     **unsupported,
 ) -> SynergyRunResult:
     """Run a rank sweep as one zero-rank-padded batched device solve.
@@ -477,14 +499,27 @@ def _sweep_batched(
     (reference analysis.py:909-913): every rank's problem becomes one
     entry of a ``(R, N, L)`` batch with factors zero-padded to
     ``max(ranks)``; multiplicative updates and HALS both keep padded
-    components exactly zero (their numerators are identically zero), so
-    entry ``i`` equals the independent rank-``ranks[i]`` fit while the
-    whole sweep costs a single dispatch with per-entry stopping.
+    components exactly zero (their numerators are identically zero —
+    the L1/L2 penalties only touch denominators, and CD's projected
+    Newton step clips the bare L1 pull at zero), so entry ``i`` equals
+    the independent rank-``ranks[i]`` fit while the whole sweep costs a
+    single dispatch with per-entry stopping.  Supports the same
+    regularization surface as the loop path: sklearn's dimension-scaled
+    ``alpha_W``/``alpha_H``/``l1_ratio`` and the legacy <= 0.24
+    ``alpha=``/``regularization=`` spelling, plus the accelerated-MU
+    ``inner_iter``.
     """
     if unsupported:
         raise ValueError(
             "sweep='batched' does not support "
             f"{sorted(unsupported)}; use the default sweep='loop'"
+        )
+    if regularization is not _UNSET and regularization not in (
+        None, "both", "components", "transformation"
+    ):
+        raise ValueError(
+            f"invalid regularization: {regularization!r} (expected "
+            "'both', 'components', 'transformation' or None)"
         )
     from ..analysis import vaf as _vaf
     from .batch import rank_sweep_batch
@@ -504,10 +539,18 @@ def _sweep_batched(
         )
     x = jnp.asarray(arr)
     ranks = list(ranks)
+    if alpha is not None:
+        reg = "both" if regularization is _UNSET else regularization
+        l1_w, l2_w, l1_h, l2_h = _legacy_regularization(alpha, reg, l1_ratio)
+    else:
+        l1_w, l2_w, l1_h, l2_h = compute_regularization(
+            alpha_W, alpha_H, l1_ratio, *arr.shape
+        )
     states, _ = rank_sweep_batch(
         x, ranks, init=init, solver=solver, max_iter=max_iter,
         tol=float(tol), seed=random_state or 0, svd_method=svd_method,
-        beta_loss=beta_loss,
+        beta_loss=beta_loss, inner_iter=inner_iter,
+        l1_reg_w=l1_w, l2_reg_w=l2_w, l1_reg_h=l1_h, l2_reg_h=l2_h,
     )
     if solver == "mu":
         w_all, h_all = states.w, states.h
@@ -526,7 +569,9 @@ def _sweep_batched(
         model = NMFModel(
             n_components=k, solver=solver, beta_loss=beta_loss, init=init,
             tol=tol, max_iter=max_iter, random_state=random_state,
-            svd_method=svd_method,
+            svd_method=svd_method, alpha_W=alpha_W, alpha_H=alpha_H,
+            l1_ratio=l1_ratio, alpha=alpha, regularization=regularization,
+            inner_iter=inner_iter,
         )
         model.n_components_ = k
         model.n_iter_ = int(n_iters[i])

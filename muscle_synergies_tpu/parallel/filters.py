@@ -29,6 +29,7 @@ filter order and device count.
 from __future__ import annotations
 
 import functools
+import weakref
 from typing import Optional
 
 import jax
@@ -179,61 +180,84 @@ def sharded_sosfiltfilt(
     x: jnp.ndarray,
     mesh: Mesh,
     axis_name: str = TIME_AXIS,
+    padtype: Optional[str] = "odd",
     padlen: Optional[int] = None,
 ) -> jnp.ndarray:
     """Zero-phase SOS filtering of a time-sharded ``(N, C)`` signal.
 
     scipy-``sosfiltfilt`` semantics with the time axis sharded over
-    ``axis_name``.  The odd-reflection edge pads are built from the
-    global edges (a ``padlen x C`` slice each) and forward filtered
-    redundantly on every device; only per-section filter states and
-    the per-device boundary transforms cross devices.
+    ``axis_name``, including the full edge-extension surface of the
+    local API (:func:`muscle_synergies_tpu.ops.filters.sosfiltfilt`):
+    ``padtype`` is ``"odd"`` (default), ``"even"``, ``"constant"`` or
+    ``None`` (no extension; ``padlen`` forced to 0).  The edge pads are
+    built from the global edges (a ``padlen x C`` slice each) and
+    forward filtered redundantly on every device; only per-section
+    filter states and the per-device boundary transforms cross devices.
 
     The API is total over signal lengths (exactness is unconditional):
 
     * when ``N`` does not divide the mesh, the first samples of the
-      right reflection pad are appended to the data blocks — the
+      right extension pad are appended to the data blocks — the
       extended sequence equals scipy's internal extension, so the
       result is still exact — and the output is trimmed back to ``N``;
-    * when more padding would be needed than the reflection provides
-      (``N`` smaller than the device count, roughly), the computation
+    * when more padding would be needed than the extension provides
+      (``N`` smaller than the device count, roughly — always the case
+      for ``padtype=None`` on indivisible lengths), the computation
       automatically falls back to the single-device
       :func:`muscle_synergies_tpu.ops.filters.sosfiltfilt` on the
       gathered signal, re-placed on the mesh's time sharding.
 
     Raises:
-        ValueError: if ``padlen >= N`` (scipy's contract).
+        ValueError: if ``padlen >= N`` (scipy's contract) or
+            ``padtype`` is not one of the four accepted values.
     """
+    from ..ops.filters import _resolve_padding
+
     sos_np = _normalize_sos(sos)
-    if padlen is None:
-        padlen = default_padlen(sos_np)
-    padlen = int(padlen)
     n_dev = mesh.shape[axis_name]
     n = x.shape[0]
-    if padlen >= n:
-        raise ValueError(
-            "the length of the input vector x must be greater than "
-            f"padlen, which is {padlen}"
-        )
+    padlen = _resolve_padding(sos_np, n, padtype, padlen)
     extra = (-n) % n_dev
     if extra > padlen:
-        # fewer reflection samples than the divisibility gap (signal
+        # fewer extension samples than the divisibility gap (signal
         # shorter than roughly the device count): gather and run the
         # single-device kernel; such a signal cannot usefully shard,
         # so the result stays on the default placement
         from ..ops.filters import sosfiltfilt as _local_sosfiltfilt
 
-        return _local_sosfiltfilt(sos_np, x, padlen=padlen)
+        return _local_sosfiltfilt(sos_np, x, padtype=padtype, padlen=padlen)
 
     zi_unit = jnp.asarray(sosfilt_zi(sos_np), dtype=x.dtype)
     sos_j = jnp.asarray(sos_np, dtype=x.dtype)
-    run_all = _build_sharded_filtfilt(mesh, axis_name, padlen, extra)
+    run_all = _build_sharded_filtfilt(
+        mesh, axis_name, padlen, extra, padtype if padlen > 0 else None
+    )
     return run_all(sos_j, zi_unit, x)
 
 
-@functools.lru_cache(maxsize=64)
+# Program cache keyed WEAKLY on the mesh: meshes (and the devices they
+# reference) are released when the caller drops theirs, instead of being
+# pinned for the process lifetime as an lru_cache key would.  The inner
+# dict (pad-geometry key -> jitted program) lives and dies with its mesh.
+_FILTFILT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def _build_sharded_filtfilt(
-    mesh: Mesh, axis_name: str, padlen: int, extra: int
+    mesh: Mesh, axis_name: str, padlen: int, extra: int,
+    padtype: Optional[str] = "odd",
+):
+    per_mesh = _FILTFILT_CACHE.setdefault(mesh, {})
+    key = (axis_name, padlen, extra, padtype)
+    if key not in per_mesh:
+        per_mesh[key] = _trace_sharded_filtfilt(
+            mesh, axis_name, padlen, extra, padtype
+        )
+    return per_mesh[key]
+
+
+def _trace_sharded_filtfilt(
+    mesh: Mesh, axis_name: str, padlen: int, extra: int,
+    padtype: Optional[str],
 ):
     """One jitted program per (mesh, pad geometry): pads + passes + trim.
 
@@ -298,10 +322,19 @@ def _build_sharded_filtfilt(
         # slices — and the left one forward-filters replicated into
         # the sharded passes' initial states.
         if padlen > 0:
-            left_pad = 2 * x[0] - x[padlen:0:-1]
+            if padtype == "odd":
+                left_pad = 2 * x[0] - x[padlen:0:-1]
+                right_refl = 2 * x[-1] - x[-2 : -padlen - 2 : -1]
+            elif padtype == "even":
+                left_pad = x[padlen:0:-1]
+                right_refl = x[-2 : -padlen - 2 : -1]
+            else:  # "constant"
+                left_pad = jnp.broadcast_to(x[0], (padlen,) + x.shape[1:])
+                right_refl = jnp.broadcast_to(
+                    x[-1], (padlen,) + x.shape[1:]
+                )
             pad_entry = zi_unit[:, :, None] * left_pad[0]
             _, fwd_states = _cascade_block(left_pad, sos_j, pad_entry)
-            right_refl = 2 * x[-1] - x[-2 : -padlen - 2 : -1]
         else:
             fwd_states = zi_unit[:, :, None] * x[0]
             right_refl = x[:0]

@@ -242,11 +242,13 @@ def write_reference_fulldata_twin(path: str) -> str:
     deterministic property — device counts/names/columns/units,
     124,460 x 9/8 @ 2000 Hz and 6,223 x 3 @ 100 Hz shapes, the
     ``Angelica:HV`` column means and the mean of force plate #2's last
-    5000 samples — so a synthetic twin can pin them exactly: the
-    asserted columns are constant at the reference's hardcoded
-    expectation values (a constant's mean IS the target, bit-exactly
-    after the float -> text -> float round trip), everything else is
-    zeros.  Lets the reference's own full-data tests run against this
+    5000 samples — so a synthetic twin can pin them: the asserted
+    columns are constant at the reference's hardcoded expectation
+    values, everything else is zeros.  A pairwise-summed mean of N
+    equal doubles is not guaranteed bit-identical to the value itself,
+    but the reference's own assertions use ``np.isclose``
+    (conftest.py:490-512), which the constant columns satisfy with
+    margin.  Lets the reference's own full-data tests run against this
     framework without the original capture.
 
     Returns ``path``.

