@@ -3,8 +3,8 @@
 PYTHON ?= python
 
 .PHONY: test test-fast bench bench-quick bench-vaf bench-check \
-	bench-solvers bench-fit bench-all lint doctest check docs-exec entry native \
-	dist clean
+	bench-solvers bench-fit bench-e2e bench-all lint doctest check docs-exec \
+	entry native dist clean
 
 test:
 	$(PYTHON) -m pytest tests/ -q
@@ -59,7 +59,10 @@ bench-fit:  # full convergence-fit wall time per solver -> artifact
 	$(PYTHON) bench.py --metric fit --solver is >> BENCH_FIT.json
 	cat BENCH_FIT.json
 
-bench-all: bench-check bench-vaf bench-solvers bench-fit  # refresh artifacts
+bench-e2e:  # head-to-head full workflow vs the reference impl (same core)
+	$(PYTHON) benchmarks/end_to_end.py --platform cpu | tee BENCH_E2E.json
+
+bench-all: bench-check bench-vaf bench-solvers bench-fit bench-e2e  # refresh artifacts
 
 entry:
 	JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \

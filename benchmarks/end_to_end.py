@@ -13,6 +13,7 @@ trial (the reference's per-cell parser is slow on the full file).
 """
 
 import argparse
+import datetime
 import json
 import os
 import sys
@@ -125,9 +126,10 @@ def run_ours(path, warm: bool = True):
 
 
 def _median_stages(runs):
-    """Per-stage medians over repeated runs (1-core box is noisy)."""
+    """Per-stage medians + total-time range (1-core box is noisy)."""
     med = [float(np.median([r[i] for r in runs])) for i in range(3)]
-    return (*med, runs[-1][3])
+    totals = sorted(sum(r[:3]) for r in runs)
+    return (*med, runs[-1][3]), (totals[0], totals[-1])
 
 
 def run_reference(path):
@@ -183,7 +185,7 @@ def main():
         print(f"synthesizing {args.frames}-frame trial...", file=sys.stderr)
         synthesize_csv(args.csv, args.frames)
 
-    ours = run_ours(args.csv)
+    ours, ours_range = run_ours(args.csv)
     print(
         f"ours:      load={ours[0]:.2f}s preprocess={ours[1]:.2f}s "
         f"nmf={ours[2]:.2f}s total={sum(ours[:3]):.2f}s vaf={ours[3]:.4f}",
@@ -192,7 +194,7 @@ def main():
 
     speedup = None
     if not args.skip_reference and os.path.isdir(REFERENCE_SRC):
-        ref = run_reference(args.csv)
+        ref, ref_range = run_reference(args.csv)
         print(
             f"reference: load={ref[0]:.2f}s preprocess={ref[1]:.2f}s "
             f"nmf={ref[2]:.2f}s total={sum(ref[:3]):.2f}s vaf={ref[3]:.4f}",
@@ -200,12 +202,23 @@ def main():
         )
         speedup = sum(ref[:3]) / sum(ours[:3])
 
-    print(json.dumps({
+    record = {
         "metric": "end_to_end_workflow_speedup_vs_reference",
         "value": round(speedup, 2) if speedup else round(sum(ours[:3]), 2),
         "unit": "x (load+preprocess+rank4 NMF)" if speedup else "s (ours)",
         "vs_baseline": round(speedup, 2) if speedup else 1.0,
-    }))
+        "ours_s": [round(t, 3) for t in ours_range],
+        "date": datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        ),
+    }
+    if speedup:
+        record["reference_s"] = [round(t, 3) for t in ref_range]
+        record["speedup_range"] = [
+            round(ref_range[0] / ours_range[1], 2),
+            round(ref_range[1] / ours_range[0], 2),
+        ]
+    print(json.dumps(record))
     return 0
 
 

@@ -60,11 +60,78 @@ def _as_array(trial) -> np.ndarray:
     return np.asarray(trial, dtype=float)
 
 
+def _fold_channels(xs: jnp.ndarray) -> jnp.ndarray:
+    """``(B, N, L) -> (N, B*L)``: trials become extra channels.
+
+    The time-axis kernels (moving RMS, SOS filtering) treat channels
+    independently, so a whole batch runs as ONE sharded ``(N, C)``
+    problem instead of a vmap over trials.
+    """
+    b, n, l = xs.shape
+    return jnp.transpose(xs, (1, 0, 2)).reshape(n, b * l)
+
+
+def _unfold_channels(y: jnp.ndarray, b: int, l: int) -> jnp.ndarray:
+    n = y.shape[0]
+    return jnp.transpose(y.reshape(n, b, l), (1, 0, 2))
+
+
+def _sharded_rms_batch(xs, window, mask, mesh):
+    """``moving_rms_batch`` twin with the sample axis mesh-sharded.
+
+    Padded trials are exact: the reference's ``'same'`` convolution
+    zero-pads beyond each trial's true end, which is precisely what
+    the stacked batch's zero padding provides; outputs in the padding
+    region are re-zeroed by the mask.
+    """
+    from .parallel.filters import sharded_moving_rms
+
+    b, n, l = xs.shape
+    if mask is not None:
+        lengths = np.asarray(jnp.sum(mask, axis=1))
+        if (lengths < window).any():
+            shortest = int(lengths.min())
+            raise ValueError(
+                f"window ({window} samples) is longer than the shortest "
+                f"trial ({shortest} valid samples)"
+            )
+    out = _unfold_channels(
+        sharded_moving_rms(_fold_channels(xs), window, mesh), b, l
+    )
+    if mask is not None:
+        out = out * mask[..., None]
+    return out
+
+
+def _sharded_envelope_batch(xs, spec, sampling_frequency, zero_center_, mesh):
+    """``linear_envelope_batch`` twin with the lowpass mesh-sharded.
+
+    Zero-centering and rectification are cheap element-wise stages and
+    stay local; the zero-phase SOS cascade — the expensive time-axis
+    recurrence — runs through the exact sequence-parallel filter
+    (:func:`muscle_synergies_tpu.parallel.filters.sharded_sosfiltfilt`,
+    same ``padtype='odd'`` default as the local ``digital_filter``).
+    """
+    from .parallel.filters import sharded_sosfilt, sharded_sosfiltfilt
+
+    b, n, l = xs.shape
+    if zero_center_:
+        xs = xs - jnp.mean(xs, axis=1, keepdims=True)
+    folded = _fold_channels(jnp.abs(xs))
+    sos = spec.design(sampling_frequency)
+    if spec.zero_lag:
+        y = sharded_sosfiltfilt(sos, folded, mesh)
+    else:
+        y = sharded_sosfilt(sos, folded, mesh)
+    return _unfold_channels(y, b, l)
+
+
 def preprocess_trials(
     trials: Sequence,
     sampling_frequency: float,
     config: PipelineConfig = PipelineConfig(),
     dtype=None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Run the configured preprocessing on every trial and stack them.
 
@@ -80,6 +147,17 @@ def preprocess_trials(
     sample, so ragged envelope batches run as one vmapped computation
     per *distinct trial length* — identical results to per-trial
     processing either way (pinned by tests).
+
+    Args:
+        mesh: optional ``(data, time)`` mesh.  When its ``time`` axis
+            has more than one device, the expensive time-axis stage —
+            the moving RMS or the envelope's zero-phase lowpass — runs
+            through the exact sequence-parallel kernels
+            (:mod:`muscle_synergies_tpu.parallel.filters`), with the
+            trial batch folded onto the channel axis so the whole
+            batch is one sharded ``(N, B*L)`` problem.  Results are
+            identical to the local path up to float reordering
+            (pinned by tests).
     """
     if config.reduce_to is None:
         raise ValueError(
@@ -92,8 +170,18 @@ def preprocess_trials(
     from .io.batch import stack_trials
     from .ops import batched as _b
 
+    time_shards = 1
+    if mesh is not None:
+        from .parallel.mesh import TIME_AXIS
+
+        time_shards = dict(mesh.shape).get(TIME_AXIS, 1)
+
     def envelope_batch(xs, mask=None):
         spec = config.envelope
+        if time_shards > 1 and mask is None:
+            return _sharded_envelope_batch(
+                xs, spec, sampling_frequency, config.zero_center, mesh
+            )
         return _b.linear_envelope_batch(
             xs,
             critical_freqs=(
@@ -124,7 +212,10 @@ def preprocess_trials(
         if config.zero_center:
             xs = _b.zero_center_batch(xs, mask)
         window = int(round(config.rms_window_s * sampling_frequency))
-        xs = _b.moving_rms_batch(xs, window, mask)
+        if time_shards > 1:
+            xs = _sharded_rms_batch(xs, window, mask, mesh)
+        else:
+            xs = _b.moving_rms_batch(xs, window, mask)
         batch = finish(xs, mask)
     elif not ragged:
         batch = finish(envelope_batch(jnp.stack(arrays)))
@@ -300,7 +391,11 @@ def analyze_dataset(
         config: preprocessing + solver preset.
         mesh: optional ``(data, time)`` mesh — the solve runs through
             the sharded solvers when the grid divides evenly over the
-            data axis.
+            data axis, and the preprocessing's expensive time-axis
+            stage (the moving RMS or the envelope's zero-phase
+            lowpass) runs through the exact sequence-parallel kernels
+            whenever the ``time`` axis has more than one device
+            (see :func:`preprocess_trials`).
         solver: ``"mu"`` or ``"cd"``; defaults to ``config.solver``
             (the :class:`PipelineConfig` default is ``"cd"``, matching
             the reference's sklearn default).
@@ -381,7 +476,9 @@ def analyze_dataset(
     elif hasattr(first, "coords"):
         channel_names = list(first.coords)
 
-    xs = preprocess_trials(trials, sampling_frequency, config, dtype=dtype)
+    xs = preprocess_trials(
+        trials, sampling_frequency, config, dtype=dtype, mesh=mesh
+    )
     if beta <= 0 and bool(jnp.any(xs == 0)):
         raise ValueError(
             "When beta_loss <= 0 and X contains zeros, the solver may "

@@ -1,7 +1,7 @@
 """Mesh-parallel execution: sharded NMF and sequence-parallel filters."""
 
 from . import collectives
-from .filters import sharded_sosfilt, sharded_sosfiltfilt
+from .filters import sharded_moving_rms, sharded_sosfilt, sharded_sosfiltfilt
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -34,6 +34,7 @@ __all__ = [
     "sharded_fit_mu_tp",
     "MODEL_AXIS",
     "sharded_fit_cd",
+    "sharded_moving_rms",
     "sharded_sosfilt",
     "sharded_sosfiltfilt",
     "collectives",

@@ -44,10 +44,16 @@ from ..ops.filters import (
     default_padlen,
     sosfilt_zi,
 )
-from .collectives import axis_index, axis_size, gather_time, mark_varying
+from .collectives import (
+    axis_index,
+    axis_size,
+    gather_time,
+    mark_varying,
+    ring_shift,
+)
 from .mesh import TIME_AXIS
 
-__all__ = ["sharded_sosfilt", "sharded_sosfiltfilt"]
+__all__ = ["sharded_sosfilt", "sharded_sosfiltfilt", "sharded_moving_rms"]
 
 
 def _compose_incoming(boundary, my_idx, n_dev, s_init, reverse: bool):
@@ -235,11 +241,125 @@ def sharded_sosfiltfilt(
     return run_all(sos_j, zi_unit, x)
 
 
-# Program cache keyed WEAKLY on the mesh: meshes (and the devices they
+def sharded_moving_rms(
+    x: jnp.ndarray,
+    window: int,
+    mesh: Mesh,
+    axis_name: str = TIME_AXIS,
+) -> jnp.ndarray:
+    """Moving-window RMS of a time-sharded ``(N, C)`` signal.
+
+    Exact twin of :func:`muscle_synergies_tpu.ops.emg.moving_rms`
+    (``np.convolve(sq, ones(w)/w, 'same')`` semantics with zero-padded
+    edges — the reference's RMS, reference analysis.py:474-491) with
+    the sample axis sharded over ``axis_name``.  Unlike the IIR
+    filters' state-sized boundary transforms, the box window is an FIR
+    kernel, so the communication is a classic *halo exchange*: each
+    device ``ppermute``-shifts its block tail/head to its neighbors
+    (``w//2`` samples left, ``(w-1)//2`` right), runs the
+    compensated-cumsum window difference on the extended block, and
+    trims.  The global zero-padding falls out naturally: the first and
+    last devices mask their missing halos to zero, which IS the
+    ``'same'``-mode edge behavior.
+
+    Total over signal lengths (results exact up to float reordering):
+    indivisible ``N`` is zero-padded to the device count (appended
+    zeros cannot change any in-range window — that is what 'same'
+    zero-padding means) and trimmed; a window whose halo exceeds one
+    block (signal too short to usefully shard) falls back to the
+    single-device kernel.
+
+    Raises:
+        ValueError: if ``window < 1`` or ``window > N`` (the local
+            API's contract).
+    """
+    window = int(window)
+    if window < 1:
+        raise ValueError(
+            f"window must contain at least one sample, got {window}"
+        )
+    n, c = x.shape
+    if window > n:
+        raise ValueError(
+            f"window ({window} samples) is longer than the signal "
+            f"({n} samples)"
+        )
+    n_dev = mesh.shape[axis_name]
+    block = -(-n // n_dev)
+    hl, hr = window // 2, (window - 1) // 2
+    if hl > block or hr > block:
+        from ..ops.emg import moving_rms as _local_moving_rms
+
+        return _local_moving_rms(x, window)
+    run_all = _build_sharded_rms(mesh, axis_name, window, n)
+    return run_all(x)
+
+
+def _build_sharded_rms(mesh: Mesh, axis_name: str, window: int, n: int):
+    per_mesh = _RMS_CACHE.setdefault(mesh, {})
+    key = (axis_name, window, n)
+    if key not in per_mesh:
+        per_mesh[key] = _trace_sharded_rms(mesh, axis_name, window, n)
+    return per_mesh[key]
+
+
+def _trace_sharded_rms(mesh: Mesh, axis_name: str, window: int, n: int):
+    """One jitted program per (mesh, window, length): pad + halo + trim."""
+    from ..ops.emg import _df_add
+
+    n_dev = mesh.shape[axis_name]
+    extra = (-n) % n_dev
+    hl, hr = window // 2, (window - 1) // 2
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name, None),),
+        out_specs=P(axis_name, None),
+    )
+    def run(xb):
+        idx = axis_index(axis_name)
+        nd = axis_size(axis_name)
+        parts = []
+        if hl:
+            left = ring_shift(xb[-hl:], axis_name, shift=1)
+            parts.append(jnp.where(idx > 0, left, 0.0))
+        parts.append(xb)
+        if hr:
+            right = ring_shift(xb[:hr], axis_name, shift=-1)
+            parts.append(jnp.where(idx < nd - 1, right, 0.0))
+        ext = jnp.concatenate(parts, axis=0) if len(parts) > 1 else xb
+        square = ext * ext
+        cs_hi, cs_lo = jax.lax.associative_scan(
+            _df_add, (square, jnp.zeros_like(square)), axis=0
+        )
+        zero = jnp.zeros((1, ext.shape[1]), ext.dtype)
+        cs_hi = jnp.concatenate([zero, cs_hi])
+        cs_lo = jnp.concatenate([zero, cs_lo])
+        nb = xb.shape[0]
+        win_sum = (cs_hi[window : window + nb] - cs_hi[:nb]) + (
+            cs_lo[window : window + nb] - cs_lo[:nb]
+        )
+        return jnp.sqrt(jnp.maximum(win_sum / window, 0.0))
+
+    @jax.jit
+    def run_all(x):
+        if extra:
+            x = jnp.concatenate(
+                [x, jnp.zeros((extra, x.shape[1]), x.dtype)], axis=0
+            )
+        y = run(x)
+        return y[:n] if extra else y
+
+    return run_all
+
+
+# Program caches keyed WEAKLY on the mesh: meshes (and the devices they
 # reference) are released when the caller drops theirs, instead of being
 # pinned for the process lifetime as an lru_cache key would.  The inner
 # dict (pad-geometry key -> jitted program) lives and dies with its mesh.
 _FILTFILT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_RMS_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _build_sharded_filtfilt(
