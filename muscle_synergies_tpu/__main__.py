@@ -150,6 +150,20 @@ def _build_parser():
     p_ds.add_argument("--max-iter", type=int, default=10_000)
     p_ds.add_argument("--tol", type=float, default=1e-6)
     p_ds.add_argument(
+        "--alpha-w", type=float, default=0.0,
+        help="sklearn-scaled sparsity strength on W (default 0: none)",
+    )
+    p_ds.add_argument(
+        "--alpha-h", default="same",
+        help="sparsity strength on H: a float, or 'same' as --alpha-w "
+             "(default)",
+    )
+    p_ds.add_argument(
+        "--l1-ratio", type=float, default=0.0,
+        help="L1/L2 mix for the sparsity penalties (0 = pure L2, "
+             "1 = pure L1; default 0)",
+    )
+    p_ds.add_argument(
         "--rms", type=float, metavar="SECONDS", default=None,
         help="moving-RMS window instead of the filtered envelope",
     )
@@ -354,6 +368,15 @@ def _cmd_analyze_dataset(args) -> int:
         beta_loss = float(args.beta_loss)
     except ValueError:
         beta_loss = args.beta_loss
+    try:
+        alpha_h = float(args.alpha_h)
+    except ValueError:
+        if args.alpha_h != "same":
+            raise SystemExit(
+                f"invalid --alpha-h {args.alpha_h!r}: expected a float "
+                "or 'same'"
+            )
+        alpha_h = "same"
     if not args.reduce_to:
         # analyze_dataset requires a common time base for the batch;
         # "skip" (0) cannot work across ragged captures
@@ -367,7 +390,8 @@ def _cmd_analyze_dataset(args) -> int:
         res = mst.analyze_dataset(
             trials, fs, ranks=ranks, config=config, solver=args.solver,
             beta_loss=beta_loss, max_iter=args.max_iter, tol=args.tol,
-            impl=args.impl, subjects=subjects,
+            impl=args.impl, subjects=subjects, alpha_W=args.alpha_w,
+            alpha_H=alpha_h, l1_ratio=args.l1_ratio,
         )
     except ValueError as exc:
         raise SystemExit(str(exc))

@@ -368,6 +368,9 @@ def analyze_dataset(
     subjects: Optional[Sequence] = None,
     impl: Optional[str] = None,
     inner_iter: Optional[int] = None,
+    alpha_W: float = 0.0,
+    alpha_H="same",
+    l1_ratio: float = 0.0,
 ) -> DatasetResult:
     """Preprocess and factorize a whole multi-trial dataset at once.
 
@@ -388,6 +391,13 @@ def analyze_dataset(
             the solve through the sharded solvers.
         inner_iter: accelerated-MU inner repetitions; defaults to
             ``config.inner_iter`` (1 = sklearn-exact).
+        alpha_W / alpha_H / l1_ratio: sklearn's dimension-scaled
+            sparsity penalties (``alpha_H="same"`` mirrors
+            ``alpha_W``), honored identically on the batched AND the
+            mesh-sharded solve paths; zero-rank-padded grid entries
+            stay exactly zero under penalties (their update numerators
+            are identically zero).  Nonzero penalties require the XLA
+            batched impl (``impl='pallas'`` raises).
         config: preprocessing + solver preset.
         mesh: optional ``(data, time)`` mesh — the solve runs through
             the sharded solvers when the grid divides evenly over the
@@ -449,7 +459,11 @@ def analyze_dataset(
         )
     max_iter = max_iter if max_iter is not None else config.max_iter
     tol = tol if tol is not None else config.tol
+    alpha_h_val = alpha_W if alpha_H == "same" else float(alpha_H)
+    has_penalty = alpha_W != 0.0 or alpha_h_val != 0.0
     impl = impl if impl is not None else getattr(config, "solver_impl", "xla")
+    if impl == "auto" and has_penalty:
+        impl = "xla"  # the fused kernels do not implement penalties
     if impl == "auto":
         # fused VMEM kernels on TPU, batched XLA elsewhere; lane-packed
         # blocks only pay off when the fit grid fills a decent fraction
@@ -487,6 +501,12 @@ def analyze_dataset(
         )
     b = xs.shape[0]
     k_max = max(ranks)
+    # sklearn's dimension-scaled penalties, from the GLOBAL (N, L)
+    from .models.select import compute_regularization
+
+    l1_w, l2_w, l1_h, l2_h = compute_regularization(
+        alpha_W, alpha_H, l1_ratio, xs.shape[1], xs.shape[2]
+    )
 
     # (R * B) problem grid with rank-padded factors; one vmapped init
     # batch per rank (a single device dispatch each) instead of R*B
@@ -554,15 +574,23 @@ def analyze_dataset(
         grid_h = jax.device_put(
             grid_h, NamedSharding(mesh, P(DATA_AXIS, None, None))
         )
+        regs = dict(
+            l1_reg_w=l1_w, l2_reg_w=l2_w, l1_reg_h=l1_h, l2_reg_h=l2_h
+        )
         if beta != 2.0:
             state = sharded_fit_beta(
                 grid_x, grid_w, grid_h, mesh, beta=beta,
-                max_iter=max_iter, tol=tol,
+                max_iter=max_iter, tol=tol, **regs,
+            )
+        elif solver == "mu":
+            state = sharded_fit_mu(
+                grid_x, grid_w, grid_h, mesh, max_iter=max_iter, tol=tol,
+                inner_iter=inner_iter, **regs,
             )
         else:
-            fit = sharded_fit_mu if solver == "mu" else sharded_fit_cd
-            state = fit(
-                grid_x, grid_w, grid_h, mesh, max_iter=max_iter, tol=tol
+            state = sharded_fit_cd(
+                grid_x, grid_w, grid_h, mesh, max_iter=max_iter, tol=tol,
+                **regs,
             )
         if pad_fits:
             state = jax.tree.map(lambda a: a[:n_fits], state)
@@ -572,16 +600,19 @@ def analyze_dataset(
 
         state = fit_mu_beta_batch(
             grid_x, grid_w, grid_h, beta=beta, max_iter=max_iter, tol=tol,
-            impl=impl,
+            impl=impl, l1_reg_w=l1_w, l2_reg_w=l2_w, l1_reg_h=l1_h,
+            l2_reg_h=l2_h,
         )
     elif solver == "mu":
         state = fit_mu_batch(
             grid_x, grid_w, grid_h, max_iter=max_iter, tol=tol,
-            impl=impl, inner_iter=inner_iter,
+            impl=impl, inner_iter=inner_iter, l1_reg_w=l1_w, l2_reg_w=l2_w,
+            l1_reg_h=l1_h, l2_reg_h=l2_h,
         )
     else:
         state = fit_cd_batch(
-            grid_x, grid_w, grid_h, max_iter=max_iter, tol=tol, impl=impl
+            grid_x, grid_w, grid_h, max_iter=max_iter, tol=tol, impl=impl,
+            l1_reg_w=l1_w, l2_reg_w=l2_w, l1_reg_h=l1_h, l2_reg_h=l2_h,
         )
 
     h_final = state.h if solver == "mu" else jnp.swapaxes(state.ht, -1, -2)

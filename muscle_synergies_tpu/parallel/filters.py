@@ -41,7 +41,6 @@ from ..ops.filters import (
     _emit_output,
     _normalize_sos,
     _section_prefix,
-    default_padlen,
     sosfilt_zi,
 )
 from .collectives import (

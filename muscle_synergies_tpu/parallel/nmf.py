@@ -42,26 +42,50 @@ __all__ = [
 ]
 
 
-def _local_mu_step(x, w, h, axis_name: str):
+def _local_mu_step(
+    x, w, h, axis_name: str,
+    l1_reg_w: float = 0.0, l2_reg_w: float = 0.0,
+    l1_reg_h: float = 0.0, l2_reg_h: float = 0.0,
+    inner_iter: int = 1,
+):
     """One MU iteration on local shards; Grams psum'd over ``axis_name``.
 
     Shapes (local): x ``(b, n_loc, L)``, w ``(b, n_loc, k)``,
-    h ``(b, k, L)`` (replicated over the time group).
+    h ``(b, k, L)`` (replicated over the time group).  Penalties are
+    the caller's pre-scaled values (sklearn's dimension scaling uses
+    the GLOBAL shape) and enter the denominators exactly as in
+    :func:`muscle_synergies_tpu.models.mu.mu_update` — fully local,
+    since ``W``'s penalty touches only this device's rows and ``H`` is
+    replicated within a time group.  ``inner_iter > 1`` repeats each
+    factor's update reusing the cross products (the accelerated MU of
+    the local solver), costing no extra collectives for W and none for
+    H beyond the one Gram psum pair.
     """
     ht = jnp.swapaxes(h, -1, -2)
-    # --- W update: fully local ---
-    numerator = x @ ht
-    denominator = w @ (h @ ht)
-    denominator = jnp.where(denominator == 0, EPSILON, denominator)
-    w = w * (numerator / denominator)
+    # --- W updates: fully local; X Ht / H Ht fixed while H is ---
+    xht = x @ ht
+    hht = h @ ht
+    for _ in range(inner_iter):
+        denominator = w @ hht
+        if l1_reg_w > 0:
+            denominator = denominator + l1_reg_w
+        if l2_reg_w > 0:
+            denominator = denominator + l2_reg_w * w
+        denominator = jnp.where(denominator == 0, EPSILON, denominator)
+        w = w * (xht / denominator)
 
-    # --- H update: time-reduced Grams ---
+    # --- H updates: time-reduced Grams, fixed while W is ---
     wt = jnp.swapaxes(w, -1, -2)
     wtx = time_sum(wt @ x, axis_name)
     wtw = time_sum(wt @ w, axis_name)
-    denominator = wtw @ h
-    denominator = jnp.where(denominator == 0, EPSILON, denominator)
-    h = h * (wtx / denominator)
+    for _ in range(inner_iter):
+        denominator = wtw @ h
+        if l1_reg_h > 0:
+            denominator = denominator + l1_reg_h
+        if l2_reg_h > 0:
+            denominator = denominator + l2_reg_h * h
+        denominator = jnp.where(denominator == 0, EPSILON, denominator)
+        h = h * (wtx / denominator)
     return w, h
 
 
@@ -184,15 +208,28 @@ def sharded_fit_mu(
     max_iter: int = 200,
     tol: float = 1e-4,
     check_every: int = 10,
+    l1_reg_w: float = 0.0,
+    l2_reg_w: float = 0.0,
+    l1_reg_h: float = 0.0,
+    l2_reg_h: float = 0.0,
+    inner_iter: int = 1,
 ) -> MUState:
     """Run MU-NMF to convergence on a ``(data, time)`` mesh.
 
     Semantics match :func:`muscle_synergies_tpu.models.mu.fit_mu`
     (sklearn's stopping rule, checked every ``check_every``
-    iterations), with all time reductions as ``psum`` collectives.
+    iterations; the same L1/L2 denominator penalties — pass pre-scaled
+    values computed from the GLOBAL shape — and the same accelerated-MU
+    ``inner_iter``), with all time reductions as ``psum`` collectives.
     The convergence loop runs *inside* ``shard_map``, so the whole fit
     is one compiled program per device with zero host round-trips.
     """
+    local_step = functools.partial(
+        _local_mu_step,
+        l1_reg_w=l1_reg_w, l2_reg_w=l2_reg_w,
+        l1_reg_h=l1_reg_h, l2_reg_h=l2_reg_h,
+        inner_iter=inner_iter,
+    )
 
     @functools.partial(
         jax.shard_map,
@@ -212,14 +249,18 @@ def sharded_fit_mu(
     )
     def fit(xb, wb, hb):
         return _convergence_driver(
-            xb, wb, hb, _local_mu_step, _local_error, TIME_AXIS, MUState,
+            xb, wb, hb, local_step, _local_error, TIME_AXIS, MUState,
             max_iter, tol, check_every,
         )
 
     return fit(x, w0, h0)
 
 
-def _local_beta_step(x, w, h, axis_name: str, beta: float = 1.0):
+def _local_beta_step(
+    x, w, h, axis_name: str, beta: float = 1.0,
+    l1_reg_w: float = 0.0, l2_reg_w: float = 0.0,
+    l1_reg_h: float = 0.0, l2_reg_h: float = 0.0,
+):
     """One beta-MU iteration on local time shards (any float beta).
 
     The W update is fully local: its numerator ``(X*(WH)^(b-2)) Ht``
@@ -240,16 +281,24 @@ def _local_beta_step(x, w, h, axis_name: str, beta: float = 1.0):
 
     ht = jnp.swapaxes(h, -1, -2)
 
-    # --- W update: fully local ---
+    # --- W update: fully local (incl. the penalties: W's rows live
+    # with their samples and H is replicated in the time group) ---
     wh = w @ h
     numerator = _wh_pow_times_x(x, wh, beta) @ ht
     if beta == 1.0:
-        h_sum = jnp.sum(h, axis=-1)  # (b, k), replicated over time
-        denominator = jnp.where(h_sum == 0, EPSILON, h_sum)[:, None, :]
+        # (b, k) H row-sums, replicated over time; the zero guard is
+        # applied AFTER the penalties, exactly like the local solver
+        denominator = jnp.broadcast_to(
+            jnp.sum(h, axis=-1)[:, None, :], w.shape
+        )
     else:
         whd = jnp.maximum(wh, EPSILON) if beta - 1.0 < 0 else wh
         denominator = whd ** (beta - 1.0) @ ht
-        denominator = jnp.where(denominator == 0, EPSILON, denominator)
+    if l1_reg_w > 0:
+        denominator = denominator + l1_reg_w
+    if l2_reg_w > 0:
+        denominator = denominator + l2_reg_w * w
+    denominator = jnp.where(denominator == 0, EPSILON, denominator)
     w = w * damp(numerator / denominator)
     if beta < 1.0:
         w = jnp.where(w < F64_EPS, 0.0, w)
@@ -261,11 +310,15 @@ def _local_beta_step(x, w, h, axis_name: str, beta: float = 1.0):
     if beta == 1.0:
         w_sum = time_sum(jnp.sum(w, axis=-2), axis_name)  # (b, k)
         w_sum = jnp.where(w_sum == 0, 1.0, w_sum)
-        denominator = w_sum[:, :, None]
+        denominator = jnp.broadcast_to(w_sum[:, :, None], h.shape)
     else:
         whd = jnp.maximum(wh, EPSILON) if beta - 1.0 < 0 else wh
         denominator = time_sum(wt @ whd ** (beta - 1.0), axis_name)
-        denominator = jnp.where(denominator == 0, EPSILON, denominator)
+    if l1_reg_h > 0:
+        denominator = denominator + l1_reg_h
+    if l2_reg_h > 0:
+        denominator = denominator + l2_reg_h * h
+    denominator = jnp.where(denominator == 0, EPSILON, denominator)
     h = h * damp(numerator / denominator)
     if beta <= 1.0:
         h = jnp.where(h < F64_EPS, 0.0, h)
@@ -332,6 +385,10 @@ def sharded_fit_beta(
     max_iter: int = 200,
     tol: float = 1e-4,
     check_every: int = 10,
+    l1_reg_w: float = 0.0,
+    l2_reg_w: float = 0.0,
+    l1_reg_h: float = 0.0,
+    l2_reg_h: float = 0.0,
 ) -> "BetaState":
     """Beta-divergence MU-NMF to convergence on a ``(data, time)`` mesh.
 
@@ -340,12 +397,19 @@ def sharded_fit_beta(
     ``beta`` (1.0 = KL, 0.0 = Itakura-Saito, arbitrary floats as
     sklearn accepts and the reference forwards): exact, with the H
     update's two projections the only collectives.  Stopping semantics
-    are sklearn's, per trial, with converged trials frozen.
+    are sklearn's, per trial, with converged trials frozen; the L1/L2
+    denominator penalties (pre-scaled from the GLOBAL shape, as
+    ``models.select`` computes them) are local additions exactly as in
+    :func:`muscle_synergies_tpu.models.beta.mu_update_beta`.
     """
     from ..models.beta import BetaState
 
     beta = float(beta)
-    local_step = functools.partial(_local_beta_step, beta=beta)
+    local_step = functools.partial(
+        _local_beta_step, beta=beta,
+        l1_reg_w=l1_reg_w, l2_reg_w=l2_reg_w,
+        l1_reg_h=l1_reg_h, l2_reg_h=l2_reg_h,
+    )
     local_error = functools.partial(_local_beta_error, beta=beta)
 
     @functools.partial(
@@ -381,15 +445,26 @@ def sharded_fit_kl(
     max_iter: int = 200,
     tol: float = 1e-4,
     check_every: int = 10,
+    l1_reg_w: float = 0.0,
+    l2_reg_w: float = 0.0,
+    l1_reg_h: float = 0.0,
+    l2_reg_h: float = 0.0,
 ) -> "BetaState":
     """KL specialization of :func:`sharded_fit_beta` (``beta=1``)."""
     return sharded_fit_beta(
         x, w0, h0, mesh, beta=1.0, max_iter=max_iter, tol=tol,
         check_every=check_every,
+        l1_reg_w=l1_reg_w, l2_reg_w=l2_reg_w,
+        l1_reg_h=l1_reg_h, l2_reg_h=l2_reg_h,
     )
 
 
-def _local_mu_step_tp(x, w, h, axis_name: str):
+def _local_mu_step_tp(
+    x, w, h, axis_name: str,
+    l1_reg_w: float = 0.0, l2_reg_w: float = 0.0,
+    l1_reg_h: float = 0.0, l2_reg_h: float = 0.0,
+    inner_iter: int = 1,
+):
     """One MU iteration with the *channel* axis sharded (tensor parallel).
 
     Shapes (local): x ``(b, n, l_loc)``, w ``(b, n, k)`` replicated
@@ -398,21 +473,36 @@ def _local_mu_step_tp(x, w, h, axis_name: str):
     ``psum``'d over the model axis; the H update is then fully local
     (each shard updates its own channel slice of H from the replicated
     W).  This is the layout for very wide channel counts (HD-sEMG
-    grids), per SURVEY §2.5's tensor-parallelism row.
+    grids), per SURVEY §2.5's tensor-parallelism row.  The pre-scaled
+    L1/L2 penalties and the accelerated-MU ``inner_iter`` enter
+    exactly as in the local solver — penalties are scalar denominator
+    additions, so sharding H's channel axis does not change them.
     """
     ht = jnp.swapaxes(h, -1, -2)
-    # --- W update: channel-reduced cross products ---
+    # --- W updates: channel-reduced cross products, fixed while H is ---
     xht = axis_sum(x @ ht, axis_name)
     hht = axis_sum(h @ ht, axis_name)
-    denominator = w @ hht
-    denominator = jnp.where(denominator == 0, EPSILON, denominator)
-    w = w * (xht / denominator)
+    for _ in range(inner_iter):
+        denominator = w @ hht
+        if l1_reg_w > 0:
+            denominator = denominator + l1_reg_w
+        if l2_reg_w > 0:
+            denominator = denominator + l2_reg_w * w
+        denominator = jnp.where(denominator == 0, EPSILON, denominator)
+        w = w * (xht / denominator)
 
-    # --- H update: fully local per channel shard ---
+    # --- H updates: fully local per channel shard ---
     wt = jnp.swapaxes(w, -1, -2)
-    denominator = (wt @ w) @ h
-    denominator = jnp.where(denominator == 0, EPSILON, denominator)
-    h = h * ((wt @ x) / denominator)
+    wtx = wt @ x
+    wtw = wt @ w
+    for _ in range(inner_iter):
+        denominator = wtw @ h
+        if l1_reg_h > 0:
+            denominator = denominator + l1_reg_h
+        if l2_reg_h > 0:
+            denominator = denominator + l2_reg_h * h
+        denominator = jnp.where(denominator == 0, EPSILON, denominator)
+        h = h * (wtx / denominator)
     return w, h
 
 
@@ -431,6 +521,11 @@ def sharded_fit_mu_tp(
     max_iter: int = 200,
     tol: float = 1e-4,
     check_every: int = 10,
+    l1_reg_w: float = 0.0,
+    l2_reg_w: float = 0.0,
+    l1_reg_h: float = 0.0,
+    l2_reg_h: float = 0.0,
+    inner_iter: int = 1,
 ) -> MUState:
     """Run MU-NMF on a ``(data, model)`` mesh: trials x channel shards.
 
@@ -463,26 +558,41 @@ def sharded_fit_mu_tp(
         ),
     )
     def fit(xb, wb, hb):
+        local_step = functools.partial(
+            _local_mu_step_tp,
+            l1_reg_w=l1_reg_w, l2_reg_w=l2_reg_w,
+            l1_reg_h=l1_reg_h, l2_reg_h=l2_reg_h,
+            inner_iter=inner_iter,
+        )
         return _convergence_driver(
-            xb, wb, hb, _local_mu_step_tp, _local_error_tp, MODEL_AXIS,
+            xb, wb, hb, local_step, _local_error_tp, MODEL_AXIS,
             MUState, max_iter, tol, check_every,
         )
 
     return fit(x, w0, h0)
 
 
-def _local_cd_pass_w(x, w, h, axis_name: str):
+def _local_cd_pass_w(
+    x, w, h, axis_name: str, l1_reg: float = 0.0, l2_reg: float = 0.0
+):
     """One cyclic CD pass over W's components (H fixed), time-sharded.
 
     The Gram ``H Ht`` and the rows of ``X Ht`` are local to each time
     shard (W rows live with their samples), so only the violation
     statistic crosses shards.  Shapes: x ``(b, n_loc, L)``,
     w ``(b, n_loc, k)``, h ``(b, k, L)`` (replicated in the time group).
+    L1 subtracts from ``X Ht`` and L2 adds to the Gram diagonal,
+    exactly as in :func:`muscle_synergies_tpu.models.hals.cd_pass` —
+    both are local operations.
     """
     k = w.shape[-1]
     ht = jnp.swapaxes(h, -1, -2)
     hht = h @ ht  # (b, k, k), replicated over time
     xht = x @ ht  # (b, n_loc, k), local rows
+    if l2_reg != 0.0:
+        hht = hht + l2_reg * jnp.eye(k, dtype=hht.dtype)
+    if l1_reg != 0.0:
+        xht = xht - l1_reg
     violation = jnp.zeros(w.shape[0], x.dtype)
     for s in range(k):
         grad = jnp.einsum("bnk,bk->bn", w, hht[:, :, s]) - xht[:, :, s]
@@ -496,18 +606,26 @@ def _local_cd_pass_w(x, w, h, axis_name: str):
     return w, time_sum(violation, axis_name)
 
 
-def _local_cd_pass_h(x, w, h, axis_name: str):
+def _local_cd_pass_h(
+    x, w, h, axis_name: str, l1_reg: float = 0.0, l2_reg: float = 0.0
+):
     """One cyclic CD pass over H's components (W fixed), time-sharded.
 
     H's update is the W-pass on ``X.T`` (sklearn's symmetry): the Grams
     ``Wt W`` and cross products ``Wt X`` reduce over the sharded time
     axis, so each needs one ``psum``; the per-component updates are
-    then identical on every shard of a time group.
+    then identical on every shard of a time group.  The penalties
+    apply AFTER the psums (to the completed global Gram/cross
+    products), matching the local solver exactly.
     """
     k = w.shape[-1]
     wt = jnp.swapaxes(w, -1, -2)
     wtw = time_sum(wt @ w, axis_name)  # (b, k, k)
     wtx = time_sum(wt @ x, axis_name)  # (b, k, L)
+    if l2_reg != 0.0:
+        wtw = wtw + l2_reg * jnp.eye(k, dtype=wtw.dtype)
+    if l1_reg != 0.0:
+        wtx = wtx - l1_reg
     violation = jnp.zeros(h.shape[0], x.dtype)
     for s in range(k):
         grad = jnp.einsum("bk,bkl->bl", wtw[:, s, :], h) - wtx[:, s, :]
@@ -530,13 +648,19 @@ def sharded_fit_cd(
     mesh: Mesh,
     max_iter: int = 200,
     tol: float = 1e-4,
+    l1_reg_w: float = 0.0,
+    l2_reg_w: float = 0.0,
+    l1_reg_h: float = 0.0,
+    l2_reg_h: float = 0.0,
 ):
     """Run coordinate-descent NMF to convergence on a ``(data, time)`` mesh.
 
     Semantics match :func:`muscle_synergies_tpu.models.hals.fit_cd`
     (sklearn's 'cd' solver with ``shuffle=False``): per outer iteration
     one cyclic pass over W then H, stopping when the summed |projected
-    gradient| falls below ``tol`` relative to the first iteration's.
+    gradient| falls below ``tol`` relative to the first iteration's;
+    the same L1/L2 penalties (pass values pre-scaled from the GLOBAL
+    shape), with L2 on the Gram diagonal and L1 on the cross products.
 
     Args:
         x: ``(B, N, L)`` batch, sharded ``P(data, time, None)``.
@@ -571,8 +695,12 @@ def sharded_fit_cd(
 
         def body(state: CDState) -> CDState:
             h = jnp.swapaxes(state.ht, -1, -2)
-            w_new, violation_w = _local_cd_pass_w(xb, state.w, h, TIME_AXIS)
-            h_new, violation_h = _local_cd_pass_h(xb, w_new, h, TIME_AXIS)
+            w_new, violation_w = _local_cd_pass_w(
+                xb, state.w, h, TIME_AXIS, l1_reg_w, l2_reg_w
+            )
+            h_new, violation_h = _local_cd_pass_h(
+                xb, w_new, h, TIME_AXIS, l1_reg_h, l2_reg_h
+            )
             violation = violation_w + violation_h
             keep = state.converged
             w = jnp.where(keep[:, None, None], state.w, w_new)

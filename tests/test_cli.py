@@ -130,3 +130,35 @@ def test_malformed_csv_gives_clean_error(tmp_path):
     result = _run(["analyze", str(tmp_path / "missing.csv"), "--ranks", "2"])
     assert result.returncode == 1
     assert "no such file" in result.stderr
+
+
+def test_analyze_dataset_sparsity_flags(capture_csv, tmp_path):
+    """--alpha-w/--l1-ratio reach the batched dataset solve and bias
+    the factors sparser than the unpenalized run."""
+    out_plain = tmp_path / "plain.json"
+    out_sparse = tmp_path / "sparse.json"
+    common = [
+        "analyze-dataset", capture_csv, "--ranks", "2", "--rms", "0.5",
+        "--max-iter", "300", "--tol", "1e-5", "--solver", "mu",
+    ]
+    r1 = _run(common + ["-o", str(out_plain)])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = _run(common + [
+        "--alpha-w", "0.1", "--l1-ratio", "1.0", "-o", str(out_sparse),
+    ])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    plain = json.loads(out_plain.read_text())
+    sparse = json.loads(out_sparse.read_text())
+    # the L1 penalty can only lower the attainable VAF
+    v_plain = plain["vaf_overall"][0]["2"]
+    v_sparse = sparse["vaf_overall"][0]["2"]
+    assert v_sparse <= v_plain + 1e-9
+
+
+def test_analyze_dataset_rejects_bad_alpha_h(capture_csv):
+    result = _run([
+        "analyze-dataset", capture_csv, "--ranks", "1", "--rms", "0.5",
+        "--max-iter", "50", "--alpha-h", "bogus",
+    ])
+    assert result.returncode != 0
+    assert "alpha-h" in result.stderr

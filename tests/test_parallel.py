@@ -665,3 +665,153 @@ class TestShardedPreprocessing:
             meshed.vaf_overall, local.vaf_overall, rtol=1e-9
         )
         np.testing.assert_allclose(meshed.h, local.h, rtol=1e-7, atol=1e-10)
+
+
+class TestShardedRegularization:
+    """The sharded solvers honor the same pre-scaled L1/L2 penalties
+    (and the accelerated-MU ``inner_iter``) as their local
+    counterparts — the sparsity surface is uniform across every
+    execution path (loop, batched, Pallas-rejected, mesh-sharded)."""
+
+    REGS = dict(l1_reg_w=0.7, l2_reg_w=1.3, l1_reg_h=0.4, l2_reg_h=2.1)
+
+    def test_sharded_mu_penalties_match_vmapped(self, mesh_2x4):
+        xs = _batch(b=8, n=64)
+        w0, h0 = init_batch(jnp.asarray(xs), 3, init="nndsvda")
+        sharded = sharded_fit_mu(
+            jnp.asarray(xs), w0, h0, mesh_2x4, max_iter=200, tol=1e-6,
+            **self.REGS,
+        )
+        local = fit_mu_batch(
+            jnp.asarray(xs), w0, h0, max_iter=200, tol=1e-6, **self.REGS
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded.n_iter), np.asarray(local.n_iter)
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.w), np.asarray(local.w), rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.h), np.asarray(local.h), rtol=1e-8
+        )
+
+    def test_sharded_mu_inner_iter_matches_vmapped(self, mesh_2x4):
+        xs = _batch(b=8, n=64)
+        w0, h0 = init_batch(jnp.asarray(xs), 3, init="nndsvda")
+        sharded = sharded_fit_mu(
+            jnp.asarray(xs), w0, h0, mesh_2x4, max_iter=200, tol=1e-6,
+            inner_iter=3,
+        )
+        local = fit_mu_batch(
+            jnp.asarray(xs), w0, h0, max_iter=200, tol=1e-6, inner_iter=3
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded.n_iter), np.asarray(local.n_iter)
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.w), np.asarray(local.w), rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.h), np.asarray(local.h), rtol=1e-8
+        )
+
+    def test_sharded_cd_penalties_match_vmapped(self, mesh_2x4):
+        from muscle_synergies_tpu.parallel import sharded_fit_cd
+
+        xs = _batch(b=8, n=64)
+        w0, h0 = init_batch(jnp.asarray(xs), 3, init="nndsvda")
+        sharded = sharded_fit_cd(
+            jnp.asarray(xs), w0, h0, mesh_2x4, max_iter=200, tol=1e-6,
+            **self.REGS,
+        )
+        local = fit_cd_batch(
+            jnp.asarray(xs), w0, h0, max_iter=200, tol=1e-6, **self.REGS
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded.n_iter), np.asarray(local.n_iter)
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.w), np.asarray(local.w), rtol=1e-7,
+            atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.ht), np.asarray(local.ht), rtol=1e-7,
+            atol=1e-10,
+        )
+
+    @pytest.mark.parametrize("beta", [1.0, 1.5])
+    def test_sharded_beta_penalties_match_vmapped(self, mesh_2x4, beta):
+        from muscle_synergies_tpu.models.batch import fit_mu_beta_batch
+        from muscle_synergies_tpu.parallel import sharded_fit_beta
+
+        xs = _batch(b=8, n=64) + 0.05  # strictly positive
+        w0, h0 = init_batch(jnp.asarray(xs), 3, init="nndsvda")
+        sharded = sharded_fit_beta(
+            jnp.asarray(xs), w0, h0, mesh_2x4, beta=beta, max_iter=100,
+            tol=1e-5, **self.REGS,
+        )
+        local = fit_mu_beta_batch(
+            jnp.asarray(xs), w0, h0, beta=beta, max_iter=100, tol=1e-5,
+            **self.REGS,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded.n_iter), np.asarray(local.n_iter)
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.w), np.asarray(local.w), rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.h), np.asarray(local.h), rtol=1e-8
+        )
+
+    def test_tp_penalties_and_inner_iter_match_vmapped(self):
+        from muscle_synergies_tpu.parallel import (
+            DATA_AXIS,
+            MODEL_AXIS,
+            make_mesh,
+            sharded_fit_mu_tp,
+        )
+
+        mesh = make_mesh((2, 4), axis_names=(DATA_AXIS, MODEL_AXIS))
+        xs = _batch(b=4, n=64, l=32)
+        w0, h0 = init_batch(jnp.asarray(xs), 3, init="nndsvda")
+        tp = sharded_fit_mu_tp(
+            jnp.asarray(xs), w0, h0, mesh, max_iter=200, tol=1e-6,
+            inner_iter=2, **self.REGS,
+        )
+        local = fit_mu_batch(
+            jnp.asarray(xs), w0, h0, max_iter=200, tol=1e-6, inner_iter=2,
+            **self.REGS,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tp.n_iter), np.asarray(local.n_iter)
+        )
+        np.testing.assert_allclose(
+            np.asarray(tp.w), np.asarray(local.w), rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(tp.h), np.asarray(local.h), rtol=1e-8
+        )
+
+    def test_meshed_analyze_dataset_alpha_matches_local(self, mesh_2x4):
+        """analyze_dataset(alpha_W=...) gives the same sparse solve
+        meshed and unmeshed (rank-padded entries stay exactly zero)."""
+        from muscle_synergies_tpu import analyze_dataset
+        from muscle_synergies_tpu.utils.config import PipelineConfig
+
+        rng = np.random.default_rng(7)
+        trials = [rng.standard_normal((256, 6)) for _ in range(4)]
+        cfg = PipelineConfig(use_rms=True, rms_window_s=0.1, reduce_to=32)
+        kw = dict(
+            ranks=(2, 3), config=cfg, solver="mu", max_iter=80, tol=1e-5,
+            alpha_W=0.05, l1_ratio=0.5,
+        )
+        local = analyze_dataset(trials, 200.0, **kw)
+        meshed = analyze_dataset(trials, 200.0, mesh=mesh_2x4, **kw)
+        np.testing.assert_array_equal(meshed.n_iter, local.n_iter)
+        np.testing.assert_allclose(
+            meshed.vaf_overall, local.vaf_overall, rtol=1e-9
+        )
+        np.testing.assert_allclose(meshed.h, local.h, rtol=1e-7, atol=1e-10)
+        # rank-2 grid entries keep their padded third component at zero
+        np.testing.assert_array_equal(meshed.h[0][:, 2:, :], 0)
