@@ -121,14 +121,21 @@ def run_ours(path, warm: bool = True):
 
     if warm:
         once()  # compile warm-up; jits cache across calls
-    runs = [once() for _ in range(3)]
+    runs = [once() for _ in range(5)]
     return _median_stages(runs)
 
 
 def _median_stages(runs):
-    """Per-stage medians + total-time range (1-core box is noisy)."""
+    """Per-stage medians + trimmed total-time range.
+
+    The shared 1-core box throws occasional multi-x outliers (scheduler
+    preemption mid-run), so the quoted range trims one extreme on each
+    side when there are enough repeats; the medians are robust anyway.
+    """
     med = [float(np.median([r[i] for r in runs])) for i in range(3)]
     totals = sorted(sum(r[:3]) for r in runs)
+    if len(totals) >= 5:
+        totals = totals[1:-1]
     return (*med, runs[-1][3]), (totals[0], totals[-1])
 
 
@@ -139,7 +146,7 @@ def run_reference(path):
     if not getattr(ref, "__file__", "").startswith(REFERENCE_SRC):
         raise RuntimeError("did not import the reference implementation")
 
-    return _median_stages([_run_reference_once(ref, path) for _ in range(3)])
+    return _median_stages([_run_reference_once(ref, path) for _ in range(5)])
 
 
 def _run_reference_once(ref, path):

@@ -162,6 +162,30 @@ gsig = jax.make_array_from_callback(
 y = sharded_sosfiltfilt(sos, gsig, mesh_t)
 shard_parity(y, ref_y, rtol=1e-8)
 
+# ---- leg 3: KL-divergence fit with L1/L2 penalties; the beta
+# projections (and the divergence check's partial sums) cross
+# processes, and the penalty surface rides along unchanged ----
+from muscle_synergies_tpu.models.batch import fit_mu_beta_batch
+from muscle_synergies_tpu.parallel import sharded_fit_beta
+
+regs = dict(l1_reg_w=0.3, l2_reg_w=0.8, l1_reg_h=0.2, l2_reg_h=1.1)
+xs_pos = xs + 0.05
+w0b, h0b = init_batch(jnp.asarray(xs_pos), k_sz, init="nndsvda")
+w0b, h0b = np.asarray(w0b), np.asarray(h0b)
+ref_b = fit_mu_beta_batch(
+    jnp.asarray(xs_pos), jnp.asarray(w0b), jnp.asarray(h0b),
+    beta=1.0, max_iter=40, tol=1e-5, **regs,
+)
+gxb = dist(xs_pos, P(DATA_AXIS, TIME_AXIS, None))
+gwb = dist(w0b, P(DATA_AXIS, TIME_AXIS, None))
+ghb = dist(h0b, P(DATA_AXIS, None, None))
+state_b = sharded_fit_beta(
+    gxb, gwb, ghb, mesh, beta=1.0, max_iter=40, tol=1e-5, **regs
+)
+shard_parity(state_b.n_iter, ref_b.n_iter, exact=True)
+shard_parity(state_b.w, ref_b.w)
+shard_parity(state_b.h, ref_b.h)
+
 print(f"WORKER_{pid}_SOLVER_OK")
 """
 
@@ -215,14 +239,16 @@ def test_two_process_rendezvous_and_psum():
 
 @pytest.mark.slow
 def test_two_process_sharded_solver_and_filtfilt():
-    """A sharded NMF fit and a time-sharded filtfilt across processes.
+    """Sharded NMF fits and a time-sharded filtfilt across processes.
 
     Each worker provisions 4 virtual CPU devices; the global 8-device
     meshes interleave the two processes along the ``time`` axis, so the
-    Gram ``psum``s inside ``sharded_fit_mu`` and the boundary
-    ``all_gather``s inside ``sharded_sosfiltfilt`` are genuinely
-    cross-process collectives.  Parity is asserted shard-by-shard
-    against the local single-device solves (VERDICT r3 item 1).
+    Gram ``psum``s inside ``sharded_fit_mu``, the beta projections
+    inside ``sharded_fit_beta`` (run at KL with L1/L2 penalties), and
+    the boundary ``all_gather``s inside ``sharded_sosfiltfilt`` are
+    genuinely cross-process collectives.  Parity is asserted
+    shard-by-shard against the local single-device solves
+    (VERDICT r3 item 1).
     """
     _run_two_workers(
         _SOLVER_WORKER,
