@@ -58,6 +58,30 @@ class TestNativeDecoder:
         out = decode_block(b"1,2\n,,\n3,4\n", 2)
         assert np.array_equal(out, np.array([[1.0, 2.0], [3.0, 4.0]]))
 
+    def test_threaded_path_matches_single_thread(self, monkeypatch):
+        """MSK_DECODE_THREADS forces the row-partitioned path.
+
+        The sandbox exposes one CPU, so without the override the
+        threaded decode (chunk splitting, per-chunk row offsets, error
+        propagation) would never execute here.  The block must exceed
+        the 1 MB threshold for the override to take effect.
+        """
+        data = RNG.standard_normal((9000, 20)).round(8)
+        rows = [",".join(f"{v:.8f}" for v in r) for r in data]
+        rows[1234] = ",, , ,"  # blank line inside a chunk
+        rows[7000] = "1,2,3"  # short row
+        text = ("\n".join(rows) + "\n").encode()
+        assert len(text) > (1 << 20)
+        single = decode_block(text, 20)
+        monkeypatch.setenv("MSK_DECODE_THREADS", "4")
+        threaded = decode_block(text, 20)
+        assert np.array_equal(single, threaded, equal_nan=True)
+        assert single.shape == (8999, 20)  # blank line dropped
+        with pytest.raises(ValueError, match="row 8000"):
+            bad = rows[:]
+            bad[8000] = "1,bogus,3"
+            decode_block(("\n".join(bad) + "\n").encode(), 20)
+
     def test_ingest_paths_agree(self, tmp_path):
         # load the same file with and without the native decoder
         import os
