@@ -29,7 +29,13 @@ from .data import (
 from .frames import ForcesEMGFrameTracker, FrameSubfr, SamplingFreq, TrajFrameTracker
 from .dataset import DatasetResult, analyze_dataset
 from .io import ViconCSVError, load_vicon_file
-from .models import NMFModel, SynergyRunResult, find_synergies
+from .models import (
+    NMFModel,
+    SynergyRunResult,
+    TimeVaryingSynergyResult,
+    find_synergies,
+    find_time_varying_synergies,
+)
 from .viz import plot_fft, plot_signal, synergy_heatmap
 
 __version__ = "0.1.0"
@@ -61,6 +67,8 @@ __all__ = [
     "NMFModel",
     "SynergyRunResult",
     "find_synergies",
+    "find_time_varying_synergies",
+    "TimeVaryingSynergyResult",
     "analyze_dataset",
     "DatasetResult",
     # viz

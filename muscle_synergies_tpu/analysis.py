@@ -243,3 +243,7 @@ from .models.select import (  # noqa: E402  (re-export, placed last to
     SynergyRunResult,
     find_synergies,
 )
+from .models.cnmf import (  # noqa: E402  (beyond-reference companion:
+    TimeVaryingSynergyResult,  # d'Avella-style time-varying synergies)
+    find_time_varying_synergies,
+)

@@ -1,6 +1,14 @@
 """NMF solver suite: initialization, MU and HALS/CD solvers, selection."""
 
 from .beta import BetaState, beta_divergence, fit_mu_beta, mu_update_beta
+from .cnmf import (
+    CNMFState,
+    TimeVaryingSynergyResult,
+    find_time_varying_synergies,
+    fit_cnmf,
+    fit_cnmf_batch,
+    tvaf,
+)
 from .hals import CDState, cd_pass, fit_cd
 from .init import initialize_nmf, nndsvd
 from .mu import EPSILON, MUState, fit_mu, frobenius_error, mu_update
@@ -34,6 +42,12 @@ __all__ = [
     "NMFModel",
     "SynergyRunResult",
     "find_synergies",
+    "find_time_varying_synergies",
+    "TimeVaryingSynergyResult",
+    "CNMFState",
+    "fit_cnmf",
+    "fit_cnmf_batch",
+    "tvaf",
     "bootstrap_synergies",
     "BootstrapResult",
     "cv_rank_selection",

@@ -1,0 +1,409 @@
+"""Convolutive NMF: time-varying muscle synergies, fused on device.
+
+The reference extracts *time-invariant* synergies only (a single
+``sklearn.decomposition.NMF`` per trial — reference analysis.py:848-864).
+The muscle-synergy literature's second canonical model is the
+*time-varying* synergy of d'Avella, Saltiel & Bizzi (2003): each synergy
+is a short spatiotemporal pattern ``S_k ∈ R^{D x L}`` (D lags x L
+muscles) recruited by a nonnegative activation train ``c_k(t)``, so
+
+    X[t, l] ≈ Σ_k Σ_d C[t - d, k] · S[k, d, l]
+
+— a 1-D convolution over time.  This module implements the
+multiplicative updates for that model (Smaragdis 2004's convolutive
+NMF, transposed to this package's ``(time, muscles)`` orientation)
+as a fused JAX loop:
+
+- the reconstruction and both update numerators/denominators are
+  lag-stacked einsums — ``(D·T, K) @ (K, L)``-shaped contractions that
+  XLA tiles straight onto the MXU (no scalar time loops);
+- the whole fit is one ``lax.while_loop`` with sklearn-style stopping
+  (relative Frobenius improvement every ``check_every`` iterations,
+  ``EPSILON``-guarded denominators), so a fit is a single device
+  computation, and ``vmap`` batches it over trials exactly like
+  :func:`muscle_synergies_tpu.models.batch.fit_mu_batch`;
+- ``C`` is updated with the ratio-of-sums rule (one update using all
+  lags), the standard practical variant.
+
+Scale indeterminacy is fixed by :func:`normalize_synergies` (unit
+Frobenius norm per synergy, activations rescaled inversely).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mu import EPSILON
+
+__all__ = [
+    "CNMFState",
+    "TimeVaryingSynergyResult",
+    "cnmf_reconstruct",
+    "cnmf_update",
+    "find_time_varying_synergies",
+    "fit_cnmf",
+    "fit_cnmf_batch",
+    "init_cnmf",
+    "normalize_synergies",
+    "tvaf",
+]
+
+
+def _shift_down(c: jnp.ndarray, d: int) -> jnp.ndarray:
+    """``out[t] = c[t - d]`` with zeros for ``t < d`` (causal shift)."""
+    if d == 0:
+        return c
+    t = c.shape[0]
+    return jnp.concatenate([jnp.zeros((d,) + c.shape[1:], c.dtype), c[: t - d]])
+
+
+def _shift_up(c: jnp.ndarray, d: int) -> jnp.ndarray:
+    """``out[t] = c[t + d]`` with zeros for ``t >= T - d``."""
+    if d == 0:
+        return c
+    t = c.shape[0]
+    return jnp.concatenate([c[d:], jnp.zeros((d,) + c.shape[1:], c.dtype)])
+
+
+def _lag_stack(c: jnp.ndarray, n_lags: int) -> jnp.ndarray:
+    """``(T, K) -> (D, T, K)`` with ``out[d, t] = c[t - d]``.
+
+    ``n_lags`` is static under jit, so the stack is an unrolled set of
+    pad-and-slice ops XLA fuses into one gather.
+    """
+    return jnp.stack([_shift_down(c, d) for d in range(n_lags)])
+
+
+def cnmf_reconstruct(c: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Reconstruction ``X̂[t, l] = Σ_k Σ_d C[t-d, k] S[k, d, l]``.
+
+    Args:
+        c: ``(T, K)`` nonnegative activation trains.
+        s: ``(K, D, L)`` spatiotemporal synergies.
+    """
+    cs = _lag_stack(c, s.shape[1])  # (D, T, K)
+    return jnp.einsum("dtk,kdl->tl", cs, s)
+
+
+def cnmf_update(
+    x: jnp.ndarray,
+    c: jnp.ndarray,
+    s: jnp.ndarray,
+    update_c: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One multiplicative update of S then C.
+
+    S update (each lag slice independently, exact MU):
+        ``S[k, d] ⊙= (shift_d(C)ᵀ X) / (shift_d(C)ᵀ X̂)``
+    C update (ratio of sums over lags):
+        ``C ⊙= (Σ_d shift_{-d}(X S_dᵀ)) / (Σ_d shift_{-d}(X̂ S_dᵀ))``
+
+    ``update_c=False`` freezes the activations (the ``transform``
+    analog: project new data onto fixed synergies).
+    """
+    n_lags = s.shape[1]
+
+    cs = _lag_stack(c, n_lags)  # (D, T, K)
+    xhat = jnp.einsum("dtk,kdl->tl", cs, s)
+    num_s = jnp.einsum("dtk,tl->kdl", cs, x)
+    den_s = jnp.einsum("dtk,tl->kdl", cs, xhat)
+    s = s * (num_s / jnp.where(den_s == 0, EPSILON, den_s))
+
+    if not update_c:
+        return c, s
+
+    cs = _lag_stack(c, n_lags)
+    xhat = jnp.einsum("dtk,kdl->tl", cs, s)
+    # G[d, t, k] = Σ_l X[t, l] S[k, d, l]; numerator is Σ_d G[d, t+d, k]
+    g_num = jnp.einsum("tl,kdl->dtk", x, s)
+    g_den = jnp.einsum("tl,kdl->dtk", xhat, s)
+    num_c = sum(_shift_up(g_num[d], d) for d in range(n_lags))
+    den_c = sum(_shift_up(g_den[d], d) for d in range(n_lags))
+    c = c * (num_c / jnp.where(den_c == 0, EPSILON, den_c))
+    return c, s
+
+
+class CNMFState(NamedTuple):
+    c: jnp.ndarray  # (T, K) activations
+    s: jnp.ndarray  # (K, D, L) spatiotemporal synergies
+    n_iter: jnp.ndarray  # int32
+    previous_error: jnp.ndarray
+    converged: jnp.ndarray  # bool
+
+
+def _frobenius_error(x, c, s):
+    diff = x - cnmf_reconstruct(c, s)
+    return jnp.sqrt(jnp.sum(diff * diff))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "tol", "check_every", "update_c"),
+)
+def fit_cnmf(
+    x: jnp.ndarray,
+    c0: jnp.ndarray,
+    s0: jnp.ndarray,
+    max_iter: int = 200,
+    tol: float = 1e-4,
+    check_every: int = 10,
+    update_c: bool = True,
+) -> CNMFState:
+    """Run convolutive NMF to convergence in one device computation.
+
+    Stopping matches the package's NMF solvers (sklearn's rule): every
+    ``check_every`` iterations evaluate the Frobenius error and stop
+    when ``(previous - current) / initial < tol``.
+
+    Args:
+        x: ``(T, L)`` nonnegative data (time x muscles).
+        c0: ``(T, K)`` initial activations.
+        s0: ``(K, D, L)`` initial synergies.
+    """
+    error_init = _frobenius_error(x, c0, s0)
+
+    def cond(state: CNMFState):
+        return (state.n_iter < max_iter) & ~state.converged
+
+    def body(state: CNMFState):
+        c, s = state.c, state.s
+        for _ in range(check_every):
+            c, s = cnmf_update(x, c, s, update_c=update_c)
+        error = _frobenius_error(x, c, s)
+        improvement = (state.previous_error - error) / jnp.maximum(
+            error_init, EPSILON
+        )
+        return CNMFState(
+            c,
+            s,
+            state.n_iter + check_every,
+            error,
+            improvement < tol,
+        )
+
+    init = CNMFState(
+        c0.astype(x.dtype),
+        s0.astype(x.dtype),
+        jnp.asarray(0, jnp.int32),
+        error_init,
+        jnp.asarray(False),
+    )
+    return jax.lax.while_loop(cond, body, init)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "tol", "check_every", "update_c"),
+)
+def fit_cnmf_batch(
+    xs: jnp.ndarray,
+    c0: jnp.ndarray,
+    s0: jnp.ndarray,
+    max_iter: int = 200,
+    tol: float = 1e-4,
+    check_every: int = 10,
+    update_c: bool = True,
+) -> CNMFState:
+    """vmap :func:`fit_cnmf` over a ``(B, T, L)`` stack of trials.
+
+    Per-trial stopping is exact: each trial's while-loop condition is
+    evaluated independently under vmap (converged trials freeze while
+    the rest keep iterating).
+    """
+    return jax.vmap(
+        lambda x, c, s: fit_cnmf(
+            x,
+            c,
+            s,
+            max_iter=max_iter,
+            tol=tol,
+            check_every=check_every,
+            update_c=update_c,
+        )
+    )(xs, c0, s0)
+
+
+def init_cnmf(
+    x: np.ndarray,
+    n_synergies: int,
+    n_lags: int,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Scaled-random nonnegative init (sklearn's ``init='random'`` scale).
+
+    Factors are drawn uniform and scaled so the reconstruction's
+    expected magnitude matches the data:
+    ``sqrt(mean(X) / (K · D · E[c]·E[s]))`` per factor entry.
+
+    Batched inputs ``(B, T, L)`` return batched factors.
+    """
+    x = np.asarray(x)
+    if x.ndim == 3:
+        pairs = [
+            init_cnmf(x[b], n_synergies, n_lags, seed=seed + b)
+            for b in range(x.shape[0])
+        ]
+        return (
+            np.stack([p[0] for p in pairs]),
+            np.stack([p[1] for p in pairs]),
+        )
+    t, n_m = x.shape
+    rng = np.random.default_rng(seed)
+    scale = np.sqrt(x.mean() / (n_synergies * n_lags)) if x.size else 1.0
+    c = rng.uniform(0, 2 * scale, size=(t, n_synergies))
+    s = rng.uniform(0, 2 * scale, size=(n_synergies, n_lags, n_m))
+    return c.astype(x.dtype, copy=False), s.astype(x.dtype, copy=False)
+
+
+def normalize_synergies(
+    c: jnp.ndarray, s: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Unit-Frobenius-norm synergies; activations rescaled inversely.
+
+    Leaves the reconstruction bit-unchanged up to one multiply per
+    factor; zero synergies (norm 0) are left untouched.
+    Accepts single ``(T,K)/(K,D,L)`` or batched ``(B,...)`` factors.
+    """
+    batched = s.ndim == 4
+    axes = (2, 3) if batched else (1, 2)
+    norms = jnp.sqrt(jnp.sum(s * s, axis=axes, keepdims=True))
+    safe = jnp.where(norms == 0, 1.0, norms)
+    s_out = s / safe
+    c_scale = jnp.squeeze(safe, axis=axes[-1])  # (…, K, 1) -> align to C
+    c_out = c * jnp.swapaxes(c_scale, -1, -2)
+    return c_out, s_out
+
+
+class TimeVaryingSynergyResult(NamedTuple):
+    """Best-restart result of :func:`find_time_varying_synergies`.
+
+    Attributes:
+        synergies: ``{k: (n_lags, n_muscles) DataFrame}`` — one
+            spatiotemporal pattern per synergy, unit Frobenius norm,
+            columns named after the muscles.
+        activations: ``(T, n_synergies)`` DataFrame of recruitment
+            trains on the input's time index.
+        vaf: overall VAF of the reconstruction (scalar float).
+        vaf_per_muscle: Series of per-muscle VAF, indexed by muscle.
+        n_iter: iterations used by the winning restart.
+        restart_errors: final Frobenius error of every restart (the
+            winner is the argmin).
+    """
+
+    synergies: dict
+    activations: "object"
+    vaf: float
+    vaf_per_muscle: "object"
+    n_iter: int
+    restart_errors: np.ndarray
+
+
+def find_time_varying_synergies(
+    signal_df,
+    n_synergies: int,
+    n_lags: int,
+    max_iter: int = 500,
+    tol: float = 1e-5,
+    n_inits: int = 4,
+    seed: int = 0,
+) -> TimeVaryingSynergyResult:
+    """Extract d'Avella-style time-varying synergies from an EMG frame.
+
+    The beyond-reference companion to ``find_synergies`` (reference
+    analysis.py:713 extracts time-invariant synergies only): each
+    synergy is a ``(n_lags, n_muscles)`` spatiotemporal pattern and the
+    model is a sum of convolutions.  Multi-restart is free parallelism
+    on TPU: the ``n_inits`` random restarts are stacked on a batch axis
+    and solved in ONE device dispatch by :func:`fit_cnmf_batch`; the
+    best restart (lowest final Frobenius error) is returned with
+    unit-norm synergies.
+
+    Args:
+        signal_df: nonnegative ``(T, n_muscles)`` DataFrame (e.g. a
+            rectified envelope), or a plain 2-D array.
+        n_synergies: number of time-varying synergies ``K``.
+        n_lags: temporal extent ``D`` of each synergy, in samples.
+        max_iter / tol: sklearn-style stopping (see :func:`fit_cnmf`).
+        n_inits: random restarts (batched into one computation).
+        seed: base seed; restart ``r`` uses ``seed + r``.
+    """
+    import pandas
+
+    x_host = np.asarray(signal_df, dtype=float)
+    if x_host.ndim != 2:
+        raise ValueError(f"expected a 2-D matrix, got shape {x_host.shape}")
+    if x_host.size == 0:
+        raise ValueError("empty matrix passed to convolutive NMF")
+    if not np.all(np.isfinite(x_host)):
+        raise ValueError("Input X contains NaN or infinity.")
+    if np.any(x_host < 0):
+        raise ValueError("Negative values in data passed to NMF")
+    t, n_m = x_host.shape
+    if not 1 <= n_synergies:
+        raise ValueError(f"n_synergies must be >= 1, got {n_synergies}")
+    if not 1 <= n_lags <= t:
+        raise ValueError(
+            f"n_lags must be in [1, n_samples={t}], got {n_lags}"
+        )
+    if n_inits < 1:
+        raise ValueError(f"n_inits must be >= 1, got {n_inits}")
+
+    xs = np.broadcast_to(x_host, (n_inits,) + x_host.shape)
+    c0, s0 = init_cnmf(xs, n_synergies, n_lags, seed=seed)
+    state = fit_cnmf_batch(
+        jnp.asarray(xs), jnp.asarray(c0), jnp.asarray(s0),
+        max_iter=max_iter, tol=tol,
+    )
+    errors = np.asarray(state.previous_error)
+    best = int(np.argmin(errors))
+    c, s = normalize_synergies(state.c[best], state.s[best])
+    c_np, s_np = np.asarray(c), np.asarray(s)
+
+    recon = np.asarray(cnmf_reconstruct(c, s))
+    err2 = ((x_host - recon) ** 2).sum(axis=0)
+    tot2 = (x_host**2).sum(axis=0)
+    per_muscle = 1.0 - err2 / np.where(tot2 == 0, 1.0, tot2)
+
+    if isinstance(signal_df, pandas.DataFrame):
+        columns, index = signal_df.columns, signal_df.index
+    else:
+        columns = pandas.RangeIndex(n_m)
+        index = pandas.RangeIndex(t)
+    synergies = {
+        k: pandas.DataFrame(s_np[k], columns=columns) for k in range(n_synergies)
+    }
+    activations = pandas.DataFrame(
+        c_np, index=index, columns=[f"synergy {k}" for k in range(n_synergies)]
+    )
+    overall = 1.0 - float(((x_host - recon) ** 2).sum()) / max(
+        float((x_host**2).sum()), float(EPSILON)
+    )
+    return TimeVaryingSynergyResult(
+        synergies=synergies,
+        activations=activations,
+        vaf=overall,
+        vaf_per_muscle=pandas.Series(per_muscle, index=columns),
+        n_iter=int(state.n_iter[best]),
+        restart_errors=errors,
+    )
+
+
+def tvaf(x: jnp.ndarray, c: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Overall VAF of the convolutive reconstruction.
+
+    Same definition as the reference's time-invariant ``vaf``
+    (reference analysis.py:636-643): ``1 - ||X - X̂||² / ||X||²``.
+    Batched factors ``(B, ...)`` return a ``(B,)`` vector.
+    """
+    recon = (
+        jax.vmap(cnmf_reconstruct)(c, s) if s.ndim == 4 else cnmf_reconstruct(c, s)
+    )
+    sum_axes = tuple(range(x.ndim - 2, x.ndim))
+    err = jnp.sum((x - recon) ** 2, axis=sum_axes)
+    tot = jnp.sum(x * x, axis=sum_axes)
+    return 1.0 - err / jnp.where(tot == 0, 1.0, tot)

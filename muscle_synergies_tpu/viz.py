@@ -94,3 +94,57 @@ def plot_fft(
     """Plot the positive-frequency amplitude spectrum of each column."""
     spectrum_df = fft_spectrum(signal_df, sampling_frequency)
     return plot_signal(spectrum_df, xlabel=xlabel, **kwargs)
+
+
+def plot_time_varying_synergies(
+    result,
+    sampling_frequency: Optional[int] = None,
+    show: bool = True,
+):
+    """Visualize a :class:`~...models.cnmf.TimeVaryingSynergyResult`.
+
+    Beyond-reference companion to :func:`synergy_heatmap` for the
+    convolutive model: the left column shows each synergy's
+    spatiotemporal pattern (lags x muscles heatmap), the right column
+    its activation train over the trial.
+
+    Args:
+        result: output of ``find_time_varying_synergies``.
+        sampling_frequency: when given, lag and time axes are labeled
+            in seconds instead of samples.
+        show: as in :func:`plot_signal` — show and return None, or
+            return the figure for saving/testing.
+    """
+    import matplotlib.pyplot as plt
+    import seaborn as sns
+
+    k = len(result.synergies)
+    fig, axes = plt.subplots(
+        k, 2, figsize=(10, 2.4 * k), squeeze=False,
+        gridspec_kw={"width_ratios": [1, 2]},
+    )
+    activations = result.activations
+    time = np.asarray(activations.index, dtype=float)
+    if sampling_frequency:
+        time = time / sampling_frequency
+    for ki in range(k):
+        pattern = result.synergies[ki]
+        sns.heatmap(
+            pattern.T, ax=axes[ki][0], cbar=False, xticklabels=False
+        )
+        axes[ki][0].set_ylabel(f"synergy {ki}")
+        axes[ki][0].set_xlabel(
+            "lag (s)" if sampling_frequency else "lag (samples)"
+        )
+        axes[ki][1].plot(time, activations.iloc[:, ki].to_numpy())
+        axes[ki][1].set_xlabel(
+            "time (s)" if sampling_frequency else "time (samples)"
+        )
+        axes[ki][1].set_ylabel("activation")
+    fig.suptitle(f"Time-varying synergies (VAF {result.vaf:.3f})")
+    fig.tight_layout()
+
+    if show:  # pragma: no cover - interactive path
+        plt.show()
+        return None
+    return fig

@@ -1,0 +1,265 @@
+"""Convolutive NMF (time-varying synergies) vs a naive numpy oracle."""
+
+import numpy as np
+import pytest
+
+from muscle_synergies_tpu.models.cnmf import (
+    cnmf_reconstruct,
+    cnmf_update,
+    fit_cnmf,
+    fit_cnmf_batch,
+    init_cnmf,
+    normalize_synergies,
+    tvaf,
+)
+from muscle_synergies_tpu.models.mu import EPSILON
+
+RNG = np.random.default_rng(7)
+
+
+def naive_reconstruct(c, s):
+    """Direct triple loop over the model definition."""
+    t, k = c.shape
+    _, d, m = s.shape
+    out = np.zeros((t, m))
+    for ti in range(t):
+        for di in range(d):
+            if ti - di >= 0:
+                out[ti] += c[ti - di] @ s[:, di, :]
+    return out
+
+
+def naive_update(x, c, s):
+    """Smaragdis-style MU in plain numpy (S per-lag, C ratio-of-sums)."""
+    t, k = c.shape
+    _, d, m = s.shape
+
+    def shifted(cmat, lag):
+        out = np.zeros_like(cmat)
+        if lag == 0:
+            return cmat.copy()
+        out[lag:] = cmat[: t - lag]
+        return out
+
+    xhat = naive_reconstruct(c, s)
+    s_new = s.copy()
+    for di in range(d):
+        cd = shifted(c, di)
+        num = cd.T @ x
+        den = cd.T @ xhat
+        den[den == 0] = EPSILON
+        s_new[:, di, :] = s[:, di, :] * (num / den)
+
+    xhat = naive_reconstruct(c, s_new)
+    num = np.zeros_like(c)
+    den = np.zeros_like(c)
+    for di in range(d):
+        gn = x @ s_new[:, di, :].T
+        gd = xhat @ s_new[:, di, :].T
+        num[: t - di if di else t] += gn[di:]
+        den[: t - di if di else t] += gd[di:]
+    den[den == 0] = EPSILON
+    return c * (num / den), s_new
+
+
+def synthetic(t=120, k=2, d=8, m=6, seed=3):
+    """Data generated exactly from the model (recoverable)."""
+    rng = np.random.default_rng(seed)
+    c = np.zeros((t, k))
+    for ki in range(k):  # sparse bursts of activation
+        for start in rng.choice(t - d, size=4, replace=False):
+            c[start, ki] = rng.uniform(0.5, 2.0)
+    s = rng.uniform(0, 1, size=(k, d, m))
+    return naive_reconstruct(c, s), c, s
+
+
+class TestAgainstNaive:
+    def test_reconstruct_matches(self):
+        c = RNG.uniform(0, 1, (50, 3))
+        s = RNG.uniform(0, 1, (3, 5, 4))
+        np.testing.assert_allclose(
+            np.asarray(cnmf_reconstruct(c, s)),
+            naive_reconstruct(c, s),
+            rtol=1e-10,
+        )
+
+    def test_single_update_matches(self):
+        x = RNG.uniform(0.1, 1, (60, 5))
+        c = RNG.uniform(0.1, 1, (60, 2))
+        s = RNG.uniform(0.1, 1, (2, 6, 5))
+        cj, sj = cnmf_update(x, c, s)
+        cn, sn = naive_update(x, c, s)
+        np.testing.assert_allclose(np.asarray(sj), sn, rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(cj), cn, rtol=1e-9)
+
+    def test_ten_chained_updates_match(self):
+        x = RNG.uniform(0.1, 1, (40, 4))
+        c = RNG.uniform(0.1, 1, (40, 2))
+        s = RNG.uniform(0.1, 1, (2, 4, 4))
+        cj, sj = c, s
+        cn, sn = c.copy(), s.copy()
+        for _ in range(10):
+            cj, sj = cnmf_update(x, np.asarray(cj), np.asarray(sj))
+            cn, sn = naive_update(x, cn, sn)
+        np.testing.assert_allclose(np.asarray(cj), cn, rtol=1e-7)
+        np.testing.assert_allclose(np.asarray(sj), sn, rtol=1e-7)
+
+
+class TestFit:
+    def test_error_decreases_and_converges(self):
+        x, _, _ = synthetic()
+        c0, s0 = init_cnmf(x, 2, 8, seed=1)
+        state = fit_cnmf(x, c0, s0, max_iter=2000, tol=1e-4)
+        assert bool(state.converged)
+        assert int(state.n_iter) < 2000
+        err0 = np.linalg.norm(x - np.asarray(cnmf_reconstruct(c0, s0)))
+        assert float(state.previous_error) < 0.5 * err0
+
+    def test_recovers_synthetic_model(self):
+        x, _, _ = synthetic()
+        best = 0.0
+        for seed in range(3):
+            c0, s0 = init_cnmf(x, 2, 8, seed=seed)
+            state = fit_cnmf(x, c0, s0, max_iter=600, tol=1e-6)
+            best = max(
+                best, float(tvaf(x, state.c, state.s))
+            )
+        assert best > 0.95
+
+    def test_frozen_activations(self):
+        x, c_true, _ = synthetic()
+        c0, s0 = init_cnmf(x, 2, 8, seed=0)
+        state = fit_cnmf(x, c_true, s0, max_iter=100, update_c=False)
+        np.testing.assert_array_equal(np.asarray(state.c), c_true)
+
+    def test_nonnegativity_preserved(self):
+        x, _, _ = synthetic()
+        c0, s0 = init_cnmf(x, 2, 8, seed=5)
+        state = fit_cnmf(x, c0, s0, max_iter=100)
+        assert float(np.asarray(state.c).min()) >= 0
+        assert float(np.asarray(state.s).min()) >= 0
+
+
+class TestBatched:
+    def test_batch_matches_loop(self):
+        xs = np.stack([synthetic(seed=i)[0] for i in range(4)])
+        c0, s0 = init_cnmf(xs, 2, 8, seed=11)
+        batch = fit_cnmf_batch(xs, c0, s0, max_iter=120, tol=1e-5)
+        for b in range(4):
+            single = fit_cnmf(xs[b], c0[b], s0[b], max_iter=120, tol=1e-5)
+            assert int(batch.n_iter[b]) == int(single.n_iter)
+            np.testing.assert_allclose(
+                np.asarray(batch.c[b]), np.asarray(single.c), rtol=1e-10
+            )
+            np.testing.assert_allclose(
+                np.asarray(batch.s[b]), np.asarray(single.s), rtol=1e-10
+            )
+
+    def test_batched_tvaf_shape(self):
+        xs = np.stack([synthetic(seed=i)[0] for i in range(3)])
+        c0, s0 = init_cnmf(xs, 2, 8, seed=2)
+        state = fit_cnmf_batch(xs, c0, s0, max_iter=60)
+        v = np.asarray(tvaf(xs, state.c, state.s))
+        assert v.shape == (3,)
+        assert np.all(v > 0)
+
+
+class TestFindTimeVaryingSynergies:
+    def _frame(self):
+        import pandas
+
+        x, _, _ = synthetic()
+        return pandas.DataFrame(
+            x, columns=[f"m{i}" for i in range(x.shape[1])]
+        )
+
+    def test_end_to_end_on_dataframe(self):
+        df = self._frame()
+        from muscle_synergies_tpu import find_time_varying_synergies
+
+        res = find_time_varying_synergies(
+            df, 2, 8, max_iter=400, tol=1e-6, n_inits=3, seed=0
+        )
+        assert res.vaf > 0.9
+        assert set(res.synergies) == {0, 1}
+        assert res.synergies[0].shape == (8, 6)
+        assert list(res.synergies[0].columns) == list(df.columns)
+        assert res.activations.shape == (len(df), 2)
+        assert res.restart_errors.shape == (3,)
+        # winner actually is the argmin restart
+        assert res.vaf_per_muscle.index.tolist() == list(df.columns)
+        # synergies come back unit-norm
+        for k in res.synergies:
+            n = np.linalg.norm(res.synergies[k].to_numpy())
+            assert abs(n - 1.0) < 1e-6
+
+    def test_validation(self):
+        import pandas
+
+        from muscle_synergies_tpu import find_time_varying_synergies
+
+        df = self._frame()
+        with pytest.raises(ValueError, match="Negative"):
+            find_time_varying_synergies(-df - 1.0, 2, 4)
+        with pytest.raises(ValueError, match="NaN"):
+            bad = df.copy()
+            bad.iloc[0, 0] = np.nan
+            find_time_varying_synergies(bad, 2, 4)
+        with pytest.raises(ValueError, match="n_lags"):
+            find_time_varying_synergies(df, 2, len(df) + 1)
+        with pytest.raises(ValueError, match="n_synergies"):
+            find_time_varying_synergies(df, 0, 4)
+        with pytest.raises(ValueError, match="n_inits"):
+            find_time_varying_synergies(df, 2, 4, n_inits=0)
+        with pytest.raises(ValueError, match="2-D"):
+            find_time_varying_synergies(
+                pandas.Series(np.ones(5)).to_numpy(), 1, 2
+            )
+
+    def test_importable_from_analysis_and_models(self):
+        from muscle_synergies_tpu import analysis, models
+
+        assert (
+            analysis.find_time_varying_synergies
+            is models.find_time_varying_synergies
+        )
+
+    def test_plot(self):
+        from muscle_synergies_tpu import find_time_varying_synergies
+        from muscle_synergies_tpu.viz import plot_time_varying_synergies
+
+        res = find_time_varying_synergies(
+            self._frame(), 2, 8, max_iter=60, n_inits=2
+        )
+        fig = plot_time_varying_synergies(res, show=False)
+        assert fig is not None
+        assert len(fig.axes) == 4
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
+
+class TestNormalize:
+    def test_reconstruction_invariant(self):
+        c = RNG.uniform(0, 1, (30, 3))
+        s = RNG.uniform(0, 1, (3, 4, 5))
+        cn, sn = normalize_synergies(c, s)
+        np.testing.assert_allclose(
+            np.asarray(cnmf_reconstruct(cn, sn)),
+            naive_reconstruct(c, s),
+            rtol=1e-10,
+        )
+        norms = np.linalg.norm(np.asarray(sn).reshape(3, -1), axis=1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-12)
+
+    def test_batched_and_zero_synergy(self):
+        c = RNG.uniform(0, 1, (2, 30, 3))
+        s = RNG.uniform(0, 1, (2, 3, 4, 5))
+        s[0, 1] = 0.0
+        cn, sn = normalize_synergies(c, s)
+        assert np.all(np.isfinite(np.asarray(sn)))
+        np.testing.assert_allclose(
+            np.asarray(cnmf_reconstruct(cn[1], sn[1])),
+            naive_reconstruct(c[1], s[1]),
+            rtol=1e-10,
+        )
