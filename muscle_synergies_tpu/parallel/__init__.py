@@ -11,6 +11,7 @@ from .mesh import (
     make_mesh,
     replicated,
 )
+from .cnmf import sharded_fit_cnmf
 from .nmf import (
     sharded_fit_beta,
     sharded_fit_cd,
@@ -32,6 +33,7 @@ __all__ = [
     "sharded_fit_beta",
     "sharded_fit_kl",
     "sharded_fit_mu_tp",
+    "sharded_fit_cnmf",
     "MODEL_AXIS",
     "sharded_fit_cd",
     "sharded_moving_rms",

@@ -20,6 +20,7 @@ __all__ = [
     "axis_index",
     "axis_size",
     "ring_shift",
+    "edge_shift",
     "mark_varying",
 ]
 
@@ -66,6 +67,23 @@ def ring_shift(x, axis_name: str, shift: int = 1):
     """
     n = axis_size(axis_name)
     perm = [(i, (i + shift) % n) for i in range(n)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def edge_shift(x, axis_name: str, shift: int = 1):
+    """Shift shards along a mesh axis WITHOUT wraparound.
+
+    Devices with no source (the first ``shift`` devices for a positive
+    shift, the last for a negative one) receive zeros — ``ppermute``'s
+    fill for absent sources, which is exactly the zero-padded boundary
+    the convolutive model's causal shifts define.  Used for: lag halos
+    in the sequence-parallel convolutive NMF.
+    """
+    n = axis_size(axis_name)
+    if shift >= 0:
+        perm = [(i, i + shift) for i in range(n - shift)]
+    else:
+        perm = [(i, i + shift) for i in range(-shift, n)]
     return jax.lax.ppermute(x, axis_name, perm)
 
 

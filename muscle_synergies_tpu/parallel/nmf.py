@@ -107,8 +107,10 @@ def _convergence_driver(
     ``check_every`` multiples, and — like the local solvers' static
     branch — no criterion at all when ``tol == 0`` (run to
     ``max_iter``, ``previous_error`` stays the initial error).
-    ``state_cls`` is any NamedTuple with the
-    ``(w, h, n_iter, previous_error, converged)`` layout.
+    ``state_cls`` is any NamedTuple whose first two fields are the two
+    factors (any per-trial rank; e.g. ``(w, h, ...)`` or the
+    convolutive ``(c, s, ...)``) followed by
+    ``(n_iter, previous_error, converged)``.
     """
     b = xb.shape[0]
     error_at_init = local_error(xb, wb, hb, axis_name)
@@ -119,13 +121,14 @@ def _convergence_driver(
         def body(_, carry):
             w, h = carry
             w_new, h_new = local_step(xb, w, h, axis_name)
-            keep = state.converged[:, None, None]
+            keep_w = state.converged.reshape((-1,) + (1,) * (w.ndim - 1))
+            keep_h = state.converged.reshape((-1,) + (1,) * (h.ndim - 1))
             return (
-                jnp.where(keep, w, w_new),
-                jnp.where(keep, h, h_new),
+                jnp.where(keep_w, w, w_new),
+                jnp.where(keep_h, h, h_new),
             )
 
-        w, h = jax.lax.fori_loop(0, steps, body, (state.w, state.h))
+        w, h = jax.lax.fori_loop(0, steps, body, (state[0], state[1]))
         n_iter = jnp.where(state.converged, state.n_iter, state.n_iter + steps)
         if tol > 0:
             error = local_error(xb, w, h, axis_name)
@@ -151,11 +154,11 @@ def _convergence_driver(
     # data axis (their loop-carried updates depend on this shard's
     # trials), or shard_map's varying-axis check rejects the while_loop.
     init = state_cls(
-        w=wb,
-        h=hb,
-        n_iter=mark_varying(jnp.zeros((b,), jnp.int32), DATA_AXIS),
-        previous_error=error_at_init,
-        converged=mark_varying(jnp.zeros((b,), bool), DATA_AXIS),
+        wb,
+        hb,
+        mark_varying(jnp.zeros((b,), jnp.int32), DATA_AXIS),
+        error_at_init,
+        mark_varying(jnp.zeros((b,), bool), DATA_AXIS),
     )
     return jax.lax.while_loop(cond, chunk, init)
 

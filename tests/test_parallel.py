@@ -815,3 +815,84 @@ class TestShardedRegularization:
         np.testing.assert_allclose(meshed.h, local.h, rtol=1e-7, atol=1e-10)
         # rank-2 grid entries keep their padded third component at zero
         np.testing.assert_array_equal(meshed.h[0][:, 2:, :], 0)
+
+
+class TestShardedCNMF:
+    """Sequence-parallel convolutive NMF: halo-exchange exactness."""
+
+    def _problem(self, b=8, t=48, l=6, k=2, d=5, seed=21):
+        from muscle_synergies_tpu.models.cnmf import init_cnmf
+
+        rng = np.random.default_rng(seed)
+        xs = np.asarray(rng.random((b, t, l)) + 0.01)
+        c0, s0 = init_cnmf(xs, k, d, seed=seed + 1)
+        return xs, c0, s0
+
+    def test_matches_batched_local(self, mesh_2x4):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from muscle_synergies_tpu.models.cnmf import fit_cnmf_batch
+        from muscle_synergies_tpu.parallel import sharded_fit_cnmf
+        from muscle_synergies_tpu.parallel.mesh import DATA_AXIS, TIME_AXIS
+
+        xs, c0, s0 = self._problem()
+        ref = fit_cnmf_batch(
+            jnp.asarray(xs), jnp.asarray(c0), jnp.asarray(s0),
+            max_iter=120, tol=1e-5,
+        )
+        xs_s = jax.device_put(
+            xs, NamedSharding(mesh_2x4, P(DATA_AXIS, TIME_AXIS))
+        )
+        c_s = jax.device_put(
+            c0, NamedSharding(mesh_2x4, P(DATA_AXIS, TIME_AXIS))
+        )
+        s_s = jax.device_put(s0, NamedSharding(mesh_2x4, P(DATA_AXIS)))
+        got = sharded_fit_cnmf(xs_s, c_s, s_s, mesh_2x4,
+                               max_iter=120, tol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got.n_iter),
+                                      np.asarray(ref.n_iter))
+        np.testing.assert_array_equal(np.asarray(got.converged),
+                                      np.asarray(ref.converged))
+        np.testing.assert_allclose(np.asarray(got.c), np.asarray(ref.c),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got.s), np.asarray(ref.s),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got.previous_error),
+                                   np.asarray(ref.previous_error),
+                                   rtol=1e-9)
+
+    def test_single_lag_degenerates_cleanly(self, mesh_2x4):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from muscle_synergies_tpu.models.cnmf import fit_cnmf_batch
+        from muscle_synergies_tpu.parallel import sharded_fit_cnmf
+        from muscle_synergies_tpu.parallel.mesh import DATA_AXIS, TIME_AXIS
+
+        xs, c0, s0 = self._problem(d=1)
+        ref = fit_cnmf_batch(
+            jnp.asarray(xs), jnp.asarray(c0), jnp.asarray(s0),
+            max_iter=60, tol=1e-5,
+        )
+        xs_s = jax.device_put(
+            xs, NamedSharding(mesh_2x4, P(DATA_AXIS, TIME_AXIS))
+        )
+        c_s = jax.device_put(
+            c0, NamedSharding(mesh_2x4, P(DATA_AXIS, TIME_AXIS))
+        )
+        s_s = jax.device_put(s0, NamedSharding(mesh_2x4, P(DATA_AXIS)))
+        got = sharded_fit_cnmf(xs_s, c_s, s_s, mesh_2x4,
+                               max_iter=60, tol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.c), np.asarray(ref.c),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got.s), np.asarray(ref.s),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_halo_and_divisibility_guards(self, mesh_2x4):
+        from muscle_synergies_tpu.parallel import sharded_fit_cnmf
+
+        xs, c0, s0 = self._problem(t=48, d=14)  # halo 13 > 12-row shard
+        with pytest.raises(ValueError, match="halo"):
+            sharded_fit_cnmf(xs, c0, s0, mesh_2x4)
+        xs, c0, s0 = self._problem(t=50, d=3)
+        with pytest.raises(ValueError, match="divide"):
+            sharded_fit_cnmf(xs, c0, s0, mesh_2x4)
