@@ -45,11 +45,12 @@ bench-vaf:  # BASELINE.md's second metric: time-to-90%-VAF
 bench-check:  # on-device Pallas kernel numerics vs float64 references
 	$(PYTHON) bench.py --check | tee BENCH_CHECK.json
 
-bench-solvers:  # per-solver throughput rows (mu, cd, kl, is) -> artifact
+bench-solvers:  # per-solver throughput rows (mu, cd, kl, is, cnmf) -> artifact
 	$(PYTHON) bench.py --solver mu > BENCH_SOLVERS.json
 	$(PYTHON) bench.py --solver cd >> BENCH_SOLVERS.json
 	$(PYTHON) bench.py --solver kl >> BENCH_SOLVERS.json
 	$(PYTHON) bench.py --solver is >> BENCH_SOLVERS.json
+	$(PYTHON) bench.py --solver cnmf >> BENCH_SOLVERS.json
 	cat BENCH_SOLVERS.json
 
 bench-fit:  # full convergence-fit wall time per solver -> artifact

@@ -45,6 +45,7 @@ __all__ = [
     "TimeVaryingSynergyResult",
     "cnmf_reconstruct",
     "cnmf_update",
+    "cnmf_iterations_batch",
     "find_time_varying_synergies",
     "fit_cnmf",
     "fit_cnmf_batch",
@@ -226,6 +227,30 @@ def fit_cnmf_batch(
             update_c=update_c,
         )
     )(xs, c0, s0)
+
+
+@functools.partial(jax.jit, static_argnames=("update_c",))
+def cnmf_iterations_batch(
+    xs: jnp.ndarray,
+    c0: jnp.ndarray,
+    s0: jnp.ndarray,
+    n_iters: jnp.ndarray,
+    update_c: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``n_iters`` convolutive updates on a ``(B, T, L)`` batch.
+
+    The fixed-iteration benchmarking/chunking twin of
+    :func:`fit_cnmf_batch` (no convergence checks); ``n_iters`` is a
+    traced scalar so chains of different lengths share one compile.
+    """
+
+    def one(x, c, s):
+        def body(_, cs_):
+            return cnmf_update(x, cs_[0], cs_[1], update_c=update_c)
+
+        return jax.lax.fori_loop(0, n_iters, body, (c, s))
+
+    return jax.vmap(one)(xs, c0, s0)
 
 
 def init_cnmf(
