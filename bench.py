@@ -108,11 +108,7 @@ def _resolve_impl(impl):
 
 
 def _make_step(impl, batch, solver="mu"):
-    """Return ``step(xs, w, h, iters)`` for the chosen solver/impl.
-
-    ``cnmf`` has no Pallas kernel (its updates are MXU einsums already);
-    ``impl`` is ignored there.
-    """
+    """Return ``step(xs, w, h, iters)`` for the chosen solver/impl."""
     from muscle_synergies_tpu.models.batch import (
         beta_mu_iterations_batch,
         cd_iterations_batch,
@@ -125,7 +121,10 @@ def _make_step(impl, batch, solver="mu"):
         from muscle_synergies_tpu.models.cnmf import cnmf_iterations_batch
 
         def step_fn(xs, c, srg, iters):
-            return cnmf_iterations_batch(xs, c, srg, iters)
+            return cnmf_iterations_batch(
+                xs, c, srg, iters, impl=impl,
+                block_b=block_b if impl == "pallas" else None,
+            )
     elif solver == "mu":
         def step_fn(xs, w, h, iters):
             return mu_iterations_batch(
@@ -294,7 +293,7 @@ def run_iters(args):
     per_call = _measure_per_call(step_fn, xs, args, dtype, avg)
     iters_per_sec = args.iters / per_call
     lag_note = f", lags={args.lags}" if args.solver == "cnmf" else ""
-    impl_note = "xla-einsum" if args.solver == "cnmf" else impl
+    impl_note = impl
     # The 10k target is defined for plain-NMF iterations; one
     # convolutive iteration does ~lags x that work (every projection is
     # a D-deep lag stack), so cnmf normalizes by the lag count to stay
@@ -408,7 +407,8 @@ def run_fit(args):
     """Convergence-fit wall time: the whole batch solved to tolerance.
 
     Times the per-trial-stopping fit (``fit_mu_batch`` /
-    ``fit_cd_batch`` / ``fit_mu_beta_batch``) for the resolved
+    ``fit_cd_batch`` / ``fit_mu_beta_batch`` / ``fit_cnmf_batch``) for
+    the resolved
     ``--impl`` (and, when it is the pallas path, the XLA twin as the
     baseline) with the shared relay-aware protocol: chains of
     dependent fits inside one jitted ``fori_loop``, seed-fresh factor
@@ -446,6 +446,16 @@ def run_fit(args):
                 return fit_cd_batch(
                     xs, w, h, max_iter=max_iter, tol=tol, impl=impl
                 )
+        elif args.solver == "cnmf":
+            from muscle_synergies_tpu.models.cnmf import fit_cnmf_batch
+
+            def fit(xs, c, s):
+                return fit_cnmf_batch(
+                    xs, c, s, max_iter=max_iter, tol=tol, impl=impl,
+                    block_b=(
+                        min(128, args.batch) if impl == "pallas" else None
+                    ),
+                )
         else:
             beta = 1.0 if args.solver == "kl" else 0.0
 
@@ -463,7 +473,8 @@ def run_fit(args):
         def chain(xs, w, h, n_calls):
             def body(i, acc):
                 state = fit(xs, w * (1.0 + 1e-4 * i.astype(dtype)), h)
-                return acc + jnp.sum(state.w) + jnp.sum(
+                # field 0 is W for the NMF states, C for CNMFState
+                return acc + jnp.sum(state[0]) + jnp.sum(
                     state.n_iter.astype(dtype)
                 )
 
@@ -606,6 +617,59 @@ def _beta_reference_f64(x, w, h, iters, beta):
     return w, h
 
 
+def _cnmf_reference_f64(x, c, s, iters):
+    """float64 host reference of the convolutive MU iteration.
+
+    The Smaragdis-style update of ``models.cnmf.cnmf_update`` in plain
+    numpy: per-lag S projections against causally shifted activations,
+    then the ratio-of-sums C update with the fresh S.
+    """
+    x = x.astype(np.float64)
+    c = c.astype(np.float64)
+    s = s.astype(np.float64)
+    t = c.shape[0]
+    n_lags = s.shape[1]
+
+    def shift_down(m, d):
+        if d == 0:
+            return m
+        out = np.zeros_like(m)
+        out[d:] = m[: t - d]
+        return out
+
+    def shift_up(m, d):
+        if d == 0:
+            return m
+        out = np.zeros_like(m)
+        out[: t - d] = m[d:]
+        return out
+
+    def reconstruct(cm, sm):
+        return sum(
+            shift_down(cm, d) @ sm[:, d, :] for d in range(n_lags)
+        )
+
+    for _ in range(iters):
+        cs = [shift_down(c, d) for d in range(n_lags)]
+        xhat = reconstruct(c, s)
+        s_new = s.copy()
+        for d in range(n_lags):
+            num = cs[d].T @ x
+            den = cs[d].T @ xhat
+            den[den == 0] = EPSILON
+            s_new[:, d, :] = s[:, d, :] * (num / den)
+        s = s_new
+        xhat = reconstruct(c, s)
+        num = np.zeros_like(c)
+        den = np.zeros_like(c)
+        for d in range(n_lags):
+            num += shift_up(x @ s[:, d, :].T, d)
+            den += shift_up(xhat @ s[:, d, :].T, d)
+        den[den == 0] = EPSILON
+        c = c * (num / den)
+    return c, s
+
+
 def _cd_reference_f64(x, w, h, iters):
     """float64 host reference of the CD/HALS outer iteration.
 
@@ -666,8 +730,9 @@ def _factor_err(w_dev, h_dev, w_ref, h_ref):
 def run_check(args):
     """Device-numerics validation of the Pallas kernels.
 
-    Runs every hot kernel — MU, CD/HALS, KL, Itakura-Saito iterations
-    and the fused filtfilt — on the *active* platform (real TPU when
+    Runs every hot kernel — MU, CD/HALS, KL, Itakura-Saito,
+    convolutive-NMF iterations and the fused filtfilt — on the
+    *active* platform (real TPU when
     available; interpret mode elsewhere) and compares against float64
     host references.  Documented f32 tolerances: solver iterations
     <= 1e-3 max relative error after 50 updates (20 for IS); fused
@@ -754,6 +819,24 @@ def run_check(args):
         wr, hr = _beta_reference_f64(x[i], w0[i], h0[i], iters, 1.5)
         b15_err = max(b15_err, _factor_err(wb[i], hb[i], wr, hr))
 
+    # --- convolutive-NMF kernel vs a float64 host reference ---
+    from muscle_synergies_tpu.models.kernels import cnmf_iterations_pallas
+
+    d_lags = 6
+    cn_iters = min(iters, 20)  # the f64 loop reference is O(B·D·iters)
+    c0 = rng.uniform(0.1, 1.0, (b, n, 4)).astype(np.float32)
+    s0 = rng.uniform(0.1, 1.0, (b, 4, d_lags, l)).astype(np.float32)
+    x_cn = rng.uniform(0.1, 1.0, (b, n, l)).astype(np.float32)
+    cp, sp = cnmf_iterations_pallas(
+        jnp.asarray(x_cn), jnp.asarray(c0), jnp.asarray(s0), cn_iters,
+        block_b=b, interpret=interpret,
+    )
+    cp, sp = np.asarray(cp), np.asarray(sp)
+    cn_err = 0.0
+    for i in range(b):
+        cr, sr = _cnmf_reference_f64(x_cn[i], c0[i], s0[i], cn_iters)
+        cn_err = max(cn_err, _factor_err(cp[i], sp[i], cr, sr))
+
     # --- fused filtfilt kernel vs scipy float64 ---
     # EMG-envelope-like signal: low-frequency content the 10 Hz lowpass
     # passes (white noise would leave a tiny-scale output that inflates
@@ -791,7 +874,7 @@ def run_check(args):
     ff_err = max(ff_err, batch_err)
     solver_errs = {
         "mu": mu_err, "cd": cd_err, "kl": kl_err, "is": is_err,
-        "beta1.5": b15_err,
+        "beta1.5": b15_err, "cnmf": cn_err,
     }
     ok = (
         all(e <= mu_tol for e in solver_errs.values()) and ff_err <= ff_tol

@@ -197,10 +197,6 @@ def fit_cnmf(
     return jax.lax.while_loop(cond, body, init)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("max_iter", "tol", "check_every", "update_c"),
-)
 def fit_cnmf_batch(
     xs: jnp.ndarray,
     c0: jnp.ndarray,
@@ -209,13 +205,48 @@ def fit_cnmf_batch(
     tol: float = 1e-4,
     check_every: int = 10,
     update_c: bool = True,
+    impl: str = "xla",
+    block_b: int = None,
 ) -> CNMFState:
-    """vmap :func:`fit_cnmf` over a ``(B, T, L)`` stack of trials.
+    """Convergence-mode convolutive NMF over a ``(B, T, L)`` stack.
 
-    Per-trial stopping is exact: each trial's while-loop condition is
-    evaluated independently under vmap (converged trials freeze while
-    the rest keep iterating).
+    ``impl="xla"`` vmaps :func:`fit_cnmf`; per-trial stopping is exact
+    (each trial's while-loop condition is evaluated independently under
+    vmap, so converged trials freeze while the rest keep iterating).
+    ``impl="pallas"`` drives the VMEM-resident
+    :func:`muscle_synergies_tpu.models.kernels.cnmf_iterations_pallas`
+    in ``check_every``-iteration chunks interleaved with batched XLA
+    Frobenius checks — the same chunked architecture as
+    :func:`muscle_synergies_tpu.models.batch.fit_mu_beta_batch` — with
+    identical per-trial stopping semantics.
     """
+    if impl == "pallas":
+        if not update_c:
+            raise ValueError(
+                "the Pallas path always updates C; use impl='xla' "
+                "for update_c=False (the transform path)"
+            )
+        if block_b is None:
+            block_b = 128 if xs.shape[0] % 128 == 0 else xs.shape[0]
+        return _fit_cnmf_batch_pallas(
+            jnp.asarray(xs), jnp.asarray(c0), jnp.asarray(s0),
+            max_iter, float(tol), check_every, block_b,
+        )
+    if impl != "xla":
+        raise ValueError(f"unknown impl: {impl!r}")
+    return _fit_cnmf_batch_xla(
+        xs, c0, s0, max_iter=max_iter, tol=tol,
+        check_every=check_every, update_c=update_c,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "tol", "check_every", "update_c"),
+)
+def _fit_cnmf_batch_xla(
+    xs, c0, s0, max_iter, tol, check_every, update_c
+) -> CNMFState:
     return jax.vmap(
         lambda x, c, s: fit_cnmf(
             x,
@@ -229,21 +260,66 @@ def fit_cnmf_batch(
     )(xs, c0, s0)
 
 
-@functools.partial(jax.jit, static_argnames=("update_c",))
-def cnmf_iterations_batch(
-    xs: jnp.ndarray,
-    c0: jnp.ndarray,
-    s0: jnp.ndarray,
-    n_iters: jnp.ndarray,
-    update_c: bool = True,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """``n_iters`` convolutive updates on a ``(B, T, L)`` batch.
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "tol", "check_every", "block_b", "interpret"),
+)
+def _fit_cnmf_batch_pallas(
+    xs, c0, s0, max_iter, tol, check_every, block_b, interpret=False
+) -> CNMFState:
+    """Convolutive fit driven by the Pallas kernel in checked chunks.
 
-    The fixed-iteration benchmarking/chunking twin of
-    :func:`fit_cnmf_batch` (no convergence checks); ``n_iters`` is a
-    traced scalar so chains of different lengths share one compile.
+    Each ``while_loop`` step runs ``check_every`` kernel iterations on
+    the whole batch and discards the updates of already-stopped trials
+    (select on the per-trial active mask) — equivalent to freezing
+    them, so ``n_iter``/``converged``/factors match
+    ``vmap(fit_cnmf)`` iterate-for-iterate.  Like :func:`fit_cnmf`
+    there is no tail chunk: the divergence is only evaluated at
+    multiples of ``check_every`` and the last chunk may overshoot
+    ``max_iter`` the same way the XLA while-loop does.
     """
+    from .kernels.cnmf_pallas import cnmf_iterations_pallas
 
+    err_fn = jax.vmap(_frobenius_error)
+    c0 = c0.astype(xs.dtype)
+    s0 = s0.astype(xs.dtype)
+    error_init = err_fn(xs, c0, s0)
+
+    def cond(state: CNMFState):
+        return jnp.any((state.n_iter < max_iter) & ~state.converged)
+
+    def chunk(state: CNMFState):
+        active = (state.n_iter < max_iter) & ~state.converged
+        c_new, s_new = cnmf_iterations_pallas(
+            xs, state.c, state.s, check_every, block_b=block_b,
+            interpret=interpret,
+        )
+        c = jnp.where(active[:, None, None], c_new, state.c)
+        s = jnp.where(active[:, None, None, None], s_new, state.s)
+        error = err_fn(xs, c, s)
+        improvement = (state.previous_error - error) / jnp.maximum(
+            error_init, EPSILON
+        )
+        return CNMFState(
+            c,
+            s,
+            state.n_iter + jnp.where(active, check_every, 0),
+            jnp.where(active, error, state.previous_error),
+            jnp.where(active, improvement < tol, state.converged),
+        )
+
+    b = xs.shape[0]
+    init = CNMFState(
+        c0,
+        s0,
+        jnp.zeros((b,), jnp.int32),
+        error_init,
+        jnp.zeros((b,), bool),
+    )
+    return jax.lax.while_loop(cond, chunk, init)
+
+
+def _cnmf_iterations_xla(xs, c0, s0, n_iters, update_c=True):
     def one(x, c, s):
         def body(_, cs_):
             return cnmf_update(x, cs_[0], cs_[1], update_c=update_c)
@@ -251,6 +327,46 @@ def cnmf_iterations_batch(
         return jax.lax.fori_loop(0, n_iters, body, (c, s))
 
     return jax.vmap(one)(xs, c0, s0)
+
+
+def cnmf_iterations_batch(
+    xs: jnp.ndarray,
+    c0: jnp.ndarray,
+    s0: jnp.ndarray,
+    n_iters,
+    update_c: bool = True,
+    impl: str = "xla",
+    block_b: int = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``n_iters`` convolutive updates on a ``(B, T, L)`` batch.
+
+    The fixed-iteration benchmarking/chunking twin of
+    :func:`fit_cnmf_batch` (no convergence checks).
+
+    Args:
+        impl: ``"xla"`` (lag-stacked einsums — bf16 MXU passes on TPU,
+            any batch size) or ``"pallas"`` (the VMEM-resident
+            lane-packed kernel: faster AND ~3 decades more accurate on
+            TPU, since it runs pure-f32 on the VPU; batch must divide
+            by ``block_b``).  With ``"xla"``, ``n_iters`` may be a
+            traced scalar; the Pallas path needs a static int.
+    """
+    if impl == "pallas":
+        from .kernels.cnmf_pallas import cnmf_iterations_pallas
+
+        if not update_c:
+            raise ValueError(
+                "the Pallas path always updates C; use impl='xla' "
+                "for update_c=False (the transform path)"
+            )
+        if block_b is None:
+            block_b = 128 if xs.shape[0] % 128 == 0 else xs.shape[0]
+        return cnmf_iterations_pallas(
+            xs, c0, s0, int(n_iters), block_b=block_b
+        )
+    if impl != "xla":
+        raise ValueError(f"unknown impl: {impl!r}")
+    return _cnmf_iterations_xla(xs, c0, s0, n_iters, update_c=update_c)
 
 
 def init_cnmf(
@@ -336,6 +452,7 @@ def find_time_varying_synergies(
     tol: float = 1e-5,
     n_inits: int = 4,
     seed: int = 0,
+    impl: str = "auto",
 ) -> TimeVaryingSynergyResult:
     """Extract d'Avella-style time-varying synergies from an EMG frame.
 
@@ -356,6 +473,10 @@ def find_time_varying_synergies(
         max_iter / tol: sklearn-style stopping (see :func:`fit_cnmf`).
         n_inits: random restarts (batched into one computation).
         seed: base seed; restart ``r`` uses ``seed + r``.
+        impl: ``"xla"``, ``"pallas"``, or ``"auto"`` (default) —
+            the fused VMEM kernel on TPU (faster and pure-f32 on the
+            VPU, so ~3 decades more accurate than the bf16 MXU
+            einsums), the batched XLA path elsewhere.
     """
     import pandas
 
@@ -378,11 +499,16 @@ def find_time_varying_synergies(
     if n_inits < 1:
         raise ValueError(f"n_inits must be >= 1, got {n_inits}")
 
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    elif impl not in {"xla", "pallas"}:
+        raise ValueError(f"unknown impl: {impl!r}")
+
     xs = np.broadcast_to(x_host, (n_inits,) + x_host.shape)
     c0, s0 = init_cnmf(xs, n_synergies, n_lags, seed=seed)
     state = fit_cnmf_batch(
         jnp.asarray(xs), jnp.asarray(c0), jnp.asarray(s0),
-        max_iter=max_iter, tol=tol,
+        max_iter=max_iter, tol=tol, impl=impl,
     )
     errors = np.asarray(state.previous_error)
     best = int(np.argmin(errors))

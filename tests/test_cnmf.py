@@ -163,6 +163,66 @@ class TestBatched:
         assert v.shape == (3,)
         assert np.all(v > 0)
 
+    def test_pallas_fit_matches_xla_batch(self):
+        """impl='pallas': same n_iter/converged/factors as the vmap path.
+
+        Run at float64 through interpret mode so the chunked kernel
+        fit's stopping decisions land on identical iterations.
+        """
+        from jax.experimental.pallas import tpu as pltpu
+
+        xs = np.stack([synthetic(seed=i)[0] for i in range(4)])
+        c0, s0 = init_cnmf(xs, 2, 8, seed=11)
+        ref = fit_cnmf_batch(xs, c0, s0, max_iter=120, tol=1e-5)
+        with pltpu.force_tpu_interpret_mode():
+            got = fit_cnmf_batch(
+                xs, c0, s0, max_iter=120, tol=1e-5, impl="pallas"
+            )
+        np.testing.assert_array_equal(
+            np.asarray(got.n_iter), np.asarray(ref.n_iter)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.converged), np.asarray(ref.converged)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.c), np.asarray(ref.c), rtol=1e-8, atol=1e-11
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.s), np.asarray(ref.s), rtol=1e-8, atol=1e-11
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.previous_error),
+            np.asarray(ref.previous_error),
+            rtol=1e-8,
+        )
+
+    def test_pallas_fit_freezes_converged_trials(self):
+        """An easy trial stops early while a hard one keeps iterating."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        easy, c_true, s_true = synthetic(seed=3)
+        rng = np.random.default_rng(0)
+        hard = rng.uniform(0.1, 1.0, easy.shape)  # unstructured noise
+        xs = np.stack([easy, hard])
+        c0, s0 = init_cnmf(xs, 2, 8, seed=4)
+        with pltpu.force_tpu_interpret_mode():
+            got = fit_cnmf_batch(
+                xs, c0, s0, max_iter=400, tol=1e-3, impl="pallas"
+            )
+        ref = fit_cnmf_batch(xs, c0, s0, max_iter=400, tol=1e-3)
+        np.testing.assert_array_equal(
+            np.asarray(got.n_iter), np.asarray(ref.n_iter)
+        )
+        assert int(got.n_iter[0]) != int(got.n_iter[1])
+
+    def test_fit_impl_validation(self):
+        xs = np.stack([synthetic(seed=i)[0] for i in range(2)])
+        c0, s0 = init_cnmf(xs, 2, 8, seed=1)
+        with pytest.raises(ValueError, match="update_c"):
+            fit_cnmf_batch(xs, c0, s0, impl="pallas", update_c=False)
+        with pytest.raises(ValueError, match="unknown impl"):
+            fit_cnmf_batch(xs, c0, s0, impl="cuda")
+
 
 class TestFindTimeVaryingSynergies:
     def _frame(self):
@@ -215,6 +275,34 @@ class TestFindTimeVaryingSynergies:
             find_time_varying_synergies(
                 pandas.Series(np.ones(5)).to_numpy(), 1, 2
             )
+
+    def test_impl_pallas_matches_xla(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from muscle_synergies_tpu import find_time_varying_synergies
+
+        df = self._frame()
+        ref = find_time_varying_synergies(
+            df, 2, 8, max_iter=120, n_inits=2, impl="xla"
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got = find_time_varying_synergies(
+                df, 2, 8, max_iter=120, n_inits=2, impl="pallas"
+            )
+        assert got.n_iter == ref.n_iter
+        np.testing.assert_allclose(got.vaf, ref.vaf, rtol=1e-9)
+        np.testing.assert_allclose(
+            got.activations.to_numpy(),
+            ref.activations.to_numpy(),
+            rtol=1e-7,
+            atol=1e-10,
+        )
+
+    def test_impl_validation(self):
+        from muscle_synergies_tpu import find_time_varying_synergies
+
+        with pytest.raises(ValueError, match="unknown impl"):
+            find_time_varying_synergies(self._frame(), 2, 8, impl="cuda")
 
     def test_importable_from_analysis_and_models(self):
         from muscle_synergies_tpu import analysis, models

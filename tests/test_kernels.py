@@ -307,3 +307,84 @@ class TestFitCDKernel:
         )
         assert np.all(np.asarray(n_iter) == 20)
         assert not np.any(np.asarray(conv))
+
+
+class TestCNMFKernel:
+    """Convolutive-NMF kernel vs the lag-stacked XLA updates."""
+
+    D = 6
+
+    @pytest.fixture(scope="class")
+    def cnmf_problem(self):
+        rng = np.random.default_rng(91)
+        xs = jnp.asarray(rng.uniform(0.1, 1.0, (B, N, L)), jnp.float32)
+        c = jnp.asarray(rng.uniform(0.1, 1.0, (B, N, K)), jnp.float32)
+        s = jnp.asarray(
+            rng.uniform(0.1, 1.0, (B, K, self.D, L)), jnp.float32
+        )
+        return xs, c, s
+
+    def test_matches_xla_updates(self, cnmf_problem):
+        from muscle_synergies_tpu.models.cnmf import cnmf_iterations_batch
+        from muscle_synergies_tpu.models.kernels import (
+            cnmf_iterations_pallas,
+        )
+
+        xs, c, s = cnmf_problem
+        cp, sp = cnmf_iterations_pallas(xs, c, s, 5, block_b=B,
+                                        interpret=True)
+        cx, sx = cnmf_iterations_batch(xs, c, s, 5)
+        np.testing.assert_allclose(np.asarray(cp), np.asarray(cx),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(sx),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_batch_dispatch_impl_pallas(self, cnmf_problem):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from muscle_synergies_tpu.models.cnmf import cnmf_iterations_batch
+
+        xs, c, s = cnmf_problem
+        with pltpu.force_tpu_interpret_mode():
+            cp, sp = cnmf_iterations_batch(
+                xs, c, s, 3, impl="pallas", block_b=B
+            )
+        cx, sx = cnmf_iterations_batch(xs, c, s, 3)
+        np.testing.assert_allclose(np.asarray(cp), np.asarray(cx),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(sx),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_update_c_false_requires_xla(self, cnmf_problem):
+        from muscle_synergies_tpu.models.cnmf import cnmf_iterations_batch
+
+        xs, c, s = cnmf_problem
+        with pytest.raises(ValueError, match="update_c"):
+            cnmf_iterations_batch(
+                xs, c, s, 3, update_c=False, impl="pallas", block_b=B
+            )
+
+    def test_bad_block_size(self, cnmf_problem):
+        from muscle_synergies_tpu.models.kernels import (
+            cnmf_iterations_pallas,
+        )
+
+        xs, c, s = cnmf_problem
+        with pytest.raises(ValueError, match="multiple"):
+            cnmf_iterations_pallas(xs, c, s, 1, block_b=3)
+
+    def test_error_decreases(self, cnmf_problem):
+        from muscle_synergies_tpu.models.cnmf import cnmf_reconstruct
+        from muscle_synergies_tpu.models.kernels import (
+            cnmf_iterations_pallas,
+        )
+
+        xs, c, s = cnmf_problem
+        c1, s1 = cnmf_iterations_pallas(xs, c, s, 1, block_b=B,
+                                        interpret=True)
+        c20, s20 = cnmf_iterations_pallas(xs, c, s, 20, block_b=B,
+                                          interpret=True)
+        rec = jax.vmap(cnmf_reconstruct)
+        e1 = float(jnp.linalg.norm(xs - rec(c1, s1)))
+        e20 = float(jnp.linalg.norm(xs - rec(c20, s20)))
+        assert e20 < e1

@@ -407,12 +407,19 @@ print("IDEMPOTENT_OK")
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # Drop the axon sitecustomize dir from PYTHONPATH: it force-loads
+    # the remote-TPU platform over JAX_PLATFORMS, and jax.distributed
+    # init against the relay hangs (same trick as
+    # tests/test_distributed_2proc.py).
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo
     result = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
         text=True,
         timeout=180,
         env=env,
+        cwd=repo,
     )
     assert result.returncode == 0, result.stderr[-2000:]
     assert "IDEMPOTENT_OK" in result.stdout
