@@ -104,6 +104,23 @@ def _build_parser():
              "(Frobenius MU only; 1 = sklearn-exact)",
     )
     p_an.add_argument(
+        "--time-varying", type=int, metavar="LAGS", default=None,
+        help="extract d'Avella-style time-varying synergies instead of "
+             "time-invariant NMF: each synergy is a LAGS-sample "
+             "spatiotemporal pattern (convolutive NMF; takes a single "
+             "--ranks value)",
+    )
+    p_an.add_argument(
+        "--n-inits", type=int, default=4,
+        help="random restarts for --time-varying, batched into one "
+             "device dispatch (default 4)",
+    )
+    p_an.add_argument(
+        "--impl", choices=["auto", "xla", "pallas"], default="auto",
+        help="--time-varying solver implementation (default auto: the "
+             "fused VMEM kernel on TPU)",
+    )
+    p_an.add_argument(
         "--rms", type=float, metavar="SECONDS", default=None,
         help="moving-RMS smoothing window instead of the filtered "
              "envelope (e.g. 0.5)",
@@ -233,6 +250,8 @@ def _cmd_analyze(args) -> int:
         raise SystemExit(f"{args.csv}: {exc}")
 
     lo, hi = args.ranks
+    if args.time_varying is not None:
+        return _analyze_time_varying(args, proc, emg_df, fs)
     try:
         beta_loss = float(args.beta_loss)
     except ValueError:
@@ -325,6 +344,109 @@ def _cmd_analyze(args) -> int:
                 bbox_inches="tight",
             )
             plt.close(fig)
+        print(f"figures in {args.plot}")
+
+    text = json.dumps(report, indent=2)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(text + "\n")
+        print(f"wrote {args.output}")
+    else:
+        print(text)
+    return 0
+
+
+def _analyze_time_varying(args, proc, emg_df, fs) -> int:
+    """``analyze --time-varying LAGS``: convolutive-NMF branch.
+
+    The time-invariant flags that have no convolutive counterpart are
+    rejected loudly instead of silently ignored.
+    """
+    import numpy as np
+
+    import muscle_synergies_tpu as mst
+
+    lo, hi = args.ranks
+    if hi is not None:
+        raise SystemExit(
+            "--time-varying takes a single --ranks value (the synergy "
+            f"count), not the range {lo}:{hi}"
+        )
+    if args.beta_loss != "frobenius":
+        raise SystemExit(
+            "--time-varying is Frobenius-only; drop --beta-loss"
+        )
+    if args.alpha_w != 0.0 or args.l1_ratio != 0.0:
+        raise SystemExit(
+            "--time-varying has no sparsity penalties; drop "
+            "--alpha-w/--l1-ratio"
+        )
+    if args.inner_iter != 1:
+        raise SystemExit(
+            "--inner-iter applies to the Frobenius MU solver only; "
+            "drop it for --time-varying"
+        )
+    try:
+        res = mst.find_time_varying_synergies(
+            proc, lo, args.time_varying, max_iter=args.max_iter,
+            tol=args.tol, n_inits=args.n_inits, impl=args.impl,
+        )
+    except ValueError as exc:
+        raise SystemExit(str(exc))
+
+    report = {
+        "file": args.csv,
+        "sampling_frequency": float(fs),
+        "muscles": list(emg_df.columns),
+        "pipeline": {
+            "smoothing": (
+                {"rms_window_s": args.rms} if args.rms is not None
+                else {"envelope_lowpass_hz": args.envelope_hz}
+            ),
+            "reduce_to": args.reduce_to,
+            "model": "time-varying",
+            "lags": args.time_varying,
+            "n_inits": args.n_inits,
+            "max_iter": args.max_iter,
+            "tol": args.tol,
+        },
+        "rank": lo,
+        "vaf_overall": float(res.vaf),
+        "vaf_per_muscle": {
+            m: float(res.vaf_per_muscle[m]) for m in emg_df.columns
+        },
+        "n_iter": int(res.n_iter),
+        "restart_errors": [float(e) for e in res.restart_errors],
+    }
+    if args.components:
+        report["synergies"] = {
+            str(k): res.synergies[k].to_numpy().tolist()
+            for k in res.synergies
+        }
+
+    if args.plot:
+        import os
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from muscle_synergies_tpu.viz import plot_time_varying_synergies
+
+        os.makedirs(args.plot, exist_ok=True)
+        fig = mst.plot_signal(proc, title="processed EMG", show=False)
+        fig.savefig(os.path.join(args.plot, "processed_signals.png"),
+                    bbox_inches="tight")
+        plt.close(fig)
+        fig = plot_time_varying_synergies(
+            res, sampling_frequency=None, show=False
+        )
+        fig.savefig(
+            os.path.join(args.plot, "time_varying_synergies.png"),
+            bbox_inches="tight",
+        )
+        plt.close(fig)
         print(f"figures in {args.plot}")
 
     text = json.dumps(report, indent=2)

@@ -155,6 +155,47 @@ def test_analyze_dataset_sparsity_flags(capture_csv, tmp_path):
     assert v_sparse <= v_plain + 1e-9
 
 
+def test_analyze_time_varying_report(capture_csv, tmp_path):
+    out = tmp_path / "tv.json"
+    plots = tmp_path / "tvfigs"
+    result = _run([
+        "analyze", capture_csv, "--ranks", "2", "--rms", "0.5",
+        "--time-varying", "8", "--n-inits", "2", "--max-iter", "300",
+        "--tol", "1e-4", "--components", "--plot", str(plots),
+        "-o", str(out),
+    ])
+    assert result.returncode == 0, result.stderr[-2000:]
+    report = json.loads(out.read_text())
+    assert report["pipeline"]["model"] == "time-varying"
+    assert report["pipeline"]["lags"] == 8
+    assert report["rank"] == 2
+    assert 0.0 < report["vaf_overall"] <= 1.0
+    assert len(report["vaf_per_muscle"]) == 8
+    assert len(report["restart_errors"]) == 2
+    # each synergy is a lags x muscles pattern
+    assert set(report["synergies"]) == {"0", "1"}
+    assert len(report["synergies"]["0"]) == 8
+    assert len(report["synergies"]["0"][0]) == 8
+    names = {p.name for p in plots.iterdir()}
+    assert names == {"processed_signals.png", "time_varying_synergies.png"}
+
+
+def test_analyze_time_varying_rejects_bad_flag_combos(capture_csv):
+    base = ["analyze", capture_csv, "--rms", "0.5", "--time-varying", "8"]
+    r = _run(base + ["--ranks", "2:3"])
+    assert r.returncode == 1
+    assert "single --ranks" in r.stderr
+    r = _run(base + ["--ranks", "2", "--beta-loss", "kullback-leibler"])
+    assert r.returncode == 1
+    assert "Frobenius-only" in r.stderr
+    r = _run(base + ["--ranks", "2", "--alpha-w", "0.1"])
+    assert r.returncode == 1
+    assert "sparsity" in r.stderr
+    r = _run(base + ["--ranks", "2", "--inner-iter", "3"])
+    assert r.returncode == 1
+    assert "inner-iter" in r.stderr
+
+
 def test_analyze_dataset_rejects_bad_alpha_h(capture_csv):
     result = _run([
         "analyze-dataset", capture_csv, "--ranks", "1", "--rms", "0.5",
