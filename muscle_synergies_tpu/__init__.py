@@ -27,7 +27,12 @@ from .data import (
     ViconNexusData,
 )
 from .frames import ForcesEMGFrameTracker, FrameSubfr, SamplingFreq, TrajFrameTracker
-from .dataset import DatasetResult, analyze_dataset
+from .dataset import (
+    DatasetResult,
+    TimeVaryingDatasetResult,
+    analyze_dataset,
+    analyze_dataset_time_varying,
+)
 from .io import ViconCSVError, load_vicon_file
 from .models import (
     NMFModel,
@@ -70,7 +75,9 @@ __all__ = [
     "find_time_varying_synergies",
     "TimeVaryingSynergyResult",
     "analyze_dataset",
+    "analyze_dataset_time_varying",
     "DatasetResult",
+    "TimeVaryingDatasetResult",
     # viz
     "plot_signal",
     "plot_fft",

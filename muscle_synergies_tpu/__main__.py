@@ -194,6 +194,17 @@ def _build_parser():
         "--vaf-threshold", type=float, default=0.90,
         help="threshold for the minimum-rank report (default 0.90)",
     )
+    p_ds.add_argument(
+        "--time-varying", type=int, metavar="LAGS", default=None,
+        help="extract time-varying (convolutive) synergies per capture "
+             "instead of the NMF rank sweep; takes a single --ranks "
+             "value (the synergy count)",
+    )
+    p_ds.add_argument(
+        "--n-inits", type=int, default=4,
+        help="random restarts per capture for --time-varying "
+             "(all restarts join the one batched solve; default 4)",
+    )
     p_ds.add_argument("--output", "-o", default=None)
     return parser
 
@@ -508,6 +519,10 @@ def _cmd_analyze_dataset(args) -> int:
         rms_window_s=args.rms if args.rms is not None else 0.5,
         reduce_to=args.reduce_to,
     )
+    if args.time_varying is not None:
+        return _analyze_dataset_time_varying(
+            args, trials, fs, config, subjects
+        )
     try:
         res = mst.analyze_dataset(
             trials, fs, ranks=ranks, config=config, solver=args.solver,
@@ -541,6 +556,65 @@ def _cmd_analyze_dataset(args) -> int:
         report["subject_mean_vaf"] = {
             subj: {str(k): float(v) for k, v in means.loc[subj].items()}
             for subj in dict.fromkeys(subjects)
+        }
+
+    text = json.dumps(report, indent=2)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(text + "\n")
+        print(f"wrote {args.output}")
+    else:
+        print(text)
+    return 0
+
+
+def _analyze_dataset_time_varying(args, trials, fs, config, subjects) -> int:
+    """``analyze-dataset --time-varying LAGS``: the convolutive branch."""
+    import numpy as np
+
+    import muscle_synergies_tpu as mst
+
+    lo, hi = args.ranks
+    if hi is not None:
+        raise SystemExit(
+            "--time-varying takes a single --ranks value (the synergy "
+            f"count), not the range {lo}:{hi}"
+        )
+    if args.beta_loss != "frobenius":
+        raise SystemExit(
+            "--time-varying is Frobenius-only; drop --beta-loss"
+        )
+    if args.alpha_w != 0.0 or args.l1_ratio != 0.0:
+        raise SystemExit(
+            "--time-varying has no sparsity penalties; drop "
+            "--alpha-w/--l1-ratio"
+        )
+    try:
+        res = mst.analyze_dataset_time_varying(
+            trials, fs, n_synergies=lo, n_lags=args.time_varying,
+            config=config, max_iter=args.max_iter, tol=args.tol,
+            n_inits=args.n_inits, subjects=subjects, impl=args.impl,
+        )
+    except ValueError as exc:
+        raise SystemExit(str(exc))
+
+    report = {
+        "files": list(args.csvs),
+        "sampling_frequency": float(fs),
+        "model": "time-varying",
+        "lags": args.time_varying,
+        "n_inits": args.n_inits,
+        "rank": lo,
+        "vaf_overall": [float(v) for v in res.vaf_overall],
+        "vaf_per_muscle": np.asarray(res.vaf_per_channel).tolist(),
+        "n_iter": [int(n) for n in res.n_iter],
+        "restart_errors": np.asarray(res.restart_errors).tolist(),
+    }
+    if subjects:
+        report["subjects"] = subjects
+        means = res.subject_table("mean")
+        report["subject_mean_vaf"] = {
+            str(s): float(means[s]) for s in dict.fromkeys(subjects)
         }
 
     text = json.dumps(report, indent=2)

@@ -27,7 +27,31 @@ import pandas
 from .models.batch import fit_cd_batch, fit_mu_batch, vaf_batch
 from .utils.config import PipelineConfig
 
-__all__ = ["DatasetResult", "analyze_dataset", "preprocess_trials"]
+__all__ = [
+    "DatasetResult",
+    "TimeVaryingDatasetResult",
+    "analyze_dataset",
+    "analyze_dataset_time_varying",
+    "preprocess_trials",
+]
+
+
+def _normalize_trials_subjects(trials, subjects):
+    """Flatten a ``{subject: trials}`` mapping / validate ``subjects=``."""
+    if isinstance(trials, Mapping):
+        if subjects is not None:
+            raise ValueError(
+                "pass either a {subject: trials} mapping or subjects=, not both"
+            )
+        subjects = [s for s, ts in trials.items() for _ in ts]
+        trials = [t for ts in trials.values() for t in ts]
+    if subjects is not None:
+        subjects = list(subjects)
+        if len(subjects) != len(trials):
+            raise ValueError(
+                f"got {len(subjects)} subject labels for {len(trials)} trials"
+            )
+    return trials, subjects
 
 
 def _match_components(reference: np.ndarray, other: np.ndarray) -> np.ndarray:
@@ -421,19 +445,7 @@ def analyze_dataset(
     Returns:
         :class:`DatasetResult` over the full ``(rank, trial)`` grid.
     """
-    if isinstance(trials, Mapping):
-        if subjects is not None:
-            raise ValueError(
-                "pass either a {subject: trials} mapping or subjects=, not both"
-            )
-        subjects = [s for s, ts in trials.items() for _ in ts]
-        trials = [t for ts in trials.values() for t in ts]
-    if subjects is not None:
-        subjects = list(subjects)
-        if len(subjects) != len(trials):
-            raise ValueError(
-                f"got {len(subjects)} subject labels for {len(trials)} trials"
-            )
+    trials, subjects = _normalize_trials_subjects(trials, subjects)
     if isinstance(ranks, int):
         ranks = (ranks,)
     ranks = tuple(ranks)
@@ -626,6 +638,255 @@ def analyze_dataset(
         vaf_per_channel=np.asarray(per_channel).reshape(r, b, -1),
         n_iter=np.asarray(state.n_iter).reshape(r, b),
         converged=np.asarray(state.converged).reshape(r, b),
+        channel_names=channel_names,
+        subjects=subjects,
+    )
+
+
+@dataclass
+class TimeVaryingDatasetResult:
+    """Best-restart time-varying synergies for every trial of a dataset.
+
+    Attributes:
+        n_lags: temporal extent ``D`` of each synergy, in samples.
+        c: ``(B, T, K)`` winning activation trains (rescaled by
+            :func:`~muscle_synergies_tpu.models.cnmf.normalize_synergies`).
+        s: ``(B, K, D, L)`` winning synergies, unit Frobenius norm.
+        vaf_overall: ``(B,)`` total VAF of each reconstruction.
+        vaf_per_channel: ``(B, L)``.
+        n_iter: ``(B,)`` iterations used by each winning restart.
+        converged: ``(B,)`` convergence flags of the winners.
+        restart_errors: ``(B, n_inits)`` final Frobenius errors of all
+            restarts (the winner is each row's argmin).
+        channel_names / subjects: as on :class:`DatasetResult`.
+    """
+
+    n_lags: int
+    c: np.ndarray
+    s: np.ndarray
+    vaf_overall: np.ndarray
+    vaf_per_channel: np.ndarray
+    n_iter: np.ndarray
+    converged: np.ndarray
+    restart_errors: np.ndarray
+    channel_names: Optional[List[str]] = None
+    subjects: Optional[List] = None
+
+    def synergies(self, trial: int) -> Mapping[int, pandas.DataFrame]:
+        """``{k: (n_lags, L) DataFrame}`` patterns of one trial."""
+        cols = self.channel_names or range(self.s.shape[-1])
+        return {
+            k: pandas.DataFrame(self.s[trial, k], columns=list(cols))
+            for k in range(self.s.shape[1])
+        }
+
+    def activations(self, trial: int) -> pandas.DataFrame:
+        """``(T, K)`` recruitment trains of one trial."""
+        k = self.c.shape[-1]
+        return pandas.DataFrame(
+            self.c[trial], columns=[f"synergy {i}" for i in range(k)]
+        )
+
+    def vaf_table(self) -> pandas.Series:
+        """Per-trial overall VAF (subject/trial MultiIndex when labeled)."""
+        b = self.vaf_overall.shape[0]
+        if self.subjects is not None:
+            index = pandas.MultiIndex.from_arrays(
+                [self.subjects, range(b)], names=["subject", "trial"]
+            )
+        else:
+            index = pandas.RangeIndex(b, name="trial")
+        return pandas.Series(self.vaf_overall, index=index, name="vaf")
+
+    def subject_table(self, statistic: str = "mean") -> pandas.Series:
+        """Per-subject VAF aggregated over trials."""
+        if self.subjects is None:
+            raise ValueError(
+                "no subject labels: pass subjects= (or a {subject: trials} "
+                "mapping) to analyze_dataset_time_varying"
+            )
+        return self.vaf_table().groupby(level="subject", sort=False).agg(
+            statistic
+        )
+
+
+def analyze_dataset_time_varying(
+    trials: Union[Sequence, Mapping],
+    sampling_frequency: float,
+    n_synergies: int,
+    n_lags: int,
+    config: PipelineConfig = PipelineConfig(),
+    mesh=None,
+    max_iter: Optional[int] = None,
+    tol: Optional[float] = None,
+    n_inits: int = 4,
+    seed: int = 0,
+    dtype=None,
+    subjects: Optional[Sequence] = None,
+    impl: Optional[str] = None,
+) -> TimeVaryingDatasetResult:
+    """Preprocess a dataset and extract time-varying synergies per trial.
+
+    The convolutive companion to :func:`analyze_dataset` (the reference
+    loops time-invariant sklearn fits only, reference
+    analysis.py:909-913): all ``B`` trials' ``n_inits`` random restarts
+    join ONE ``(B * n_inits)``-problem batched fit — a single device
+    computation, or a mesh-sharded one with lag-halo exchanges over the
+    time axis — and each trial's lowest-error restart is returned with
+    unit-norm synergies.
+
+    Args:
+        trials / sampling_frequency / config / dtype / subjects: as on
+            :func:`analyze_dataset` (the preprocessing pipeline is
+            shared, including the meshed sequence-parallel filters).
+        n_synergies: number of time-varying synergies ``K`` per trial.
+        n_lags: temporal extent ``D`` of each synergy, in samples (of
+            the time-normalized trials, i.e. relative to
+            ``config.reduce_to``).
+        max_iter / tol: sklearn-style stopping; default to the config's.
+        n_inits: random restarts per trial, batched into the same solve.
+        seed: base seed; the flat problem index offsets it.
+        mesh: optional ``(data, time)`` mesh — the fit runs through
+            :func:`~muscle_synergies_tpu.parallel.sharded_fit_cnmf`
+            when the time axis divides the trial length and one time
+            shard covers the ``n_lags - 1`` halo (warns + falls back
+            locally otherwise; the restart grid pads the data axis
+            exactly like :func:`analyze_dataset`).
+        impl: ``"xla"``, ``"pallas"`` or ``"auto"`` for the local
+            batched fit; defaults to ``config.solver_impl``.  Ignored
+            when the mesh path runs.
+
+    Returns:
+        :class:`TimeVaryingDatasetResult` over all trials.
+    """
+    from .models.cnmf import (
+        cnmf_reconstruct,
+        fit_cnmf_batch,
+        init_cnmf,
+        normalize_synergies,
+    )
+    from .models.mu import EPSILON
+
+    trials, subjects = _normalize_trials_subjects(trials, subjects)
+    if n_synergies < 1:
+        raise ValueError(f"n_synergies must be >= 1, got {n_synergies}")
+    if n_inits < 1:
+        raise ValueError(f"n_inits must be >= 1, got {n_inits}")
+    max_iter = max_iter if max_iter is not None else config.max_iter
+    tol = tol if tol is not None else config.tol
+
+    channel_names = None
+    first = trials[0]
+    if isinstance(first, pandas.DataFrame):
+        channel_names = list(first.columns)
+    elif hasattr(first, "coords"):
+        channel_names = list(first.coords)
+
+    xs = preprocess_trials(
+        trials, sampling_frequency, config, dtype=dtype, mesh=mesh
+    )
+    b, t, l = xs.shape
+    if not 1 <= n_lags <= t:
+        raise ValueError(
+            f"n_lags must be in [1, n_samples={t}], got {n_lags}"
+        )
+
+    impl = impl if impl is not None else getattr(config, "solver_impl", "xla")
+    if impl == "auto":
+        from .models.batch import _default_block_b
+
+        impl = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and _default_block_b(max(b * n_inits, 1)) >= 8
+            else "xla"
+        )
+
+    # restart grid: trial-major, restarts contiguous; per-problem seeds
+    # come from init_cnmf's batched seed + flat-index rule
+    grid_x = jnp.repeat(xs, n_inits, axis=0)
+    c0, s0 = init_cnmf(
+        np.asarray(grid_x), n_synergies, n_lags, seed=seed
+    )
+    n_fits = b * n_inits
+
+    pad_fits = (-n_fits) % mesh.shape["data"] if mesh is not None else 0
+    mesh_divides = (
+        mesh is not None
+        and t % mesh.shape.get("time", 1) == 0
+        and n_lags - 1 <= t // mesh.shape.get("time", 1)
+    )
+    if mesh is not None and not mesh_divides:
+        import warnings
+
+        warnings.warn(
+            f"analyze_dataset_time_varying: trial length {t} must divide "
+            f"over the mesh's {mesh.shape.get('time', 1)}-way time axis "
+            f"with one shard covering the lag halo ({n_lags - 1}); "
+            "falling back to the local single-device solver.",
+            stacklevel=2,
+        )
+    if mesh_divides:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel import sharded_fit_cnmf
+        from .parallel.mesh import DATA_AXIS, TIME_AXIS
+
+        grid_c, grid_s = jnp.asarray(c0), jnp.asarray(s0)
+        if pad_fits:
+            grid_x = jnp.concatenate(
+                [grid_x, jnp.repeat(grid_x[:1], pad_fits, axis=0)], axis=0
+            )
+            grid_c = jnp.concatenate(
+                [grid_c, jnp.repeat(grid_c[:1], pad_fits, axis=0)], axis=0
+            )
+            grid_s = jnp.concatenate(
+                [grid_s, jnp.repeat(grid_s[:1], pad_fits, axis=0)], axis=0
+            )
+        grid_x = jax.device_put(
+            grid_x, NamedSharding(mesh, P(DATA_AXIS, TIME_AXIS, None))
+        )
+        grid_c = jax.device_put(
+            grid_c, NamedSharding(mesh, P(DATA_AXIS, TIME_AXIS, None))
+        )
+        grid_s = jax.device_put(
+            grid_s, NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+        )
+        state = sharded_fit_cnmf(
+            grid_x, grid_c, grid_s, mesh, max_iter=max_iter, tol=tol
+        )
+        if pad_fits:
+            state = jax.tree.map(lambda a: a[:n_fits], state)
+    else:
+        state = fit_cnmf_batch(
+            grid_x, jnp.asarray(c0), jnp.asarray(s0),
+            max_iter=max_iter, tol=tol, impl=impl,
+        )
+
+    errors = np.asarray(state.previous_error).reshape(b, n_inits)
+    best = np.arange(b) * n_inits + np.argmin(errors, axis=1)
+    c_best = jnp.asarray(np.asarray(state.c)[best])
+    s_best = jnp.asarray(np.asarray(state.s)[best])
+    c_best, s_best = normalize_synergies(c_best, s_best)
+
+    xs_local = jnp.asarray(np.asarray(xs))  # gather off any mesh
+    rec = jax.vmap(cnmf_reconstruct)(c_best, s_best)
+    err2 = jnp.sum((xs_local - rec) ** 2, axis=1)  # (B, L)
+    tot2 = jnp.sum(xs_local * xs_local, axis=1)
+    per_channel = 1.0 - err2 / jnp.where(tot2 == 0, 1.0, tot2)
+    overall = 1.0 - jnp.sum(err2, axis=-1) / jnp.maximum(
+        jnp.sum(tot2, axis=-1), EPSILON
+    )
+
+    return TimeVaryingDatasetResult(
+        n_lags=n_lags,
+        c=np.asarray(c_best),
+        s=np.asarray(s_best),
+        vaf_overall=np.asarray(overall),
+        vaf_per_channel=np.asarray(per_channel),
+        n_iter=np.asarray(state.n_iter)[best],
+        converged=np.asarray(state.converged)[best],
+        restart_errors=errors,
         channel_names=channel_names,
         subjects=subjects,
     )

@@ -196,6 +196,33 @@ def test_analyze_time_varying_rejects_bad_flag_combos(capture_csv):
     assert "inner-iter" in r.stderr
 
 
+def test_analyze_dataset_time_varying(capture_csv, tmp_path):
+    out = tmp_path / "ds_tv.json"
+    result = _run([
+        "analyze-dataset", capture_csv, capture_csv, "--ranks", "2",
+        "--time-varying", "8", "--n-inits", "2", "--rms", "0.5",
+        "--max-iter", "200", "--tol", "1e-4",
+        "--subjects", "s1,s1", "-o", str(out),
+    ])
+    assert result.returncode == 0, result.stderr[-2000:]
+    report = json.loads(out.read_text())
+    assert report["model"] == "time-varying"
+    assert report["rank"] == 2
+    assert len(report["vaf_overall"]) == 2
+    # identical captures: restart seeds differ per trial, but both
+    # should land in the same VAF regime
+    assert abs(report["vaf_overall"][0] - report["vaf_overall"][1]) < 0.2
+    assert all(0.0 < v <= 1.0 for v in report["vaf_overall"])
+    assert len(report["restart_errors"][0]) == 2
+    assert "s1" in report["subject_mean_vaf"]
+    r = _run([
+        "analyze-dataset", capture_csv, "--ranks", "2:3",
+        "--time-varying", "8",
+    ])
+    assert r.returncode == 1
+    assert "single --ranks" in r.stderr
+
+
 def test_analyze_dataset_rejects_bad_alpha_h(capture_csv):
     result = _run([
         "analyze-dataset", capture_csv, "--ranks", "1", "--rms", "0.5",

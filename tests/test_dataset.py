@@ -137,6 +137,129 @@ class TestAnalyzeDataset:
         np.testing.assert_array_equal(sharded.n_iter, local.n_iter)
 
 
+class TestAnalyzeDatasetTimeVarying:
+    @pytest.fixture(scope="class")
+    def trials(self):
+        # one draw shared by every test: _trials() advances the module
+        # RNG, so separate calls would give different data
+        return _trials()
+
+    @pytest.fixture(scope="class")
+    def result(self, trials):
+        from muscle_synergies_tpu import analyze_dataset_time_varying
+
+        return analyze_dataset_time_varying(
+            trials, 200, n_synergies=2, n_lags=10, config=CFG,
+            max_iter=200, tol=1e-5, n_inits=3, seed=0,
+        )
+
+    def test_shapes(self, result):
+        assert result.c.shape == (4, 100, 2)
+        assert result.s.shape == (4, 2, 10, 6)
+        assert result.vaf_overall.shape == (4,)
+        assert result.vaf_per_channel.shape == (4, 6)
+        assert result.restart_errors.shape == (4, 3)
+        assert result.n_iter.shape == (4,)
+        assert result.channel_names == [f"M{j}" for j in range(6)]
+
+    def test_vaf_reasonable(self, result):
+        assert np.all(result.vaf_overall > 0.5)
+        assert np.all(result.vaf_overall <= 1.0)
+
+    def test_unit_norm_synergies(self, result):
+        norms = np.linalg.norm(result.s.reshape(4, 2, -1), axis=2)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-10)
+
+    def test_accessors(self, result):
+        syn = result.synergies(1)
+        assert set(syn) == {0, 1}
+        assert syn[0].shape == (10, 6)
+        assert list(syn[0].columns) == result.channel_names
+        act = result.activations(2)
+        assert act.shape == (100, 2)
+        table = result.vaf_table()
+        np.testing.assert_allclose(table.to_numpy(), result.vaf_overall)
+
+    def test_trial0_matches_single_trial_entry_point(self, trials, result):
+        """Trial 0's restart seeds coincide with the single-trial API's
+        (both are seed + restart index), so the winner must agree."""
+        from muscle_synergies_tpu import find_time_varying_synergies
+
+        xs = preprocess_trials(trials, 200, CFG)
+        df = pd.DataFrame(
+            np.asarray(xs[0]), columns=[f"M{j}" for j in range(6)]
+        )
+        single = find_time_varying_synergies(
+            df, 2, 10, max_iter=200, tol=1e-5, n_inits=3, seed=0
+        )
+        assert int(result.n_iter[0]) == single.n_iter
+        np.testing.assert_allclose(
+            result.vaf_overall[0], single.vaf, rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            result.restart_errors[0], single.restart_errors, rtol=1e-9
+        )
+
+    def test_sharded_matches_local(self, trials, result):
+        from muscle_synergies_tpu import analyze_dataset_time_varying
+
+        mesh = make_mesh((4, 2))
+        sharded = analyze_dataset_time_varying(
+            trials, 200, n_synergies=2, n_lags=10, config=CFG,
+            max_iter=200, tol=1e-5, n_inits=3, seed=0, mesh=mesh,
+        )
+        np.testing.assert_array_equal(sharded.n_iter, result.n_iter)
+        np.testing.assert_allclose(
+            sharded.vaf_overall, result.vaf_overall, rtol=1e-8
+        )
+        np.testing.assert_allclose(sharded.c, result.c, rtol=1e-6,
+                                   atol=1e-10)
+        np.testing.assert_allclose(sharded.s, result.s, rtol=1e-6,
+                                   atol=1e-10)
+
+    def test_mesh_halo_fallback_warns(self, trials, result):
+        from muscle_synergies_tpu import analyze_dataset_time_varying
+
+        mesh = make_mesh((2, 4))  # 25-sample time shards < 29 halo
+        with pytest.warns(UserWarning, match="lag halo"):
+            fallback = analyze_dataset_time_varying(
+                trials, 200, n_synergies=2, n_lags=30, config=CFG,
+                max_iter=50, tol=1e-5, n_inits=2, seed=0, mesh=mesh,
+            )
+        assert fallback.vaf_overall.shape == (4,)
+
+    def test_subject_mapping(self):
+        from muscle_synergies_tpu import analyze_dataset_time_varying
+
+        trials = _trials()
+        res = analyze_dataset_time_varying(
+            {"s1": trials[:2], "s2": trials[2:]}, 200,
+            n_synergies=2, n_lags=6, config=CFG, max_iter=60, n_inits=2,
+        )
+        table = res.vaf_table()
+        assert table.index.names == ["subject", "trial"]
+        agg = res.subject_table("mean")
+        assert list(agg.index) == ["s1", "s2"]
+
+    def test_validation(self):
+        from muscle_synergies_tpu import analyze_dataset_time_varying
+
+        trials = _trials(b=2)
+        with pytest.raises(ValueError, match="n_synergies"):
+            analyze_dataset_time_varying(
+                trials, 200, n_synergies=0, n_lags=4, config=CFG
+            )
+        with pytest.raises(ValueError, match="n_inits"):
+            analyze_dataset_time_varying(
+                trials, 200, n_synergies=2, n_lags=4, config=CFG,
+                n_inits=0,
+            )
+        with pytest.raises(ValueError, match="n_lags"):
+            analyze_dataset_time_varying(
+                trials, 200, n_synergies=2, n_lags=101, config=CFG
+            )
+
+
 class TestSubjectHierarchy:
     @pytest.fixture(scope="class")
     def result(self):
