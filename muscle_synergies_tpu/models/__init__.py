@@ -17,8 +17,12 @@ from .select import NMFModel, SynergyRunResult, find_synergies
 from .stability import (
     BootstrapResult,
     CVResult,
+    TimeVaryingBootstrapResult,
     bootstrap_synergies,
+    bootstrap_time_varying_synergies,
     cv_rank_selection,
+    cv_time_varying_rank_selection,
+    fit_cnmf_masked,
     fit_mu_masked,
 )
 
@@ -53,4 +57,8 @@ __all__ = [
     "cv_rank_selection",
     "CVResult",
     "fit_mu_masked",
+    "bootstrap_time_varying_synergies",
+    "TimeVaryingBootstrapResult",
+    "cv_time_varying_rank_selection",
+    "fit_cnmf_masked",
 ]

@@ -36,6 +36,10 @@ __all__ = [
     "fit_mu_masked",
     "cv_rank_selection",
     "CVResult",
+    "bootstrap_time_varying_synergies",
+    "TimeVaryingBootstrapResult",
+    "fit_cnmf_masked",
+    "cv_time_varying_rank_selection",
 ]
 
 
@@ -258,6 +262,295 @@ def cv_rank_selection(
         r, ki = divmod(i, len(ranks))
         test_mask = 1.0 - masks[r]
         err = test_mask * (x_np - ws[i] @ hs[i])
+        heldout.append(np.linalg.norm(err) / denom)
+    test_error = np.asarray(heldout).reshape(n_repeats, len(ranks))
+    best_rank = int(tuple(ranks)[int(np.argmin(test_error.mean(axis=0)))])
+    return CVResult(tuple(ranks), test_error, best_rank)
+
+
+# ---------------------------------------------------------------------------
+# time-varying (convolutive) stability and rank selection
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TimeVaryingBootstrapResult:
+    """Per-synergy stability of a convolutive factorization.
+
+    Attributes:
+        reference_synergies: ``(K, D, L)`` unit-norm patterns of the
+            full fit.
+        similarities: ``(n_boot, K)`` matched, shift-tolerant cosine
+            similarity of each reference synergy in each block-bootstrap
+            refit.
+    """
+
+    reference_synergies: np.ndarray
+    similarities: np.ndarray
+
+    @property
+    def mean(self) -> np.ndarray:
+        return self.similarities.mean(axis=0)
+
+    @property
+    def std(self) -> np.ndarray:
+        return self.similarities.std(axis=0)
+
+
+def _shifted_cosine(a: np.ndarray, b: np.ndarray, max_shift: int) -> float:
+    """Cosine of two ``(D, L)`` patterns at their best relative lag shift.
+
+    The convolutive model has a time-shift indeterminacy (a synergy
+    delayed by one lag with its activations advanced by one is the same
+    reconstruction), so plain flattened cosine under-scores genuinely
+    stable synergies; the overlap-windowed maximum removes that.
+    """
+    d = a.shape[0]
+    best = -1.0
+    for sh in range(-max_shift, max_shift + 1):
+        if sh >= 0:
+            aa, bb = a[sh:], b[: d - sh]
+        else:
+            aa, bb = a[: d + sh], b[-sh:]
+        na, nb = np.linalg.norm(aa), np.linalg.norm(bb)
+        if na == 0 or nb == 0:
+            continue
+        best = max(best, float(np.sum(aa * bb) / (na * nb)))
+    return best
+
+
+def _match_time_varying(
+    s_ref: np.ndarray, s_boot: np.ndarray, max_shift: int
+) -> np.ndarray:
+    """Best-assignment shift-tolerant similarity per reference synergy."""
+    from scipy.optimize import linear_sum_assignment
+
+    k = s_ref.shape[0]
+    sim = np.zeros((k, k))
+    for i in range(k):
+        for j in range(k):
+            sim[i, j] = _shifted_cosine(s_ref[i], s_boot[j], max_shift)
+    rows, cols = linear_sum_assignment(-sim)
+    matched = np.zeros(k)
+    matched[rows] = sim[rows, cols]
+    return matched
+
+
+def _block_bootstrap_indices(n, block_len, n_boot, rng) -> np.ndarray:
+    """Moving-block bootstrap index matrix ``(n_boot, n)``.
+
+    IID row resampling (the plain bootstrap above) destroys exactly
+    the temporal structure the convolutive model factorizes; contiguous
+    blocks of ``block_len >= n_lags`` samples keep every lag window
+    intact except at the (rare) block seams.
+    """
+    n_blocks = -(-n // block_len)  # ceil
+    starts = rng.integers(0, n - block_len + 1, size=(n_boot, n_blocks))
+    offsets = np.arange(block_len)
+    return (starts[:, :, None] + offsets).reshape(n_boot, -1)[:, :n]
+
+
+def bootstrap_time_varying_synergies(
+    x,
+    n_synergies: int,
+    n_lags: int,
+    n_boot: int = 50,
+    block_len: Optional[int] = None,
+    seed: int = 0,
+    max_iter: int = 300,
+    tol: float = 1e-5,
+    match_max_shift: Optional[int] = None,
+) -> TimeVaryingBootstrapResult:
+    """Block-bootstrap the time axis and score synergy stability.
+
+    The convolutive companion to :func:`bootstrap_synergies`: resamples
+    are *moving blocks* (default ``block_len = 4 * n_lags``) so lag
+    windows survive the resampling, all refits run as ONE batched
+    device solve, and matching tolerates the model's time-shift
+    indeterminacy (``match_max_shift`` lags each way, default
+    ``n_lags // 2``).
+    """
+    from .cnmf import fit_cnmf, fit_cnmf_batch, init_cnmf, normalize_synergies
+
+    x = jnp.asarray(np.asarray(x, dtype=float))
+    n = x.shape[0]
+    if block_len is None:
+        block_len = min(max(4 * n_lags, 16), n)
+    if not n_lags <= block_len <= n:
+        raise ValueError(
+            f"block_len must be in [n_lags={n_lags}, n_samples={n}], "
+            f"got {block_len}"
+        )
+    if match_max_shift is None:
+        match_max_shift = n_lags // 2
+
+    c0, s0 = init_cnmf(np.asarray(x), n_synergies, n_lags, seed=seed)
+    ref = fit_cnmf(x, jnp.asarray(c0), jnp.asarray(s0),
+                   max_iter=max_iter, tol=tol)
+    _, s_ref = normalize_synergies(ref.c, ref.s)
+    s_ref = np.asarray(s_ref)
+
+    rng = np.random.default_rng(seed)
+    idx = _block_bootstrap_indices(n, block_len, n_boot, rng)
+    xb = x[jnp.asarray(idx)]  # (n_boot, N, L)
+    c0b, s0b = init_cnmf(np.asarray(xb), n_synergies, n_lags, seed=seed)
+    states = fit_cnmf_batch(
+        xb, jnp.asarray(c0b), jnp.asarray(s0b), max_iter=max_iter, tol=tol
+    )
+    _, sb = normalize_synergies(states.c, states.s)
+    sb = np.asarray(sb)
+
+    sims = np.stack([
+        _match_time_varying(s_ref, sb[b], match_max_shift)
+        for b in range(n_boot)
+    ])
+    return TimeVaryingBootstrapResult(
+        reference_synergies=s_ref, similarities=sims
+    )
+
+
+def _masked_cnmf_update(x, mask, c, s):
+    """Weighted convolutive MU: every projection sees ``mask * (·)``.
+
+    The EM treatment of missing entries, exactly as
+    :func:`_masked_mu_update` does for the flat model; mirrors
+    :func:`muscle_synergies_tpu.models.cnmf.cnmf_update` otherwise
+    (S per lag slice, then C as a ratio of look-ahead sums).
+    """
+    from .cnmf import _lag_stack, _shift_up
+
+    n_lags = s.shape[1]
+    mx = mask * x
+
+    cs = _lag_stack(c, n_lags)  # (D, T, K)
+    xhat = mask * jnp.einsum("dtk,kdl->tl", cs, s)
+    num_s = jnp.einsum("dtk,tl->kdl", cs, mx)
+    den_s = jnp.einsum("dtk,tl->kdl", cs, xhat)
+    s = s * (num_s / jnp.where(den_s == 0, EPSILON, den_s))
+
+    cs = _lag_stack(c, n_lags)
+    xhat = mask * jnp.einsum("dtk,kdl->tl", cs, s)
+    g_num = jnp.einsum("tl,kdl->dtk", mx, s)
+    g_den = jnp.einsum("tl,kdl->dtk", xhat, s)
+    num_c = sum(_shift_up(g_num[d], d) for d in range(n_lags))
+    den_c = sum(_shift_up(g_den[d], d) for d in range(n_lags))
+    c = c * (num_c / jnp.where(den_c == 0, EPSILON, den_c))
+    return c, s
+
+
+def _masked_cnmf_error(x, mask, c, s):
+    from .cnmf import cnmf_reconstruct
+
+    diff = mask * (x - cnmf_reconstruct(c, s))
+    return jnp.sqrt(jnp.sum(diff * diff))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iter", "tol", "check_every")
+)
+def fit_cnmf_masked(
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    c0: jnp.ndarray,
+    s0: jnp.ndarray,
+    max_iter: int = 200,
+    tol: float = 1e-4,
+    check_every: int = 10,
+):
+    """Masked convolutive NMF: minimize ``||mask * (X - X̂)||_F``.
+
+    Same loop structure and stopping rule as
+    :func:`muscle_synergies_tpu.models.cnmf.fit_cnmf`, restricted to
+    observed (mask=1) entries.
+    """
+    from .cnmf import CNMFState
+
+    error_init = _masked_cnmf_error(x, mask, c0, s0)
+
+    def cond(state):
+        return (state.n_iter < max_iter) & ~state.converged
+
+    def body(state):
+        c, s = state.c, state.s
+        for _ in range(check_every):
+            c, s = _masked_cnmf_update(x, mask, c, s)
+        error = _masked_cnmf_error(x, mask, c, s)
+        improvement = (state.previous_error - error) / jnp.maximum(
+            error_init, EPSILON
+        )
+        return CNMFState(
+            c, s, state.n_iter + check_every, error, improvement < tol
+        )
+
+    init = CNMFState(
+        c0.astype(x.dtype),
+        s0.astype(x.dtype),
+        jnp.asarray(0, jnp.int32),
+        error_init,
+        jnp.asarray(False),
+    )
+    return jax.lax.while_loop(cond, body, init)
+
+
+def cv_time_varying_rank_selection(
+    x,
+    ranks: Sequence[int],
+    n_lags: int,
+    holdout_fraction: float = 0.1,
+    n_repeats: int = 5,
+    seed: int = 0,
+    max_iter: int = 300,
+    tol: float = 1e-5,
+) -> CVResult:
+    """Wold-style CV for the convolutive model's synergy count.
+
+    Hold out random entries, fit :func:`fit_cnmf_masked` on the rest
+    for every (repeat, rank) pair — one vmapped device solve, synergy
+    counts zero-padded to the maximum (padded synergies and their
+    activation columns start at zero, so every MU numerator touching
+    them is identically zero and they stay zero) — and score each
+    rank's held-out reconstruction error.
+    """
+    from .cnmf import cnmf_reconstruct, init_cnmf
+
+    x = jnp.asarray(np.asarray(x, dtype=float))
+    n, l = x.shape
+    k_max = max(ranks)
+    rng = np.random.default_rng(seed)
+
+    masks = (rng.random((n_repeats, n, l)) >= holdout_fraction).astype(x.dtype)
+
+    xs, ms, c0s, s0s = [], [], [], []
+    for r in range(n_repeats):
+        x_obs = np.asarray(x * masks[r])
+        for k in ranks:
+            c0, s0 = init_cnmf(x_obs, k, n_lags, seed=seed + r)
+            c0p = np.concatenate(
+                [c0, np.zeros((n, k_max - k), c0.dtype)], axis=1
+            )
+            s0p = np.concatenate(
+                [s0, np.zeros((k_max - k, n_lags, l), s0.dtype)], axis=0
+            )
+            xs.append(x)
+            ms.append(jnp.asarray(masks[r]))
+            c0s.append(jnp.asarray(c0p))
+            s0s.append(jnp.asarray(s0p))
+
+    fits = jax.vmap(
+        lambda xi, mi, ci, si: fit_cnmf_masked(
+            xi, mi, ci, si, max_iter=max_iter, tol=tol
+        )
+    )(jnp.stack(xs), jnp.stack(ms), jnp.stack(c0s), jnp.stack(s0s))
+
+    heldout = []
+    x_np = np.asarray(x)
+    denom = np.linalg.norm(x_np)
+    cs_fit, ss_fit = np.asarray(fits.c), np.asarray(fits.s)
+    rec = np.asarray(
+        jax.vmap(cnmf_reconstruct)(jnp.asarray(cs_fit), jnp.asarray(ss_fit))
+    )
+    for i in range(len(xs)):
+        r, _ = divmod(i, len(ranks))
+        err = (1.0 - masks[r]) * (x_np - rec[i])
         heldout.append(np.linalg.norm(err) / denom)
     test_error = np.asarray(heldout).reshape(n_repeats, len(ranks))
     best_rank = int(tuple(ranks)[int(np.argmin(test_error.mean(axis=0)))])

@@ -213,3 +213,143 @@ class TestStability:
         assert res.best_rank >= 3
         means = res.mean_test_error
         assert means[2] < means[0]
+
+
+def _convolutive_data(t=240, k=2, d=8, m=6, seed=5):
+    """Data generated exactly from the time-varying model."""
+    rng = np.random.default_rng(seed)
+    c = np.zeros((t, k))
+    for ki in range(k):
+        for start in rng.choice(t - d, size=6, replace=False):
+            c[start, ki] = rng.uniform(0.5, 2.0)
+    s = rng.uniform(0, 1, size=(k, d, m))
+    x = np.zeros((t, m))
+    for ti in range(t):
+        for di in range(d):
+            if ti - di >= 0:
+                x[ti] += c[ti - di] @ s[:, di, :]
+    return x
+
+
+class TestTimeVaryingStability:
+    def test_masked_fit_with_full_mask_equals_unmasked(self):
+        from muscle_synergies_tpu.models import fit_cnmf, fit_cnmf_masked
+        from muscle_synergies_tpu.models.cnmf import init_cnmf
+
+        x = _convolutive_data()
+        c0, s0 = init_cnmf(x, 2, 8, seed=1)
+        import jax.numpy as jnp
+
+        full = fit_cnmf(jnp.asarray(x), jnp.asarray(c0), jnp.asarray(s0),
+                        max_iter=100, tol=1e-5)
+        masked = fit_cnmf_masked(
+            jnp.asarray(x), jnp.ones_like(jnp.asarray(x)),
+            jnp.asarray(c0), jnp.asarray(s0), max_iter=100, tol=1e-5,
+        )
+        assert int(masked.n_iter) == int(full.n_iter)
+        np.testing.assert_allclose(np.asarray(masked.c),
+                                   np.asarray(full.c), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(masked.s),
+                                   np.asarray(full.s), rtol=1e-10)
+
+    def test_masked_fit_recovers_heldout(self):
+        from muscle_synergies_tpu.models import fit_cnmf_masked
+        from muscle_synergies_tpu.models.cnmf import (
+            cnmf_reconstruct,
+            init_cnmf,
+        )
+
+        x = _convolutive_data()
+        rng = np.random.default_rng(0)
+        mask = (rng.random(x.shape) >= 0.15).astype(float)
+        c0, s0 = init_cnmf(x * mask, 2, 8, seed=2)
+        import jax.numpy as jnp
+
+        state = fit_cnmf_masked(
+            jnp.asarray(x), jnp.asarray(mask),
+            jnp.asarray(c0), jnp.asarray(s0), max_iter=800, tol=1e-8,
+        )
+        rec = np.asarray(cnmf_reconstruct(state.c, state.s))
+        err = np.linalg.norm((1 - mask) * (x - rec)) / np.linalg.norm(x)
+        assert err < 0.08
+
+    def test_cv_picks_true_synergy_count(self):
+        from muscle_synergies_tpu.models import (
+            cv_time_varying_rank_selection,
+        )
+
+        x = _convolutive_data(k=2)
+        res = cv_time_varying_rank_selection(
+            x, ranks=(1, 2, 3), n_lags=8, n_repeats=3, max_iter=300,
+            tol=1e-6,
+        )
+        assert res.test_error.shape == (3, 3)
+        means = res.mean_test_error
+        assert means[1] < means[0]  # rank 2 beats rank 1 clearly
+        assert res.best_rank >= 2
+
+    def test_cv_rank_padding_stays_zero(self):
+        from muscle_synergies_tpu.models import fit_cnmf_masked
+        from muscle_synergies_tpu.models.cnmf import init_cnmf
+
+        x = _convolutive_data(k=2)
+        import jax.numpy as jnp
+
+        c0, s0 = init_cnmf(x, 1, 8, seed=3)
+        c0p = np.concatenate([c0, np.zeros((x.shape[0], 2))], axis=1)
+        s0p = np.concatenate([s0, np.zeros((2, 8, x.shape[1]))], axis=0)
+        state = fit_cnmf_masked(
+            jnp.asarray(x), jnp.ones_like(jnp.asarray(x)),
+            jnp.asarray(c0p), jnp.asarray(s0p), max_iter=60, tol=1e-6,
+        )
+        np.testing.assert_array_equal(np.asarray(state.c)[:, 1:], 0.0)
+        np.testing.assert_array_equal(np.asarray(state.s)[1:], 0.0)
+
+    def test_block_bootstrap_preserves_blocks(self):
+        from muscle_synergies_tpu.models.stability import (
+            _block_bootstrap_indices,
+        )
+
+        rng = np.random.default_rng(7)
+        idx = _block_bootstrap_indices(100, 10, 5, rng)
+        assert idx.shape == (5, 100)
+        assert idx.min() >= 0 and idx.max() < 100
+        # within each block, indices are consecutive
+        diffs = np.diff(idx.reshape(5, 10, 10), axis=2)
+        np.testing.assert_array_equal(diffs, 1)
+
+    def test_shifted_cosine_tolerates_lag_shift(self):
+        from muscle_synergies_tpu.models.stability import _shifted_cosine
+
+        rng = np.random.default_rng(9)
+        a = rng.random((8, 6))
+        b = np.roll(a, 2, axis=0)
+        b[:2] = 0.0  # a genuinely shifted pattern, not a circular roll
+        assert _shifted_cosine(a, b, max_shift=0) < 0.99
+        assert _shifted_cosine(a, b, max_shift=2) > 0.999
+
+    def test_bootstrap_stability_on_model_data(self):
+        from muscle_synergies_tpu.models import (
+            bootstrap_time_varying_synergies,
+        )
+
+        x = _convolutive_data(t=300)
+        res = bootstrap_time_varying_synergies(
+            x, 2, 8, n_boot=8, max_iter=250, tol=1e-6, seed=0
+        )
+        assert res.reference_synergies.shape == (2, 8, 6)
+        assert res.similarities.shape == (8, 2)
+        # data generated exactly from the model: synergies should be
+        # recoverable across block resamples
+        assert np.all(res.mean > 0.7)
+
+    def test_bootstrap_block_len_validation(self):
+        from muscle_synergies_tpu.models import (
+            bootstrap_time_varying_synergies,
+        )
+
+        x = _convolutive_data()
+        with pytest.raises(ValueError, match="block_len"):
+            bootstrap_time_varying_synergies(
+                x, 2, 8, n_boot=2, block_len=4
+            )
