@@ -58,6 +58,7 @@ bench-fit:  # full convergence-fit wall time per solver -> artifact
 	$(PYTHON) bench.py --metric fit --solver cd >> BENCH_FIT.json
 	$(PYTHON) bench.py --metric fit --solver kl >> BENCH_FIT.json
 	$(PYTHON) bench.py --metric fit --solver is >> BENCH_FIT.json
+	$(PYTHON) bench.py --metric fit --solver cnmf >> BENCH_FIT.json
 	cat BENCH_FIT.json
 
 bench-e2e:  # head-to-head full workflow vs the reference impl (same core)

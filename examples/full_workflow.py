@@ -58,6 +58,19 @@ def main():
                            n_repeats=3, max_iter=400)
     print("cross-validated best rank:", cv.best_rank)
 
+    # --- 4b. time-varying (convolutive) synergies --------------------------
+    tv = mst.find_time_varying_synergies(
+        proc.abs(), n_synergies=2, n_lags=20, n_inits=2, max_iter=300
+    )
+    print(f"\ntime-varying synergies (2 x 20 lags): VAF {tv.vaf:.4f}, "
+          f"{tv.n_iter} iterations")
+    from muscle_synergies_tpu.models import bootstrap_time_varying_synergies
+
+    tv_boot = bootstrap_time_varying_synergies(
+        proc.abs().to_numpy(), 2, n_lags=20, n_boot=8, max_iter=250
+    )
+    print("time-varying stability:", tv_boot.mean.round(3))
+
     # --- 5. gait segmentation + joint analysis ----------------------------
     from muscle_synergies_tpu.segment import Segmenter, phase_summary
 

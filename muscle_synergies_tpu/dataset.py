@@ -709,6 +709,25 @@ class TimeVaryingDatasetResult:
             statistic
         )
 
+    def to_trial_result(self, trial: int):
+        """One trial repackaged as a
+        :class:`~muscle_synergies_tpu.models.cnmf.TimeVaryingSynergyResult`
+        (what :func:`~muscle_synergies_tpu.viz.plot_time_varying_synergies`
+        consumes)."""
+        from .models.cnmf import TimeVaryingSynergyResult
+
+        cols = list(self.channel_names or range(self.s.shape[-1]))
+        return TimeVaryingSynergyResult(
+            synergies=self.synergies(trial),
+            activations=self.activations(trial),
+            vaf=float(self.vaf_overall[trial]),
+            vaf_per_muscle=pandas.Series(
+                self.vaf_per_channel[trial], index=cols
+            ),
+            n_iter=int(self.n_iter[trial]),
+            restart_errors=self.restart_errors[trial],
+        )
+
 
 def analyze_dataset_time_varying(
     trials: Union[Sequence, Mapping],

@@ -180,6 +180,22 @@ class TestAnalyzeDatasetTimeVarying:
         table = result.vaf_table()
         np.testing.assert_allclose(table.to_numpy(), result.vaf_overall)
 
+    def test_to_trial_result_plots(self, result):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from muscle_synergies_tpu.viz import plot_time_varying_synergies
+
+        tv = result.to_trial_result(0)
+        assert tv.vaf == pytest.approx(result.vaf_overall[0])
+        assert tv.n_iter == int(result.n_iter[0])
+        assert list(tv.vaf_per_muscle.index) == result.channel_names
+        fig = plot_time_varying_synergies(tv, show=False)
+        assert len(fig.axes) == 4  # 2 synergies x (pattern, activation)
+        plt.close(fig)
+
     def test_trial0_matches_single_trial_entry_point(self, trials, result):
         """Trial 0's restart seeds coincide with the single-trial API's
         (both are seed + restart index), so the winner must agree."""
