@@ -4,6 +4,7 @@ from .beta import BetaState, beta_divergence, fit_mu_beta, mu_update_beta
 from .cnmf import (
     CNMFState,
     TimeVaryingSynergyResult,
+    cnmf_transform,
     find_time_varying_synergies,
     fit_cnmf,
     fit_cnmf_batch,
@@ -51,6 +52,7 @@ __all__ = [
     "CNMFState",
     "fit_cnmf",
     "fit_cnmf_batch",
+    "cnmf_transform",
     "tvaf",
     "bootstrap_synergies",
     "BootstrapResult",

@@ -32,7 +32,7 @@ Frobenius norm per synergy, activations rescaled inversely).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +44,7 @@ __all__ = [
     "CNMFState",
     "TimeVaryingSynergyResult",
     "cnmf_reconstruct",
+    "cnmf_transform",
     "cnmf_update",
     "cnmf_iterations_batch",
     "find_time_varying_synergies",
@@ -96,6 +97,7 @@ def cnmf_update(
     c: jnp.ndarray,
     s: jnp.ndarray,
     update_c: bool = True,
+    update_s: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One multiplicative update of S then C.
 
@@ -104,16 +106,20 @@ def cnmf_update(
     C update (ratio of sums over lags):
         ``C ⊙= (Σ_d shift_{-d}(X S_dᵀ)) / (Σ_d shift_{-d}(X̂ S_dᵀ))``
 
-    ``update_c=False`` freezes the activations (the ``transform``
-    analog: project new data onto fixed synergies).
+    ``update_c=False`` freezes the activations — estimating the
+    synergy library for *known* recruitment trains.  ``update_s=False``
+    freezes the synergies — the ``transform`` analog (sklearn
+    ``NMF.transform`` semantics transposed to this model): project new
+    data onto a fixed library, as :func:`cnmf_transform` does.
     """
     n_lags = s.shape[1]
 
-    cs = _lag_stack(c, n_lags)  # (D, T, K)
-    xhat = jnp.einsum("dtk,kdl->tl", cs, s)
-    num_s = jnp.einsum("dtk,tl->kdl", cs, x)
-    den_s = jnp.einsum("dtk,tl->kdl", cs, xhat)
-    s = s * (num_s / jnp.where(den_s == 0, EPSILON, den_s))
+    if update_s:
+        cs = _lag_stack(c, n_lags)  # (D, T, K)
+        xhat = jnp.einsum("dtk,kdl->tl", cs, s)
+        num_s = jnp.einsum("dtk,tl->kdl", cs, x)
+        den_s = jnp.einsum("dtk,tl->kdl", cs, xhat)
+        s = s * (num_s / jnp.where(den_s == 0, EPSILON, den_s))
 
     if not update_c:
         return c, s
@@ -144,7 +150,7 @@ def _frobenius_error(x, c, s):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iter", "tol", "check_every", "update_c"),
+    static_argnames=("max_iter", "tol", "check_every", "update_c", "update_s"),
 )
 def fit_cnmf(
     x: jnp.ndarray,
@@ -154,6 +160,7 @@ def fit_cnmf(
     tol: float = 1e-4,
     check_every: int = 10,
     update_c: bool = True,
+    update_s: bool = True,
 ) -> CNMFState:
     """Run convolutive NMF to convergence in one device computation.
 
@@ -165,7 +172,11 @@ def fit_cnmf(
         x: ``(T, L)`` nonnegative data (time x muscles).
         c0: ``(T, K)`` initial activations.
         s0: ``(K, D, L)`` initial synergies.
+        update_c / update_s: freeze one factor (see
+            :func:`cnmf_update`; freezing both is rejected).
     """
+    if not (update_c or update_s):
+        raise ValueError("update_c and update_s cannot both be False")
     error_init = _frobenius_error(x, c0, s0)
 
     def cond(state: CNMFState):
@@ -174,7 +185,8 @@ def fit_cnmf(
     def body(state: CNMFState):
         c, s = state.c, state.s
         for _ in range(check_every):
-            c, s = cnmf_update(x, c, s, update_c=update_c)
+            c, s = cnmf_update(x, c, s, update_c=update_c,
+                               update_s=update_s)
         error = _frobenius_error(x, c, s)
         improvement = (state.previous_error - error) / jnp.maximum(
             error_init, EPSILON
@@ -205,6 +217,7 @@ def fit_cnmf_batch(
     tol: float = 1e-4,
     check_every: int = 10,
     update_c: bool = True,
+    update_s: bool = True,
     impl: str = "xla",
     block_b: int = None,
 ) -> CNMFState:
@@ -221,10 +234,11 @@ def fit_cnmf_batch(
     identical per-trial stopping semantics.
     """
     if impl == "pallas":
-        if not update_c:
+        if not (update_c and update_s):
             raise ValueError(
-                "the Pallas path always updates C; use impl='xla' "
-                "for update_c=False (the transform path)"
+                "the Pallas path always updates both factors; use "
+                "impl='xla' for update_c=False / update_s=False "
+                "(the frozen-factor paths)"
             )
         if block_b is None:
             block_b = 128 if xs.shape[0] % 128 == 0 else xs.shape[0]
@@ -236,16 +250,16 @@ def fit_cnmf_batch(
         raise ValueError(f"unknown impl: {impl!r}")
     return _fit_cnmf_batch_xla(
         xs, c0, s0, max_iter=max_iter, tol=tol,
-        check_every=check_every, update_c=update_c,
+        check_every=check_every, update_c=update_c, update_s=update_s,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iter", "tol", "check_every", "update_c"),
+    static_argnames=("max_iter", "tol", "check_every", "update_c", "update_s"),
 )
 def _fit_cnmf_batch_xla(
-    xs, c0, s0, max_iter, tol, check_every, update_c
+    xs, c0, s0, max_iter, tol, check_every, update_c, update_s=True
 ) -> CNMFState:
     return jax.vmap(
         lambda x, c, s: fit_cnmf(
@@ -256,6 +270,7 @@ def _fit_cnmf_batch_xla(
             tol=tol,
             check_every=check_every,
             update_c=update_c,
+            update_s=update_s,
         )
     )(xs, c0, s0)
 
@@ -319,6 +334,56 @@ def _fit_cnmf_batch_pallas(
     return jax.lax.while_loop(cond, chunk, init)
 
 
+def cnmf_transform(
+    x: jnp.ndarray,
+    s: jnp.ndarray,
+    c0: Optional[jnp.ndarray] = None,
+    max_iter: int = 200,
+    tol: float = 1e-4,
+    seed: int = 0,
+) -> CNMFState:
+    """Project data onto a FIXED synergy library: solve C, freeze S.
+
+    The convolutive analog of ``NMFModel.transform`` (sklearn
+    ``NMF.transform`` runs the same updates with the components frozen;
+    the reference reaches it through sklearn, reference
+    analysis.py:848-864): given spatiotemporal synergies from a prior
+    fit — e.g. ``find_time_varying_synergies(...).synergies`` stacked
+    to ``(K, D, L)`` — recover the recruitment trains of *new* trials.
+
+    Args:
+        x: ``(T, L)`` or batched ``(B, T, L)`` nonnegative data.
+        s: ``(K, D, L)`` fixed synergies (or ``(B, K, D, L)`` matching
+            a batched ``x``).
+        c0: optional initial activations; defaults to the scaled
+            random init of :func:`init_cnmf`.
+        max_iter / tol: sklearn-style stopping on the Frobenius error.
+
+    Returns:
+        :class:`CNMFState` whose ``s`` equals the input bit-for-bit.
+    """
+    x = jnp.asarray(x)
+    s = jnp.asarray(s)
+    batched = x.ndim == 3
+    if c0 is None:
+        k = s.shape[-3]
+        n_lags = s.shape[-2]
+        c0_np, _ = init_cnmf(np.asarray(x), k, n_lags, seed=seed)
+        c0 = jnp.asarray(c0_np)
+    else:
+        c0 = jnp.asarray(c0)
+    if batched:
+        if s.ndim == 3:
+            s = jnp.broadcast_to(s, x.shape[:1] + s.shape)
+        return _fit_cnmf_batch_xla(
+            x, c0, s, max_iter=max_iter, tol=tol, check_every=10,
+            update_c=True, update_s=False,
+        )
+    return fit_cnmf(
+        x, c0, s, max_iter=max_iter, tol=tol, update_s=False
+    )
+
+
 def _cnmf_iterations_xla(xs, c0, s0, n_iters, update_c=True):
     def one(x, c, s):
         def body(_, cs_):
@@ -357,7 +422,7 @@ def cnmf_iterations_batch(
         if not update_c:
             raise ValueError(
                 "the Pallas path always updates C; use impl='xla' "
-                "for update_c=False (the transform path)"
+                "for update_c=False (the frozen-activations path)"
             )
         if block_b is None:
             block_b = 128 if xs.shape[0] % 128 == 0 else xs.shape[0]

@@ -139,6 +139,45 @@ class TestFit:
         assert float(np.asarray(state.c).min()) >= 0
         assert float(np.asarray(state.s).min()) >= 0
 
+    def test_both_factors_frozen_rejected(self):
+        x, _, _ = synthetic()
+        c0, s0 = init_cnmf(x, 2, 8, seed=5)
+        with pytest.raises(ValueError, match="both"):
+            fit_cnmf(x, c0, s0, update_c=False, update_s=False)
+
+
+class TestTransform:
+    def test_recovers_activations_of_known_library(self):
+        """With the TRUE synergies fixed, transform must recover the
+        data nearly exactly (the model generated it)."""
+        from muscle_synergies_tpu.models.cnmf import cnmf_transform
+
+        x, c_true, s_true = synthetic()
+        state = cnmf_transform(x, s_true, max_iter=2000, tol=1e-10)
+        np.testing.assert_array_equal(np.asarray(state.s), s_true)
+        rec = np.asarray(cnmf_reconstruct(state.c, state.s))
+        err = np.linalg.norm(x - rec) / max(np.linalg.norm(x), 1e-12)
+        assert err < 0.05
+
+    def test_batched_with_shared_library(self):
+        from muscle_synergies_tpu.models.cnmf import cnmf_transform
+
+        xs = np.stack([synthetic(seed=i)[0] for i in range(3)])
+        _, _, s = synthetic(seed=0)
+        state = cnmf_transform(xs, s, max_iter=100, tol=1e-5)
+        assert state.c.shape == (3, xs.shape[1], 2)
+        for b in range(3):
+            np.testing.assert_array_equal(np.asarray(state.s[b]), s)
+
+    def test_explicit_c0_used(self):
+        from muscle_synergies_tpu.models.cnmf import cnmf_transform
+
+        x, _, s_true = synthetic()
+        c0, _ = init_cnmf(x, 2, 8, seed=9)
+        a = cnmf_transform(x, s_true, c0=c0, max_iter=50, tol=0.0)
+        b = cnmf_transform(x, s_true, c0=c0, max_iter=50, tol=0.0)
+        np.testing.assert_array_equal(np.asarray(a.c), np.asarray(b.c))
+
 
 class TestBatched:
     def test_batch_matches_loop(self):
