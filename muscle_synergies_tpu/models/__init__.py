@@ -2,6 +2,7 @@
 
 from .beta import BetaState, beta_divergence, fit_mu_beta, mu_update_beta
 from .cnmf import (
+    CNMFModel,
     CNMFState,
     TimeVaryingSynergyResult,
     cnmf_transform,
@@ -53,6 +54,7 @@ __all__ = [
     "fit_cnmf",
     "fit_cnmf_batch",
     "cnmf_transform",
+    "CNMFModel",
     "tvaf",
     "bootstrap_synergies",
     "BootstrapResult",

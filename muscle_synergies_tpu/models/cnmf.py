@@ -41,6 +41,7 @@ import numpy as np
 from .mu import EPSILON
 
 __all__ = [
+    "CNMFModel",
     "CNMFState",
     "TimeVaryingSynergyResult",
     "cnmf_reconstruct",
@@ -607,6 +608,91 @@ def find_time_varying_synergies(
         n_iter=int(state.n_iter[best]),
         restart_errors=errors,
     )
+
+
+class CNMFModel:
+    """sklearn-style estimator for the time-varying synergy model.
+
+    The convolutive companion to
+    :class:`muscle_synergies_tpu.models.select.NMFModel` (the reference
+    has no convolutive surface at all — beyond-reference capability):
+    ``fit`` / ``fit_transform`` solve both factors with batched
+    multi-restart via :func:`find_time_varying_synergies`;
+    ``transform`` projects new trials onto the fitted library with the
+    synergies frozen (:func:`cnmf_transform`).
+
+    Attributes after fitting:
+        synergies_: ``(K, D, L)`` unit-Frobenius-norm library.
+        n_components_ / n_lags_: model order actually used.
+        n_iter_: iterations of the winning restart.
+        reconstruction_err_: its final Frobenius error.
+        restart_errors_: ``(n_inits,)`` final errors of all restarts.
+    """
+
+    def __init__(
+        self,
+        n_components: int,
+        n_lags: int,
+        *,
+        tol: float = 1e-5,
+        max_iter: int = 500,
+        n_inits: int = 4,
+        random_state: int = 0,
+        impl: str = "auto",
+    ):
+        self.n_components = n_components
+        self.n_lags = n_lags
+        self.tol = tol
+        self.max_iter = max_iter
+        self.n_inits = n_inits
+        self.random_state = random_state
+        self.impl = impl
+
+    def fit_transform(self, X) -> np.ndarray:
+        """Fit the library and return the ``(T, K)`` activations."""
+        res = find_time_varying_synergies(
+            X, self.n_components, self.n_lags, max_iter=self.max_iter,
+            tol=self.tol, n_inits=self.n_inits, seed=self.random_state,
+            impl=self.impl,
+        )
+        self.synergies_ = np.stack(
+            [res.synergies[k].to_numpy() for k in range(self.n_components)]
+        )
+        self.n_components_ = self.n_components
+        self.n_lags_ = self.n_lags
+        self.n_iter_ = res.n_iter
+        self.restart_errors_ = res.restart_errors
+        self.reconstruction_err_ = float(res.restart_errors.min())
+        return res.activations.to_numpy()
+
+    def fit(self, X) -> "CNMFModel":
+        self.fit_transform(X)
+        return self
+
+    def _check_fitted(self):
+        if not hasattr(self, "synergies_"):
+            raise ValueError(
+                "this CNMFModel instance is not fitted yet; call fit or "
+                "fit_transform first"
+            )
+
+    def transform(self, X) -> np.ndarray:
+        """Activations of new data against the FITTED library."""
+        self._check_fitted()
+        x = np.asarray(X, dtype=float)
+        state = cnmf_transform(
+            jnp.asarray(x), jnp.asarray(self.synergies_),
+            max_iter=self.max_iter, tol=self.tol, seed=self.random_state,
+        )
+        return np.asarray(state.c)
+
+    def inverse_transform(self, C) -> np.ndarray:
+        """Reconstruction ``X̂`` from activations and the fitted library."""
+        self._check_fitted()
+        return np.asarray(
+            cnmf_reconstruct(jnp.asarray(np.asarray(C, dtype=float)),
+                             jnp.asarray(self.synergies_))
+        )
 
 
 def tvaf(x: jnp.ndarray, c: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:

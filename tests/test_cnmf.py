@@ -366,6 +366,57 @@ class TestFindTimeVaryingSynergies:
         plt.close(fig)
 
 
+class TestCNMFModel:
+    def test_fit_transform_surface(self):
+        from muscle_synergies_tpu.models import CNMFModel
+
+        x, _, _ = synthetic()
+        model = CNMFModel(2, 8, max_iter=400, tol=1e-6, n_inits=3,
+                          random_state=0)
+        c = model.fit_transform(x)
+        assert c.shape == (x.shape[0], 2)
+        assert model.synergies_.shape == (2, 8, x.shape[1])
+        assert model.n_components_ == 2 and model.n_lags_ == 8
+        assert model.restart_errors_.shape == (3,)
+        assert model.reconstruction_err_ == pytest.approx(
+            model.restart_errors_.min()
+        )
+        norms = np.linalg.norm(model.synergies_.reshape(2, -1), axis=1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-8)
+
+    def test_matches_functional_entry_point(self):
+        from muscle_synergies_tpu.models import CNMFModel
+        from muscle_synergies_tpu import find_time_varying_synergies
+
+        x, _, _ = synthetic()
+        res = find_time_varying_synergies(
+            x, 2, 8, max_iter=200, tol=1e-5, n_inits=2, seed=7
+        )
+        model = CNMFModel(2, 8, max_iter=200, tol=1e-5, n_inits=2,
+                          random_state=7)
+        c = model.fit_transform(x)
+        np.testing.assert_array_equal(c, res.activations.to_numpy())
+        assert model.n_iter_ == res.n_iter
+
+    def test_transform_and_inverse(self):
+        from muscle_synergies_tpu.models import CNMFModel
+
+        x, _, _ = synthetic()
+        model = CNMFModel(2, 8, max_iter=600, tol=1e-7, n_inits=3).fit(x)
+        c_new = model.transform(x)  # project the training trial back
+        assert c_new.shape == (x.shape[0], 2)
+        rec = model.inverse_transform(c_new)
+        vaf = 1 - ((x - rec) ** 2).sum() / (x ** 2).sum()
+        assert vaf > 0.9
+
+    def test_unfitted_transform_raises(self):
+        from muscle_synergies_tpu.models import CNMFModel
+
+        x, _, _ = synthetic()
+        with pytest.raises(ValueError, match="not fitted"):
+            CNMFModel(2, 8).transform(x)
+
+
 class TestNormalize:
     def test_reconstruction_invariant(self):
         c = RNG.uniform(0, 1, (30, 3))
