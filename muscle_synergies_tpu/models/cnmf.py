@@ -540,9 +540,10 @@ def find_time_varying_synergies(
         n_inits: random restarts (batched into one computation).
         seed: base seed; restart ``r`` uses ``seed + r``.
         impl: ``"xla"``, ``"pallas"``, or ``"auto"`` (default) —
-            the fused VMEM kernel on TPU (faster and pure-f32 on the
-            VPU, so ~3 decades more accurate than the bf16 MXU
-            einsums), the batched XLA path elsewhere.
+            the fused VMEM kernel on TPU when the restart batch fills
+            a reasonable fraction of a 128-lane tile (``n_inits >= 8``;
+            faster and pure-f32 on the VPU, so ~3 decades more accurate
+            than the bf16 MXU einsums), the batched XLA path otherwise.
     """
     import pandas
 
@@ -566,7 +567,14 @@ def find_time_varying_synergies(
         raise ValueError(f"n_inits must be >= 1, got {n_inits}")
 
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # the kernel packs restarts onto the 128-wide lane dimension;
+        # mirror analyze_dataset's rule and only take it when the
+        # restart batch fills a reasonable fraction of a lane tile
+        impl = (
+            "pallas"
+            if jax.default_backend() == "tpu" and n_inits >= 8
+            else "xla"
+        )
     elif impl not in {"xla", "pallas"}:
         raise ValueError(f"unknown impl: {impl!r}")
 

@@ -22,12 +22,30 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: repeated test runs skip XLA compiles.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Free compiled executables between test modules.
+
+    Every live XLA:CPU executable holds mmap'd JIT code sections; the
+    full suite compiles enough distinct programs that the process
+    crosses ``vm.max_map_count`` (~65k mappings) late in the run, at
+    which point LLVM's section allocator mmap fails and the compiler
+    SIGSEGVs (observed at ~96% of the suite, in whatever test compiles
+    next).  Dropping the jit caches per module bounds the live count;
+    the persistent disk cache above makes any cross-module recompiles
+    cheap reloads.
+    """
+    yield
+    jax.clear_caches()
 
 
 def pytest_report_header():
