@@ -209,6 +209,35 @@ def _build_parser():
     return parser
 
 
+def _validate_time_varying_flags(args):
+    """Reject flag combinations --time-varying cannot honor.
+
+    Runs BEFORE any ingest/preprocessing so a bad invocation fails in
+    milliseconds, not after parsing a multi-hundred-MB capture.
+    """
+    lo, hi = args.ranks
+    if hi is not None:
+        raise SystemExit(
+            "--time-varying takes a single --ranks value (the synergy "
+            f"count), not the range {lo}:{hi}"
+        )
+    if args.beta_loss != "frobenius":
+        raise SystemExit(
+            "--time-varying is Frobenius-only; drop --beta-loss"
+        )
+    if args.alpha_w != 0.0 or args.l1_ratio != 0.0:
+        raise SystemExit(
+            "--time-varying has no sparsity penalties; drop "
+            "--alpha-w/--l1-ratio"
+        )
+    if getattr(args, "inner_iter", 1) != 1:
+        raise SystemExit(
+            "--inner-iter applies to the Frobenius MU solver only; "
+            "drop it for --time-varying"
+        )
+    return lo
+
+
 def _load(path):
     """Load a capture, turning parse errors into clean CLI messages."""
     import muscle_synergies_tpu as mst
@@ -238,6 +267,8 @@ def _cmd_analyze(args) -> int:
 
     import muscle_synergies_tpu as mst
 
+    if args.time_varying is not None:
+        _validate_time_varying_flags(args)
     data = _load(args.csv)
     emg_df = data.emg.df
     fs = data.emg.sampling_frequency
@@ -370,33 +401,14 @@ def _cmd_analyze(args) -> int:
 def _analyze_time_varying(args, proc, emg_df, fs) -> int:
     """``analyze --time-varying LAGS``: convolutive-NMF branch.
 
-    The time-invariant flags that have no convolutive counterpart are
-    rejected loudly instead of silently ignored.
+    The time-invariant flags that have no convolutive counterpart were
+    rejected up front by :func:`_validate_time_varying_flags`.
     """
     import numpy as np
 
     import muscle_synergies_tpu as mst
 
-    lo, hi = args.ranks
-    if hi is not None:
-        raise SystemExit(
-            "--time-varying takes a single --ranks value (the synergy "
-            f"count), not the range {lo}:{hi}"
-        )
-    if args.beta_loss != "frobenius":
-        raise SystemExit(
-            "--time-varying is Frobenius-only; drop --beta-loss"
-        )
-    if args.alpha_w != 0.0 or args.l1_ratio != 0.0:
-        raise SystemExit(
-            "--time-varying has no sparsity penalties; drop "
-            "--alpha-w/--l1-ratio"
-        )
-    if args.inner_iter != 1:
-        raise SystemExit(
-            "--inner-iter applies to the Frobenius MU solver only; "
-            "drop it for --time-varying"
-        )
+    lo = _validate_time_varying_flags(args)
     try:
         res = mst.find_time_varying_synergies(
             proc, lo, args.time_varying, max_iter=args.max_iter,
@@ -476,6 +488,8 @@ def _cmd_analyze_dataset(args) -> int:
     import muscle_synergies_tpu as mst
     from muscle_synergies_tpu.utils import PipelineConfig
 
+    if args.time_varying is not None:
+        _validate_time_varying_flags(args)
     subjects = None
     if args.subjects:  # validate the cheap flag before any ingest
         subjects = [s.strip() for s in args.subjects.split(",")]
@@ -574,21 +588,7 @@ def _analyze_dataset_time_varying(args, trials, fs, config, subjects) -> int:
 
     import muscle_synergies_tpu as mst
 
-    lo, hi = args.ranks
-    if hi is not None:
-        raise SystemExit(
-            "--time-varying takes a single --ranks value (the synergy "
-            f"count), not the range {lo}:{hi}"
-        )
-    if args.beta_loss != "frobenius":
-        raise SystemExit(
-            "--time-varying is Frobenius-only; drop --beta-loss"
-        )
-    if args.alpha_w != 0.0 or args.l1_ratio != 0.0:
-        raise SystemExit(
-            "--time-varying has no sparsity penalties; drop "
-            "--alpha-w/--l1-ratio"
-        )
+    lo = _validate_time_varying_flags(args)
     try:
         res = mst.analyze_dataset_time_varying(
             trials, fs, n_synergies=lo, n_lags=args.time_varying,
