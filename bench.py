@@ -121,10 +121,8 @@ def _make_step(impl, batch, solver="mu"):
         from muscle_synergies_tpu.models.cnmf import cnmf_iterations_batch
 
         def step_fn(xs, c, srg, iters):
-            return cnmf_iterations_batch(
-                xs, c, srg, iters, impl=impl,
-                block_b=block_b if impl == "pallas" else None,
-            )
+            # block_b=None: cnmf_iterations_batch picks the legal tile
+            return cnmf_iterations_batch(xs, c, srg, iters, impl=impl)
     elif solver == "mu":
         def step_fn(xs, w, h, iters):
             return mu_iterations_batch(
@@ -449,12 +447,12 @@ def run_fit(args):
         elif args.solver == "cnmf":
             from muscle_synergies_tpu.models.cnmf import fit_cnmf_batch
 
+            # block_b=None lets fit_cnmf_batch pick the legal tile
+            # (128 for multiples, whole-batch for <= 128) and raise a
+            # clear error for batch sizes with no legal Pallas tile
             def fit(xs, c, s):
                 return fit_cnmf_batch(
                     xs, c, s, max_iter=max_iter, tol=tol, impl=impl,
-                    block_b=(
-                        min(128, args.batch) if impl == "pallas" else None
-                    ),
                 )
         else:
             beta = 1.0 if args.solver == "kl" else 0.0

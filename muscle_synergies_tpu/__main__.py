@@ -70,11 +70,12 @@ def _build_parser():
     p_an = sub.add_parser("analyze", help="EMG -> synergies pipeline")
     p_an.add_argument("csv", help="path to the Vicon Nexus CSV export")
     p_an.add_argument(
-        "--ranks", type=_parse_ranks, default="1:4",
-        help="rank or range to sweep, e.g. '3' or '2:5' (default 1:4)",
+        "--ranks", type=_parse_ranks, default=None,
+        help="rank or range to sweep, e.g. '3' or '2:5' (default 1:4; "
+             "--time-varying requires an explicit single value)",
     )
     p_an.add_argument(
-        "--solver", choices=["cd", "mu"], default="cd",
+        "--solver", choices=["cd", "mu"], default=None,
         help="NMF solver (default: cd, sklearn's default)",
     )
     p_an.add_argument(
@@ -154,15 +155,16 @@ def _build_parser():
     )
     p_ds.add_argument("csvs", nargs="+", help="Vicon Nexus CSV exports")
     p_ds.add_argument(
-        "--ranks", type=_parse_ranks, default="1:4",
-        help="rank or range to sweep (default 1:4)",
+        "--ranks", type=_parse_ranks, default=None,
+        help="rank or range to sweep (default 1:4; --time-varying "
+             "requires an explicit single value)",
     )
     p_ds.add_argument(
         "--subjects", default=None,
         help="comma-separated subject label per capture (enables "
              "grouped reporting)",
     )
-    p_ds.add_argument("--solver", choices=["cd", "mu"], default="cd")
+    p_ds.add_argument("--solver", choices=["cd", "mu"], default=None)
     p_ds.add_argument("--beta-loss", default="frobenius")
     p_ds.add_argument("--max-iter", type=int, default=10_000)
     p_ds.add_argument("--tol", type=float, default=1e-6)
@@ -213,13 +215,25 @@ def _validate_time_varying_flags(args):
     """Reject flag combinations --time-varying cannot honor.
 
     Runs BEFORE any ingest/preprocessing so a bad invocation fails in
-    milliseconds, not after parsing a multi-hundred-MB capture.
+    milliseconds, not after parsing a multi-hundred-MB capture.  Every
+    time-invariant-only sibling flag is rejected loudly rather than
+    silently ignored.
     """
+    if args.ranks is None:
+        raise SystemExit(
+            "--time-varying requires an explicit --ranks K (the "
+            "synergy count), e.g. --ranks 2"
+        )
     lo, hi = args.ranks
     if hi is not None:
         raise SystemExit(
             "--time-varying takes a single --ranks value (the synergy "
             f"count), not the range {lo}:{hi}"
+        )
+    if args.solver is not None:
+        raise SystemExit(
+            "--time-varying has a single solver (convolutive MU); "
+            "drop --solver"
         )
     if args.beta_loss != "frobenius":
         raise SystemExit(
@@ -229,6 +243,10 @@ def _validate_time_varying_flags(args):
         raise SystemExit(
             "--time-varying has no sparsity penalties; drop "
             "--alpha-w/--l1-ratio"
+        )
+    if getattr(args, "alpha_h", "same") != "same":
+        raise SystemExit(
+            "--time-varying has no sparsity penalties; drop --alpha-h"
         )
     if getattr(args, "inner_iter", 1) != 1:
         raise SystemExit(
@@ -269,6 +287,8 @@ def _cmd_analyze(args) -> int:
 
     if args.time_varying is not None:
         _validate_time_varying_flags(args)
+    elif args.ranks is None:
+        args.ranks = (1, 4)
     data = _load(args.csv)
     emg_df = data.emg.df
     fs = data.emg.sampling_frequency
@@ -294,6 +314,7 @@ def _cmd_analyze(args) -> int:
     lo, hi = args.ranks
     if args.time_varying is not None:
         return _analyze_time_varying(args, proc, emg_df, fs)
+    solver = args.solver if args.solver is not None else "cd"
     try:
         beta_loss = float(args.beta_loss)
     except ValueError:
@@ -309,7 +330,7 @@ def _cmd_analyze(args) -> int:
         alpha_h = "same"
     try:
         result = mst.find_synergies(
-            proc, lo, hi, solver=args.solver, beta_loss=beta_loss,
+            proc, lo, hi, solver=solver, beta_loss=beta_loss,
             max_iter=args.max_iter, tol=args.tol,
             alpha_W=args.alpha_w, alpha_H=alpha_h,
             l1_ratio=args.l1_ratio, inner_iter=args.inner_iter,
@@ -345,7 +366,7 @@ def _cmd_analyze(args) -> int:
                 else {"envelope_lowpass_hz": args.envelope_hz}
             ),
             "reduce_to": args.reduce_to,
-            "solver": args.solver,
+            "solver": solver,
             "beta_loss": args.beta_loss,
             "max_iter": args.max_iter,
             "tol": args.tol,
@@ -490,6 +511,9 @@ def _cmd_analyze_dataset(args) -> int:
 
     if args.time_varying is not None:
         _validate_time_varying_flags(args)
+    elif args.ranks is None:
+        args.ranks = (1, 4)
+    solver = args.solver if args.solver is not None else "cd"
     subjects = None
     if args.subjects:  # validate the cheap flag before any ingest
         subjects = [s.strip() for s in args.subjects.split(",")]
@@ -539,7 +563,7 @@ def _cmd_analyze_dataset(args) -> int:
         )
     try:
         res = mst.analyze_dataset(
-            trials, fs, ranks=ranks, config=config, solver=args.solver,
+            trials, fs, ranks=ranks, config=config, solver=solver,
             beta_loss=beta_loss, max_iter=args.max_iter, tol=args.tol,
             impl=args.impl, subjects=subjects, alpha_W=args.alpha_w,
             alpha_H=alpha_h, l1_ratio=args.l1_ratio,

@@ -36,6 +36,15 @@ __all__ = [
 ]
 
 
+def _channel_names(first) -> Optional[List[str]]:
+    """Column labels of the first trial, when it carries any."""
+    if isinstance(first, pandas.DataFrame):
+        return list(first.columns)
+    if hasattr(first, "coords"):  # DeviceData
+        return list(first.coords)
+    return None
+
+
 def _normalize_trials_subjects(trials, subjects):
     """Flatten a ``{subject: trials}`` mapping / validate ``subjects=``."""
     if isinstance(trials, Mapping):
@@ -495,12 +504,7 @@ def analyze_dataset(
     if inner_iter != 1 and solver != "mu":
         raise ValueError("inner_iter > 1 is only meaningful for solver='mu'")
 
-    channel_names = None
-    first = trials[0]
-    if isinstance(first, pandas.DataFrame):
-        channel_names = list(first.columns)
-    elif hasattr(first, "coords"):
-        channel_names = list(first.coords)
+    channel_names = _channel_names(trials[0])
 
     xs = preprocess_trials(
         trials, sampling_frequency, config, dtype=dtype, mesh=mesh
@@ -794,12 +798,7 @@ def analyze_dataset_time_varying(
     max_iter = max_iter if max_iter is not None else config.max_iter
     tol = tol if tol is not None else config.tol
 
-    channel_names = None
-    first = trials[0]
-    if isinstance(first, pandas.DataFrame):
-        channel_names = list(first.columns)
-    elif hasattr(first, "coords"):
-        channel_names = list(first.coords)
+    channel_names = _channel_names(trials[0])
 
     xs = preprocess_trials(
         trials, sampling_frequency, config, dtype=dtype, mesh=mesh
@@ -810,22 +809,21 @@ def analyze_dataset_time_varying(
             f"n_lags must be in [1, n_samples={t}], got {n_lags}"
         )
 
+    from .models.cnmf import resolve_cnmf_impl
+
     impl = impl if impl is not None else getattr(config, "solver_impl", "xla")
-    if impl == "auto":
-        from .models.batch import _default_block_b
+    impl = resolve_cnmf_impl(impl, b * n_inits)
 
-        impl = (
-            "pallas"
-            if jax.default_backend() == "tpu"
-            and _default_block_b(max(b * n_inits, 1)) >= 8
-            else "xla"
-        )
-
-    # restart grid: trial-major, restarts contiguous; per-problem seeds
-    # come from init_cnmf's batched seed + flat-index rule
+    # Restart grid: trial-major, restarts contiguous; per-problem seeds
+    # come from init_cnmf's batched seed + flat-index rule.  The grid
+    # replication happens on device (jnp.repeat) AND on host
+    # (np.repeat of the once-downloaded xs, which the VAF section needs
+    # anyway) so the big grid never crosses the host<->device link —
+    # through the axon relay a ~3 MB transfer costs tens of ms.
+    xs_np = np.asarray(xs)
     grid_x = jnp.repeat(xs, n_inits, axis=0)
     c0, s0 = init_cnmf(
-        np.asarray(grid_x), n_synergies, n_lags, seed=seed
+        np.repeat(xs_np, n_inits, axis=0), n_synergies, n_lags, seed=seed
     )
     n_fits = b * n_inits
 
@@ -884,11 +882,14 @@ def analyze_dataset_time_varying(
 
     errors = np.asarray(state.previous_error).reshape(b, n_inits)
     best = np.arange(b) * n_inits + np.argmin(errors, axis=1)
-    c_best = jnp.asarray(np.asarray(state.c)[best])
-    s_best = jnp.asarray(np.asarray(state.s)[best])
+    # winner gather stays on device: only the (B, ...) winners ever
+    # cross the link, not the full (B * n_inits) restart grid
+    best_dev = jnp.asarray(best)
+    c_best = jnp.take(state.c, best_dev, axis=0)
+    s_best = jnp.take(state.s, best_dev, axis=0)
     c_best, s_best = normalize_synergies(c_best, s_best)
 
-    xs_local = jnp.asarray(np.asarray(xs))  # gather off any mesh
+    xs_local = jnp.asarray(xs_np)  # gathered off any mesh above
     rec = jax.vmap(cnmf_reconstruct)(c_best, s_best)
     err2 = jnp.sum((xs_local - rec) ** 2, axis=1)  # (B, L)
     tot2 = jnp.sum(xs_local * xs_local, axis=1)

@@ -44,6 +44,7 @@ __all__ = [
     "CNMFModel",
     "CNMFState",
     "TimeVaryingSynergyResult",
+    "cnmf_block_b",
     "cnmf_reconstruct",
     "cnmf_transform",
     "cnmf_update",
@@ -53,6 +54,7 @@ __all__ = [
     "fit_cnmf_batch",
     "init_cnmf",
     "normalize_synergies",
+    "resolve_cnmf_impl",
     "tvaf",
 ]
 
@@ -134,6 +136,44 @@ def cnmf_update(
     den_c = sum(_shift_up(g_den[d], d) for d in range(n_lags))
     c = c * (num_c / jnp.where(den_c == 0, EPSILON, den_c))
     return c, s
+
+
+def cnmf_block_b(b: int) -> Optional[int]:
+    """Legal Pallas batch tile for ``b`` trials, or ``None``.
+
+    Mosaic's 128-lane divisibility rule admits exactly two shapes for
+    the convolutive kernel: full 128-wide tiles, or one block spanning
+    the whole batch — and whole-batch blocks beyond 128 lanes overflow
+    scoped VMEM at realistic lag depths (block 256 fails remote
+    compile; see the kernel docstring).  Anything else must take the
+    XLA path.
+    """
+    if b % 128 == 0:
+        return 128
+    if b <= 128:
+        return b
+    return None
+
+
+def resolve_cnmf_impl(impl: str, batch: int) -> str:
+    """Resolve ``"auto"`` to ``"pallas"``/``"xla"`` for a batch size.
+
+    The single home of the selection rule: the fused kernel wins only
+    on TPU, only when the batch has a legal tile (:func:`cnmf_block_b`)
+    that fills a reasonable fraction of the 128-wide lane dimension.
+    """
+    if impl != "auto":
+        if impl not in {"xla", "pallas"}:
+            raise ValueError(f"unknown impl: {impl!r}")
+        return impl
+    block = cnmf_block_b(batch)
+    return (
+        "pallas"
+        if jax.default_backend() == "tpu"
+        and block is not None
+        and block >= 8
+        else "xla"
+    )
 
 
 class CNMFState(NamedTuple):
@@ -242,7 +282,13 @@ def fit_cnmf_batch(
                 "(the frozen-factor paths)"
             )
         if block_b is None:
-            block_b = 128 if xs.shape[0] % 128 == 0 else xs.shape[0]
+            block_b = cnmf_block_b(xs.shape[0])
+            if block_b is None:
+                raise ValueError(
+                    f"batch {xs.shape[0]} has no legal Pallas tile "
+                    "(must be a multiple of 128, or <= 128); use "
+                    "impl='xla'"
+                )
         return _fit_cnmf_batch_pallas(
             jnp.asarray(xs), jnp.asarray(c0), jnp.asarray(s0),
             max_iter, float(tol), check_every, block_b,
@@ -426,7 +472,13 @@ def cnmf_iterations_batch(
                 "for update_c=False (the frozen-activations path)"
             )
         if block_b is None:
-            block_b = 128 if xs.shape[0] % 128 == 0 else xs.shape[0]
+            block_b = cnmf_block_b(xs.shape[0])
+            if block_b is None:
+                raise ValueError(
+                    f"batch {xs.shape[0]} has no legal Pallas tile "
+                    "(must be a multiple of 128, or <= 128); use "
+                    "impl='xla'"
+                )
         return cnmf_iterations_pallas(
             xs, c0, s0, int(n_iters), block_b=block_b
         )
@@ -566,17 +618,7 @@ def find_time_varying_synergies(
     if n_inits < 1:
         raise ValueError(f"n_inits must be >= 1, got {n_inits}")
 
-    if impl == "auto":
-        # the kernel packs restarts onto the 128-wide lane dimension;
-        # mirror analyze_dataset's rule and only take it when the
-        # restart batch fills a reasonable fraction of a lane tile
-        impl = (
-            "pallas"
-            if jax.default_backend() == "tpu" and n_inits >= 8
-            else "xla"
-        )
-    elif impl not in {"xla", "pallas"}:
-        raise ValueError(f"unknown impl: {impl!r}")
+    impl = resolve_cnmf_impl(impl, n_inits)
 
     xs = np.broadcast_to(x_host, (n_inits,) + x_host.shape)
     c0, s0 = init_cnmf(xs, n_synergies, n_lags, seed=seed)

@@ -182,6 +182,9 @@ def test_analyze_time_varying_report(capture_csv, tmp_path):
 
 def test_analyze_time_varying_rejects_bad_flag_combos(capture_csv):
     base = ["analyze", capture_csv, "--rms", "0.5", "--time-varying", "8"]
+    r = _run(base)  # no --ranks at all: must not blame the 1:4 default
+    assert r.returncode == 1
+    assert "requires an explicit --ranks" in r.stderr
     r = _run(base + ["--ranks", "2:3"])
     assert r.returncode == 1
     assert "single --ranks" in r.stderr
@@ -191,6 +194,12 @@ def test_analyze_time_varying_rejects_bad_flag_combos(capture_csv):
     r = _run(base + ["--ranks", "2", "--alpha-w", "0.1"])
     assert r.returncode == 1
     assert "sparsity" in r.stderr
+    r = _run(base + ["--ranks", "2", "--alpha-h", "0.3"])
+    assert r.returncode == 1
+    assert "alpha-h" in r.stderr
+    r = _run(base + ["--ranks", "2", "--solver", "mu"])
+    assert r.returncode == 1
+    assert "drop --solver" in r.stderr
     r = _run(base + ["--ranks", "2", "--inner-iter", "3"])
     assert r.returncode == 1
     assert "inner-iter" in r.stderr

@@ -262,6 +262,37 @@ class TestBatched:
         with pytest.raises(ValueError, match="unknown impl"):
             fit_cnmf_batch(xs, c0, s0, impl="cuda")
 
+    def test_block_legality(self):
+        """Mosaic admits 128-wide tiles or one whole-batch block <= 128;
+        anything else (e.g. 260 trials) must refuse the Pallas path
+        instead of shipping an illegal tile or a VMEM-overflowing
+        whole-batch block."""
+        from muscle_synergies_tpu.models.cnmf import (
+            cnmf_block_b,
+            resolve_cnmf_impl,
+        )
+
+        assert cnmf_block_b(128) == 128
+        assert cnmf_block_b(1024) == 128
+        assert cnmf_block_b(4) == 4
+        assert cnmf_block_b(260) is None
+        assert cnmf_block_b(192) is None
+        # auto never picks pallas for a tile-less batch (and never on CPU)
+        assert resolve_cnmf_impl("auto", 260) == "xla"
+        assert resolve_cnmf_impl("pallas", 260) == "pallas"
+        with pytest.raises(ValueError, match="unknown impl"):
+            resolve_cnmf_impl("cuda", 8)
+        # explicit pallas with no legal tile fails loudly, pre-compute
+        xs = np.ones((260, 8, 3))
+        c0 = np.ones((260, 8, 2))
+        s0 = np.ones((260, 2, 2, 3))
+        with pytest.raises(ValueError, match="no legal Pallas tile"):
+            fit_cnmf_batch(xs, c0, s0, impl="pallas")
+        from muscle_synergies_tpu.models.cnmf import cnmf_iterations_batch
+
+        with pytest.raises(ValueError, match="no legal Pallas tile"):
+            cnmf_iterations_batch(xs, c0, s0, 1, impl="pallas")
+
 
 class TestFindTimeVaryingSynergies:
     def _frame(self):
