@@ -186,6 +186,26 @@ shard_parity(state_b.n_iter, ref_b.n_iter, exact=True)
 shard_parity(state_b.w, ref_b.w)
 shard_parity(state_b.h, ref_b.h)
 
+# ---- leg 4: convolutive (time-varying) fit; the lag-halo edge-shift
+# ppermutes and the S-update's time psums cross processes ----
+from muscle_synergies_tpu.models.cnmf import fit_cnmf_batch, init_cnmf
+from muscle_synergies_tpu.parallel import sharded_fit_cnmf
+
+d_lags = 5  # halo 4 < the 32-sample time shards
+c0n, s0n = init_cnmf(xs, 2, d_lags, seed=3)
+ref_cn = fit_cnmf_batch(
+    jnp.asarray(xs), jnp.asarray(c0n), jnp.asarray(s0n),
+    max_iter=40, tol=1e-5,
+)
+gxc = dist(xs, P(DATA_AXIS, TIME_AXIS, None))
+gc0 = dist(c0n, P(DATA_AXIS, TIME_AXIS, None))
+gs0 = dist(s0n, P(DATA_AXIS, None, None, None))
+state_c = sharded_fit_cnmf(gxc, gc0, gs0, mesh, max_iter=40, tol=1e-5)
+shard_parity(state_c.n_iter, ref_cn.n_iter, exact=True)
+shard_parity(state_c.converged, ref_cn.converged, exact=True)
+shard_parity(state_c.c, ref_cn.c)
+shard_parity(state_c.s, ref_cn.s)
+
 print(f"WORKER_{pid}_SOLVER_OK")
 """
 
@@ -244,11 +264,11 @@ def test_two_process_sharded_solver_and_filtfilt():
     Each worker provisions 4 virtual CPU devices; the global 8-device
     meshes interleave the two processes along the ``time`` axis, so the
     Gram ``psum``s inside ``sharded_fit_mu``, the beta projections
-    inside ``sharded_fit_beta`` (run at KL with L1/L2 penalties), and
-    the boundary ``all_gather``s inside ``sharded_sosfiltfilt`` are
-    genuinely cross-process collectives.  Parity is asserted
-    shard-by-shard against the local single-device solves
-    (VERDICT r3 item 1).
+    inside ``sharded_fit_beta`` (run at KL with L1/L2 penalties), the
+    boundary ``all_gather``s inside ``sharded_sosfiltfilt``, and the
+    lag-halo ``ppermute``s inside ``sharded_fit_cnmf`` are genuinely
+    cross-process collectives.  Parity is asserted shard-by-shard
+    against the local single-device solves (VERDICT r3 item 1).
     """
     _run_two_workers(
         _SOLVER_WORKER,
