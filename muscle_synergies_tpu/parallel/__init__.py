@@ -11,7 +11,7 @@ from .mesh import (
     make_mesh,
     replicated,
 )
-from .cnmf import sharded_fit_cnmf
+from .cnmf import sharded_fit_cnmf, sharded_fit_cnmf_tp
 from .nmf import (
     sharded_fit_beta,
     sharded_fit_cd,
@@ -34,6 +34,7 @@ __all__ = [
     "sharded_fit_kl",
     "sharded_fit_mu_tp",
     "sharded_fit_cnmf",
+    "sharded_fit_cnmf_tp",
     "MODEL_AXIS",
     "sharded_fit_cd",
     "sharded_moving_rms",

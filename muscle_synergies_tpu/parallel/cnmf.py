@@ -37,10 +37,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.cnmf import CNMFState
 from ..models.mu import EPSILON
-from .collectives import edge_shift, time_sum
+from .collectives import axis_sum, edge_shift, time_sum
 from .nmf import DATA_AXIS, TIME_AXIS, _convergence_driver
+from .mesh import MODEL_AXIS
 
-__all__ = ["sharded_fit_cnmf"]
+__all__ = ["sharded_fit_cnmf", "sharded_fit_cnmf_tp"]
 
 
 def _lag_stack_sharded(c, n_lags: int, axis_name: str):
@@ -163,6 +164,136 @@ def sharded_fit_cnmf(
     def fit(xb, cb, sb):
         return _convergence_driver(
             xb, cb, sb, step, error, TIME_AXIS, CNMFState,
+            max_iter, tol, check_every,
+        )
+
+    return fit(xs, c0, s0)
+
+
+def _local_cnmf_step_tp(x, c, s, axis_name: str, n_lags: int):
+    """One convolutive update on a single trial's CHANNEL shards.
+
+    Time is unsharded here (full ``T`` local, so the lag stack needs no
+    halos); channels split over the model axis.  The S update is fully
+    local — its per-``(k, d, l)`` projections never mix channels — and
+    only the C update's channel sums cross shards, as one ``psum`` pair
+    per iteration (after which every shard computes the identical C,
+    keeping it replicated).  Shapes: x ``(T, l_loc)``, c ``(T, K)``
+    (replicated over the model group), s ``(K, D, l_loc)``.
+    """
+    cs = _lag_stack_local(c, n_lags)
+    xhat = jnp.einsum("dtk,kdl->tl", cs, s)
+    num_s = jnp.einsum("dtk,tl->kdl", cs, x)
+    den_s = jnp.einsum("dtk,tl->kdl", cs, xhat)
+    s = s * (num_s / jnp.where(den_s == 0, EPSILON, den_s))
+
+    cs = _lag_stack_local(c, n_lags)
+    xhat = jnp.einsum("dtk,kdl->tl", cs, s)
+    g_num = axis_sum(jnp.einsum("tl,kdl->dtk", x, s), axis_name)
+    g_den = axis_sum(jnp.einsum("tl,kdl->dtk", xhat, s), axis_name)
+    t = x.shape[0]
+    num_c = sum(
+        jnp.concatenate(
+            [g_num[d, d:], jnp.zeros((d, g_num.shape[2]), g_num.dtype)]
+        )
+        for d in range(n_lags)
+    )
+    den_c = sum(
+        jnp.concatenate(
+            [g_den[d, d:], jnp.zeros((d, g_den.shape[2]), g_den.dtype)]
+        )
+        for d in range(n_lags)
+    )
+    c = c * (num_c / jnp.where(den_c == 0, EPSILON, den_c))
+    return c, s
+
+
+def _lag_stack_local(c, n_lags: int):
+    """``(T, K) -> (D, T, K)`` causal lag stack, no sharding involved."""
+    t = c.shape[0]
+    return jnp.stack([
+        c if d == 0 else jnp.concatenate(
+            [jnp.zeros((d, c.shape[1]), c.dtype), c[: t - d]]
+        )
+        for d in range(n_lags)
+    ])
+
+
+def _local_cnmf_error_tp(x, c, s, axis_name: str, n_lags: int):
+    """Frobenius error with the channel sums ``psum``'d."""
+    cs = _lag_stack_local(c, n_lags)
+    diff = x - jnp.einsum("dtk,kdl->tl", cs, s)
+    return jnp.sqrt(axis_sum(jnp.sum(diff * diff), axis_name))
+
+
+def sharded_fit_cnmf_tp(
+    xs: jnp.ndarray,
+    c0: jnp.ndarray,
+    s0: jnp.ndarray,
+    mesh: Mesh,
+    max_iter: int = 200,
+    tol: float = 1e-4,
+    check_every: int = 10,
+) -> CNMFState:
+    """Run batched convolutive NMF on a ``(data, model)`` mesh.
+
+    The tensor-parallel counterpart of :func:`sharded_fit_cnmf` for
+    wide-channel layouts (many muscles / high-density EMG grids): the
+    synergy library and ``X``'s channel axis shard over ``"model"``,
+    the activations stay replicated within a model group, and the only
+    communication is the C update's channel-summed ``psum`` pair plus
+    the convergence check — the convolutive analog of
+    :func:`~muscle_synergies_tpu.parallel.sharded_fit_mu_tp`.
+
+    Args:
+        xs: ``(B, T, L)`` trials, sharded ``P(data, None, model)``.
+        c0: ``(B, T, K)`` activations, sharded ``P(data)`` only.
+        s0: ``(B, K, D, L)`` synergies, sharded ``P(data, None, None,
+            model)``.
+
+    Returns:
+        :class:`CNMFState` with the same sharding; semantics match
+        :func:`~muscle_synergies_tpu.models.cnmf.fit_cnmf_batch`.
+    """
+    n_lags = s0.shape[2]
+    n_model = mesh.shape[MODEL_AXIS]
+    if xs.shape[2] % n_model:
+        raise ValueError(
+            f"channel count {xs.shape[2]} must divide over {n_model} "
+            "model shards"
+        )
+    vstep = jax.vmap(
+        lambda x, c, s: _local_cnmf_step_tp(x, c, s, MODEL_AXIS, n_lags)
+    )
+    verr = jax.vmap(
+        lambda x, c, s: _local_cnmf_error_tp(x, c, s, MODEL_AXIS, n_lags)
+    )
+
+    def step(xb, cb, sb, _axis):
+        return vstep(xb, cb, sb)
+
+    def error(xb, cb, sb, _axis):
+        return verr(xb, cb, sb)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None, MODEL_AXIS),
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None, None, MODEL_AXIS),
+        ),
+        out_specs=CNMFState(
+            c=P(DATA_AXIS, None, None),
+            s=P(DATA_AXIS, None, None, MODEL_AXIS),
+            n_iter=P(DATA_AXIS),
+            previous_error=P(DATA_AXIS),
+            converged=P(DATA_AXIS),
+        ),
+    )
+    def fit(xb, cb, sb):
+        return _convergence_driver(
+            xb, cb, sb, step, error, MODEL_AXIS, CNMFState,
             max_iter, tol, check_every,
         )
 

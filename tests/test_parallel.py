@@ -903,3 +903,57 @@ class TestShardedCNMF:
         xs, c0, s0 = self._problem(t=50, d=3)
         with pytest.raises(ValueError, match="divide"):
             sharded_fit_cnmf(xs, c0, s0, mesh_2x4)
+
+    def test_tp_fit_matches_batched_local(self):
+        """Channel-sharded convolutive fit equals the local batch.
+
+        The tensor-parallel counterpart: a wide (HD-sEMG-like) channel
+        count splits 4-way over the model axis; the C update's channel
+        psum is the only cross-shard communication.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from muscle_synergies_tpu.models.cnmf import fit_cnmf_batch
+        from muscle_synergies_tpu.parallel import (
+            DATA_AXIS,
+            MODEL_AXIS,
+            make_mesh,
+            sharded_fit_cnmf_tp,
+        )
+
+        mesh = make_mesh((2, 4), axis_names=(DATA_AXIS, MODEL_AXIS))
+        xs, c0, s0 = self._problem(b=4, t=48, l=32, k=2, d=5)
+        ref = fit_cnmf_batch(
+            jnp.asarray(xs), jnp.asarray(c0), jnp.asarray(s0),
+            max_iter=120, tol=1e-5,
+        )
+        xs_s = jax.device_put(
+            xs, NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS))
+        )
+        c_s = jax.device_put(c0, NamedSharding(mesh, P(DATA_AXIS)))
+        s_s = jax.device_put(
+            s0, NamedSharding(mesh, P(DATA_AXIS, None, None, MODEL_AXIS))
+        )
+        got = sharded_fit_cnmf_tp(xs_s, c_s, s_s, mesh,
+                                  max_iter=120, tol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got.n_iter),
+                                      np.asarray(ref.n_iter))
+        np.testing.assert_array_equal(np.asarray(got.converged),
+                                      np.asarray(ref.converged))
+        np.testing.assert_allclose(np.asarray(got.c), np.asarray(ref.c),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got.s), np.asarray(ref.s),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_tp_channel_divisibility_guard(self):
+        from muscle_synergies_tpu.parallel import (
+            DATA_AXIS,
+            MODEL_AXIS,
+            make_mesh,
+            sharded_fit_cnmf_tp,
+        )
+
+        mesh = make_mesh((2, 4), axis_names=(DATA_AXIS, MODEL_AXIS))
+        xs, c0, s0 = self._problem(b=4, l=6)  # 6 % 4 != 0
+        with pytest.raises(ValueError, match="channel count"):
+            sharded_fit_cnmf_tp(xs, c0, s0, mesh)
