@@ -36,8 +36,10 @@ from .dataset import (
 from .io import ViconCSVError, load_vicon_file
 from .models import (
     NMFModel,
+    SpaceByTimeResult,
     SynergyRunResult,
     TimeVaryingSynergyResult,
+    find_space_by_time_synergies,
     find_synergies,
     find_time_varying_synergies,
 )
@@ -73,6 +75,8 @@ __all__ = [
     "SynergyRunResult",
     "find_synergies",
     "find_time_varying_synergies",
+    "find_space_by_time_synergies",
+    "SpaceByTimeResult",
     "TimeVaryingSynergyResult",
     "analyze_dataset",
     "analyze_dataset_time_varying",

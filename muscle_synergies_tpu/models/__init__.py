@@ -12,6 +12,15 @@ from .cnmf import (
     tvaf,
 )
 from .hals import CDState, cd_pass, fit_cd
+from .nm3f import (
+    NM3FState,
+    SpaceByTimeResult,
+    find_space_by_time_synergies,
+    fit_nm3f,
+    init_nm3f,
+    nm3f_reconstruct,
+    sbt_vaf,
+)
 from .init import initialize_nmf, nndsvd
 from .mu import EPSILON, MUState, fit_mu, frobenius_error, mu_update
 from .rsvd import initialize_nmf_sklearn, randomized_svd
@@ -65,4 +74,11 @@ __all__ = [
     "TimeVaryingBootstrapResult",
     "cv_time_varying_rank_selection",
     "fit_cnmf_masked",
+    "NM3FState",
+    "SpaceByTimeResult",
+    "find_space_by_time_synergies",
+    "fit_nm3f",
+    "init_nm3f",
+    "nm3f_reconstruct",
+    "sbt_vaf",
 ]

@@ -1,0 +1,354 @@
+"""Space-by-time decomposition: sample-based trilinear NMF (NM3F).
+
+The third canonical synergy model of the muscle-synergy literature
+(after the reference's time-invariant spatial NMF — reference
+analysis.py:848-864 — and :mod:`.cnmf`'s time-varying convolutive
+model): Delis, Panzeri, Pozzo & Berret (2014)'s *space-by-time*
+factorization writes every trial as a nonnegative mixture of SHARED
+temporal modules and SHARED spatial modules with per-trial mixing
+coefficients,
+
+    X_b[t, l] ≈ Σ_i Σ_j  W[t, i] · A_b[i, j] · S[j, l]
+
+i.e. ``X_b ≈ W @ A_b @ S`` with ``W (T, P)`` temporal modules,
+``S (Q, L)`` spatial modules and ``A_b (P, Q)`` coefficients.  Unlike
+per-trial NMF, the modules are estimated from the WHOLE dataset at
+once and single small coefficient matrices describe each trial — the
+representation Delis et al. use for single-trial decoding.
+
+TPU shape: every update below is a batched matmul / einsum over the
+trial axis (MXU work, no scalar loops), the full fit is one
+``lax.while_loop`` with the package's sklearn-style stopping, and the
+per-trial coefficient update is embarrassingly data-parallel while the
+module updates reduce over trials — on a mesh those two reductions
+become one psum pair per iteration
+(:func:`muscle_synergies_tpu.parallel.sharded_fit_nm3f`).
+
+Multiplicative updates (standard majorize-minimize derivation for each
+factor's subproblem, ``EPSILON``-guarded like every solver here):
+
+    A_b ⊙= (Wᵀ X_b Sᵀ) ⊘ (Wᵀ W  A_b  S Sᵀ)
+    W   ⊙= (Σ_b X_b Sᵀ A_bᵀ) ⊘ (W · Σ_b A_b (S Sᵀ) A_bᵀ)
+    S   ⊙= (Σ_b A_bᵀ Wᵀ X_b) ⊘ ((Σ_b A_bᵀ (Wᵀ W) A_b) · S)
+
+Update order is A, then W, then S (each uses the freshest other
+factors), one documented choice pinned by the tests' numpy oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mu import EPSILON
+
+__all__ = [
+    "NM3FState",
+    "SpaceByTimeResult",
+    "find_space_by_time_synergies",
+    "fit_nm3f",
+    "init_nm3f",
+    "nm3f_reconstruct",
+    "nm3f_update",
+    "normalize_modules",
+    "sbt_vaf",
+]
+
+
+def nm3f_reconstruct(w: jnp.ndarray, a: jnp.ndarray, s: jnp.ndarray):
+    """``X̂_b = W @ A_b @ S``; ``a`` may be ``(P, Q)`` or ``(B, P, Q)``."""
+    if a.ndim == 2:
+        return w @ a @ s
+    return jnp.einsum("tp,bpq,ql->btl", w, a, s)
+
+
+def nm3f_update(
+    xs: jnp.ndarray,
+    w: jnp.ndarray,
+    a: jnp.ndarray,
+    s: jnp.ndarray,
+    update_w: bool = True,
+    update_s: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One A-then-W-then-S multiplicative update.
+
+    Args:
+        xs: ``(B, T, L)`` nonnegative trials (shared time base).
+        w: ``(T, P)`` temporal modules.
+        a: ``(B, P, Q)`` per-trial coefficients.
+        s: ``(Q, L)`` spatial modules.
+        update_w / update_s: freeze a module set (the ``transform``
+            path fixes both and solves only the coefficients).
+    """
+    # ---- A update: per-trial, embarrassingly parallel ----
+    wtw = w.T @ w  # (P, P)
+    sst = s @ s.T  # (Q, Q)
+    num_a = jnp.einsum("tp,btl,ql->bpq", w, xs, s)
+    den_a = jnp.einsum("pr,brm,mq->bpq", wtw, a, sst)
+    a = a * (num_a / jnp.where(den_a == 0, EPSILON, den_a))
+
+    if update_w:
+        # ---- W update: trial sums reduce into (T, P) / (P, P) ----
+        num_w = jnp.einsum("btl,ql,bpq->tp", xs, s, a)
+        gram_w = jnp.einsum("bpq,qm,brm->pr", a, sst, a)  # Σ_b A SSᵀ Aᵀ
+        den_w = w @ gram_w
+        w = w * (num_w / jnp.where(den_w == 0, EPSILON, den_w))
+
+    if update_s:
+        # ---- S update: trial sums reduce into (Q, L) / (Q, Q) ----
+        wtw = w.T @ w  # refresh with the new W
+        num_s = jnp.einsum("bpq,tp,btl->ql", a, w, xs)
+        gram_s = jnp.einsum("bpq,pr,brm->qm", a, wtw, a)  # Σ_b Aᵀ WᵀW A
+        den_s = gram_s @ s
+        s = s * (num_s / jnp.where(den_s == 0, EPSILON, den_s))
+    return w, a, s
+
+
+class NM3FState(NamedTuple):
+    w: jnp.ndarray  # (T, P) temporal modules
+    a: jnp.ndarray  # (B, P, Q) per-trial coefficients
+    s: jnp.ndarray  # (Q, L) spatial modules
+    n_iter: jnp.ndarray
+    previous_error: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _nm3f_error(xs, w, a, s):
+    diff = xs - nm3f_reconstruct(w, a, s)
+    return jnp.sqrt(jnp.sum(diff * diff))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "tol", "check_every", "update_w", "update_s"),
+)
+def fit_nm3f(
+    xs: jnp.ndarray,
+    w0: jnp.ndarray,
+    a0: jnp.ndarray,
+    s0: jnp.ndarray,
+    max_iter: int = 500,
+    tol: float = 1e-5,
+    check_every: int = 10,
+    update_w: bool = True,
+    update_s: bool = True,
+) -> NM3FState:
+    """Run the space-by-time factorization to convergence on device.
+
+    One ``lax.while_loop``; stopping is the package-wide sklearn rule
+    (relative total-Frobenius improvement every ``check_every``
+    iterations against the initial error).
+    """
+    xs = jnp.asarray(xs)
+    error_init = _nm3f_error(xs, w0, a0, s0)
+
+    def cond(state: NM3FState):
+        return (state.n_iter < max_iter) & ~state.converged
+
+    def body(state: NM3FState):
+        w, a, s = state.w, state.a, state.s
+        for _ in range(check_every):
+            w, a, s = nm3f_update(
+                xs, w, a, s, update_w=update_w, update_s=update_s
+            )
+        error = _nm3f_error(xs, w, a, s)
+        improvement = (state.previous_error - error) / jnp.maximum(
+            error_init, EPSILON
+        )
+        return NM3FState(
+            w, a, s,
+            state.n_iter + check_every,
+            error,
+            improvement < tol,
+        )
+
+    init = NM3FState(
+        w0.astype(xs.dtype),
+        a0.astype(xs.dtype),
+        s0.astype(xs.dtype),
+        jnp.asarray(0, jnp.int32),
+        error_init,
+        jnp.asarray(False),
+    )
+    return jax.lax.while_loop(cond, body, init)
+
+
+def init_nm3f(
+    xs: np.ndarray,
+    n_temporal: int,
+    n_spatial: int,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Scaled-random nonnegative init for ``(W, A, S)``.
+
+    Each factor entry is uniform with mean ``c`` chosen so the expected
+    reconstruction magnitude matches the data:
+    ``E[X̂] ≈ P·Q·c³ = mean(X)``.
+    """
+    xs = np.asarray(xs)
+    b, t, l = xs.shape
+    rng = np.random.default_rng(seed)
+    c = (
+        float(max(xs.mean(), 0.0)) / (n_temporal * n_spatial)
+    ) ** (1.0 / 3.0) if xs.size else 1.0
+    w = rng.uniform(0, 2 * c, size=(t, n_temporal))
+    a = rng.uniform(0, 2 * c, size=(b, n_temporal, n_spatial))
+    s = rng.uniform(0, 2 * c, size=(n_spatial, l))
+    dt = xs.dtype if np.issubdtype(xs.dtype, np.floating) else np.float64
+    return (
+        w.astype(dt, copy=False),
+        a.astype(dt, copy=False),
+        s.astype(dt, copy=False),
+    )
+
+
+def normalize_modules(
+    w: jnp.ndarray, a: jnp.ndarray, s: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Unit-norm modules, per-trial coefficients rescaled inversely.
+
+    Temporal module columns and spatial module rows get unit Euclidean
+    norm; the scale moves into ``A`` (``A'_b = diag(||w_i||) A_b
+    diag(||s_j||)``), leaving every reconstruction unchanged up to two
+    multiplies.  Zero modules are left untouched.
+    """
+    wn = jnp.sqrt(jnp.sum(w * w, axis=0))  # (P,)
+    sn = jnp.sqrt(jnp.sum(s * s, axis=1))  # (Q,)
+    w_out = w / jnp.where(wn == 0, 1.0, wn)[None, :]
+    s_out = s / jnp.where(sn == 0, 1.0, sn)[:, None]
+    a_out = a * wn[:, None] * sn[None, :]
+    return w_out, a_out, s_out
+
+
+def sbt_vaf(xs: jnp.ndarray, w: jnp.ndarray, a: jnp.ndarray, s: jnp.ndarray):
+    """Per-trial VAF of the space-by-time reconstruction, ``(B,)``."""
+    rec = nm3f_reconstruct(w, a, s)
+    err = jnp.sum((xs - rec) ** 2, axis=(1, 2))
+    tot = jnp.sum(xs * xs, axis=(1, 2))
+    return 1.0 - err / jnp.where(tot == 0, 1.0, tot)
+
+
+class SpaceByTimeResult(NamedTuple):
+    """Best-restart result of :func:`find_space_by_time_synergies`.
+
+    Attributes:
+        temporal_modules: ``(T, P)`` DataFrame, unit-norm columns.
+        spatial_modules: ``(Q, L)`` DataFrame, unit-norm rows, columns
+            named after the muscles.
+        coefficients: ``(B, P, Q)`` per-trial mixing coefficients.
+        vaf: overall VAF across the dataset (scalar float).
+        vaf_per_trial: ``(B,)`` array.
+        n_iter: iterations used by the winning restart.
+        restart_errors: ``(n_inits,)`` final errors of all restarts.
+    """
+
+    temporal_modules: object
+    spatial_modules: object
+    coefficients: np.ndarray
+    vaf: float
+    vaf_per_trial: np.ndarray
+    n_iter: int
+    restart_errors: np.ndarray
+
+
+def find_space_by_time_synergies(
+    trials,
+    n_temporal: int,
+    n_spatial: int,
+    max_iter: int = 500,
+    tol: float = 1e-5,
+    n_inits: int = 4,
+    seed: int = 0,
+) -> SpaceByTimeResult:
+    """Extract Delis-style space-by-time synergies from a trial stack.
+
+    The dataset-level companion to ``find_synergies`` (spatial-only)
+    and :func:`~muscle_synergies_tpu.models.cnmf.find_time_varying_synergies`
+    (temporal-extent-only): shared temporal AND spatial modules with a
+    small per-trial coefficient matrix each.  The ``n_inits`` random
+    restarts are vmapped into ONE device computation; the lowest-error
+    restart is returned with unit-norm modules.
+
+    Args:
+        trials: ``(B, T, L)`` nonnegative stack (e.g. the output of
+            :func:`muscle_synergies_tpu.dataset.preprocess_trials`), or
+            a sequence of equal-shape ``(T, L)`` DataFrames/arrays.
+        n_temporal / n_spatial: module counts ``P`` / ``Q``.
+        max_iter / tol: sklearn-style stopping (see :func:`fit_nm3f`).
+        n_inits: random restarts (batched into one computation).
+        seed: base seed; restart ``r`` uses ``seed + r``.
+    """
+    import pandas
+
+    columns = None
+    if not hasattr(trials, "ndim"):
+        first = trials[0]
+        if isinstance(first, pandas.DataFrame):
+            columns = list(first.columns)
+        trials = np.stack([np.asarray(t, dtype=float) for t in trials])
+    xs = np.asarray(trials, dtype=float)
+    if xs.ndim != 3:
+        raise ValueError(
+            f"expected a (B, T, L) trial stack, got shape {xs.shape}"
+        )
+    if xs.size == 0:
+        raise ValueError("empty trial stack passed to NM3F")
+    if not np.all(np.isfinite(xs)):
+        raise ValueError("Input X contains NaN or infinity.")
+    if np.any(xs < 0):
+        raise ValueError("Negative values in data passed to NMF")
+    b, t, l = xs.shape
+    if not 1 <= n_temporal <= t:
+        raise ValueError(
+            f"n_temporal must be in [1, n_samples={t}], got {n_temporal}"
+        )
+    if not 1 <= n_spatial <= l:
+        raise ValueError(
+            f"n_spatial must be in [1, n_muscles={l}], got {n_spatial}"
+        )
+    if n_inits < 1:
+        raise ValueError(f"n_inits must be >= 1, got {n_inits}")
+
+    inits = [
+        init_nm3f(xs, n_temporal, n_spatial, seed=seed + r)
+        for r in range(n_inits)
+    ]
+    w0 = jnp.asarray(np.stack([i[0] for i in inits]))
+    a0 = jnp.asarray(np.stack([i[1] for i in inits]))
+    s0 = jnp.asarray(np.stack([i[2] for i in inits]))
+    xs_dev = jnp.asarray(xs)
+
+    states = jax.vmap(
+        lambda w, a, s: fit_nm3f(
+            xs_dev, w, a, s, max_iter=max_iter, tol=tol
+        )
+    )(w0, a0, s0)
+
+    errors = np.asarray(states.previous_error)
+    best = int(np.argmin(errors))
+    w, a, s = normalize_modules(
+        states.w[best], states.a[best], states.s[best]
+    )
+    per_trial = np.asarray(sbt_vaf(xs_dev, w, a, s))
+    rec = np.asarray(nm3f_reconstruct(w, a, s))
+    overall = 1.0 - float(((xs - rec) ** 2).sum()) / max(
+        float((xs**2).sum()), float(EPSILON)
+    )
+
+    cols = columns if columns is not None else list(range(l))
+    return SpaceByTimeResult(
+        temporal_modules=pandas.DataFrame(
+            np.asarray(w),
+            columns=[f"temporal {i}" for i in range(n_temporal)],
+        ),
+        spatial_modules=pandas.DataFrame(np.asarray(s), columns=cols),
+        coefficients=np.asarray(a),
+        vaf=overall,
+        vaf_per_trial=per_trial,
+        n_iter=int(states.n_iter[best]),
+        restart_errors=errors,
+    )

@@ -12,6 +12,7 @@ from .mesh import (
     replicated,
 )
 from .cnmf import sharded_fit_cnmf, sharded_fit_cnmf_tp
+from .nm3f import sharded_fit_nm3f
 from .nmf import (
     sharded_fit_beta,
     sharded_fit_cd,
@@ -35,6 +36,7 @@ __all__ = [
     "sharded_fit_mu_tp",
     "sharded_fit_cnmf",
     "sharded_fit_cnmf_tp",
+    "sharded_fit_nm3f",
     "MODEL_AXIS",
     "sharded_fit_cd",
     "sharded_moving_rms",

@@ -1,0 +1,153 @@
+"""Data-parallel space-by-time (NM3F) factorization over a mesh.
+
+Extends the mesh-sharded solver family to
+:mod:`muscle_synergies_tpu.models.nm3f`.  The model couples trials
+through the SHARED temporal/spatial modules, so the sharding story
+differs from the per-trial solvers:
+
+- trials (and their coefficient matrices ``A_b``) shard over ``data``;
+  the A update is embarrassingly parallel;
+- ``W``/``S`` stay replicated; their updates reduce over trials, and
+  the local contributions close with one ``psum`` pair per module —
+  numerator and Gram are tiny ``(T, P)/(P, P)`` and ``(Q, L)/(Q, Q)``
+  matrices, so the collective volume is independent of the trial
+  count (the classic data-parallel gradient-allreduce shape);
+- the stopping criterion is GLOBAL (one total-Frobenius error across
+  all trials, one converged flag), matching
+  :func:`~muscle_synergies_tpu.models.nm3f.fit_nm3f` exactly: the
+  local squared errors psum before the sqrt.
+
+Parity with the local fit holds up to psum float reordering, tested on
+the 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.mu import EPSILON
+from ..models.nm3f import NM3FState
+from .collectives import axis_sum
+from .nmf import DATA_AXIS
+
+__all__ = ["sharded_fit_nm3f"]
+
+
+def _local_nm3f_step(xb, w, ab, s, axis_name: str):
+    """One A-then-W-then-S update on this shard's trials.
+
+    Mirrors :func:`muscle_synergies_tpu.models.nm3f.nm3f_update` with
+    the trial reductions ``psum``'d; shapes xb ``(b_loc, T, L)``,
+    w ``(T, P)`` / s ``(Q, L)`` replicated, ab ``(b_loc, P, Q)``.
+    """
+    wtw = w.T @ w
+    sst = s @ s.T
+    num_a = jnp.einsum("tp,btl,ql->bpq", w, xb, s)
+    den_a = jnp.einsum("pr,brm,mq->bpq", wtw, ab, sst)
+    ab = ab * (num_a / jnp.where(den_a == 0, EPSILON, den_a))
+
+    num_w = axis_sum(jnp.einsum("btl,ql,bpq->tp", xb, s, ab), axis_name)
+    gram_w = axis_sum(jnp.einsum("bpq,qm,brm->pr", ab, sst, ab), axis_name)
+    den_w = w @ gram_w
+    w = w * (num_w / jnp.where(den_w == 0, EPSILON, den_w))
+
+    wtw = w.T @ w
+    num_s = axis_sum(jnp.einsum("bpq,tp,btl->ql", ab, w, xb), axis_name)
+    gram_s = axis_sum(jnp.einsum("bpq,pr,brm->qm", ab, wtw, ab), axis_name)
+    den_s = gram_s @ s
+    s = s * (num_s / jnp.where(den_s == 0, EPSILON, den_s))
+    return w, ab, s
+
+
+def _local_nm3f_error(xb, w, ab, s, axis_name: str):
+    """Total Frobenius error with the trial sums ``psum``'d."""
+    rec = jnp.einsum("tp,bpq,ql->btl", w, ab, s)
+    diff = xb - rec
+    return jnp.sqrt(axis_sum(jnp.sum(diff * diff), axis_name))
+
+
+def sharded_fit_nm3f(
+    xs: jnp.ndarray,
+    w0: jnp.ndarray,
+    a0: jnp.ndarray,
+    s0: jnp.ndarray,
+    mesh: Mesh,
+    max_iter: int = 500,
+    tol: float = 1e-5,
+    check_every: int = 10,
+) -> NM3FState:
+    """Run the space-by-time factorization on a ``data`` mesh axis.
+
+    Args:
+        xs: ``(B, T, L)`` trials, sharded ``P(data, None, None)``.
+        w0: ``(T, P)`` temporal modules, replicated.
+        a0: ``(B, P, Q)`` coefficients, sharded ``P(data)``.
+        s0: ``(Q, L)`` spatial modules, replicated.
+
+    Returns:
+        :class:`~muscle_synergies_tpu.models.nm3f.NM3FState` with the
+        same shardings; semantics match
+        :func:`~muscle_synergies_tpu.models.nm3f.fit_nm3f` (global
+        stopping — the modules couple every trial).
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    if xs.shape[0] % n_data:
+        raise ValueError(
+            f"trial count {xs.shape[0]} must divide over {n_data} "
+            "data shards"
+        )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None, None),
+            P(None, None),
+            P(DATA_AXIS, None, None),
+            P(None, None),
+        ),
+        out_specs=NM3FState(
+            w=P(None, None),
+            a=P(DATA_AXIS, None, None),
+            s=P(None, None),
+            n_iter=P(),
+            previous_error=P(),
+            converged=P(),
+        ),
+    )
+    def fit(xb, w, ab, s):
+        error_init = _local_nm3f_error(xb, w, ab, s, DATA_AXIS)
+
+        def cond(state: NM3FState):
+            return (state.n_iter < max_iter) & ~state.converged
+
+        def body(state: NM3FState):
+            w_, a_, s_ = state.w, state.a, state.s
+            for _ in range(check_every):
+                w_, a_, s_ = _local_nm3f_step(xb, w_, a_, s_, DATA_AXIS)
+            error = _local_nm3f_error(xb, w_, a_, s_, DATA_AXIS)
+            improvement = (state.previous_error - error) / jnp.maximum(
+                error_init, EPSILON
+            )
+            return NM3FState(
+                w_, a_, s_,
+                state.n_iter + check_every,
+                error,
+                improvement < tol,
+            )
+
+        init = NM3FState(
+            w,
+            ab,
+            s,
+            jnp.asarray(0, jnp.int32),
+            error_init,
+            jnp.asarray(False),
+        )
+        return jax.lax.while_loop(cond, body, init)
+
+    return fit(xs, w0, a0, s0)

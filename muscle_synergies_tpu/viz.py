@@ -148,3 +148,55 @@ def plot_time_varying_synergies(
         plt.show()
         return None
     return fig
+
+
+def plot_space_by_time(
+    result,
+    sampling_frequency: Optional[int] = None,
+    show: bool = True,
+):
+    """Visualize a :class:`~...models.nm3f.SpaceByTimeResult`.
+
+    Three panels: the shared temporal modules as line plots, the
+    shared spatial modules as a muscle heatmap, and the dataset-mean
+    mixing coefficients (temporal x spatial).
+
+    Args:
+        result: output of ``find_space_by_time_synergies``.
+        sampling_frequency: when given, the time axis is labeled in
+            seconds instead of samples.
+        show: as in :func:`plot_signal`.
+    """
+    import matplotlib.pyplot as plt
+    import seaborn as sns
+
+    fig, axes = plt.subplots(1, 3, figsize=(13, 3.2))
+    temporal = result.temporal_modules
+    time = np.arange(len(temporal), dtype=float)
+    if sampling_frequency:
+        time = time / sampling_frequency
+    for name in temporal.columns:
+        axes[0].plot(time, temporal[name].to_numpy(), label=name)
+    axes[0].legend(fontsize="small")
+    axes[0].set_xlabel("time (s)" if sampling_frequency else "time (samples)")
+    axes[0].set_title("temporal modules")
+
+    sns.heatmap(result.spatial_modules, ax=axes[1], annot=True, fmt=".2f")
+    axes[1].set_ylabel("spatial module")
+    axes[1].set_title("spatial modules")
+
+    mean_a = result.coefficients.mean(axis=0)
+    sns.heatmap(
+        mean_a, ax=axes[2], annot=True, fmt=".2f",
+        xticklabels=[f"s{j}" for j in range(mean_a.shape[1])],
+        yticklabels=[f"t{i}" for i in range(mean_a.shape[0])],
+    )
+    axes[2].set_title("mean coefficients")
+
+    fig.suptitle(f"Space-by-time decomposition (VAF {result.vaf:.3f})")
+    fig.tight_layout()
+
+    if show:  # pragma: no cover - interactive path
+        plt.show()
+        return None
+    return fig

@@ -1,0 +1,259 @@
+"""Space-by-time (NM3F) factorization vs a naive numpy oracle."""
+
+import numpy as np
+import pytest
+
+from muscle_synergies_tpu.models.nm3f import (
+    find_space_by_time_synergies,
+    fit_nm3f,
+    init_nm3f,
+    nm3f_reconstruct,
+    nm3f_update,
+    normalize_modules,
+    sbt_vaf,
+)
+from muscle_synergies_tpu.models.mu import EPSILON
+
+RNG = np.random.default_rng(13)
+
+
+def naive_reconstruct(w, a, s):
+    return np.stack([w @ a[b] @ s for b in range(a.shape[0])])
+
+
+def naive_update(xs, w, a, s):
+    """The documented A-then-W-then-S MU step in plain numpy loops."""
+    b = xs.shape[0]
+    wtw = w.T @ w
+    sst = s @ s.T
+    a = a.copy()
+    for i in range(b):
+        num = w.T @ xs[i] @ s.T
+        den = wtw @ a[i] @ sst
+        den[den == 0] = EPSILON
+        a[i] = a[i] * (num / den)
+
+    num_w = sum(xs[i] @ s.T @ a[i].T for i in range(b))
+    gram_w = sum(a[i] @ sst @ a[i].T for i in range(b))
+    den_w = w @ gram_w
+    den_w[den_w == 0] = EPSILON
+    w = w * (num_w / den_w)
+
+    wtw = w.T @ w
+    num_s = sum(a[i].T @ w.T @ xs[i] for i in range(b))
+    gram_s = sum(a[i].T @ wtw @ a[i] for i in range(b))
+    den_s = gram_s @ s
+    den_s[den_s == 0] = EPSILON
+    s = s * (num_s / den_s)
+    return w, a, s
+
+
+def synthetic(b=6, t=80, p=3, q=2, l=6, seed=5):
+    """Trials generated exactly from the space-by-time model."""
+    rng = np.random.default_rng(seed)
+    w = np.zeros((t, p))
+    width = t // p
+    for i in range(p):  # localized temporal bumps
+        center = (i + 0.5) * width
+        w[:, i] = np.exp(-0.5 * ((np.arange(t) - center) / (width / 3)) ** 2)
+    s = rng.uniform(0.1, 1.0, size=(q, l))
+    a = rng.uniform(0.1, 1.0, size=(b, p, q))
+    return naive_reconstruct(w, a, s), w, a, s
+
+
+class TestAgainstNaive:
+    def test_reconstruct_matches(self):
+        w = RNG.uniform(0, 1, (40, 3))
+        a = RNG.uniform(0, 1, (4, 3, 2))
+        s = RNG.uniform(0, 1, (2, 5))
+        np.testing.assert_allclose(
+            np.asarray(nm3f_reconstruct(w, a, s)),
+            naive_reconstruct(w, a, s),
+            rtol=1e-12,
+        )
+
+    def test_single_update_matches(self):
+        xs = RNG.uniform(0.1, 1, (4, 30, 5))
+        w = RNG.uniform(0.1, 1, (30, 3))
+        a = RNG.uniform(0.1, 1, (4, 3, 2))
+        s = RNG.uniform(0.1, 1, (2, 5))
+        wj, aj, sj = nm3f_update(xs, w, a, s)
+        wn, an, sn = naive_update(xs, w, a, s)
+        np.testing.assert_allclose(np.asarray(aj), an, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(wj), wn, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(sj), sn, rtol=1e-10)
+
+    def test_ten_chained_updates_match(self):
+        xs = RNG.uniform(0.1, 1, (3, 24, 4))
+        w = RNG.uniform(0.1, 1, (24, 2))
+        a = RNG.uniform(0.1, 1, (3, 2, 2))
+        s = RNG.uniform(0.1, 1, (2, 4))
+        wj, aj, sj = w, a, s
+        wn, an, sn = w.copy(), a.copy(), s.copy()
+        for _ in range(10):
+            wj, aj, sj = nm3f_update(
+                xs, np.asarray(wj), np.asarray(aj), np.asarray(sj)
+            )
+            wn, an, sn = naive_update(xs, wn, an, sn)
+        np.testing.assert_allclose(np.asarray(wj), wn, rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(aj), an, rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(sj), sn, rtol=1e-8)
+
+    def test_error_monotone_under_updates(self):
+        xs = RNG.uniform(0.1, 1, (4, 40, 6))
+        w, a, s = init_nm3f(xs, 3, 2, seed=2)
+        prev = np.inf
+        for _ in range(20):
+            w, a, s = nm3f_update(xs, np.asarray(w), np.asarray(a),
+                                  np.asarray(s))
+            err = float(np.linalg.norm(xs - naive_reconstruct(
+                np.asarray(w), np.asarray(a), np.asarray(s))))
+            assert err <= prev + 1e-9
+            prev = err
+
+
+class TestFit:
+    def test_converges_and_recovers_model_data(self):
+        xs, w_true, a_true, s_true = synthetic()
+        best = 0.0
+        for seed in range(3):
+            w0, a0, s0 = init_nm3f(xs, 3, 2, seed=seed)
+            import jax.numpy as jnp
+
+            state = fit_nm3f(
+                jnp.asarray(xs), jnp.asarray(w0), jnp.asarray(a0),
+                jnp.asarray(s0), max_iter=1500, tol=1e-8,
+            )
+            vaf = np.asarray(
+                sbt_vaf(jnp.asarray(xs), state.w, state.a, state.s)
+            )
+            best = max(best, float(vaf.min()))
+        assert best > 0.95
+
+    def test_frozen_modules(self):
+        """update_w/update_s=False freeze the modules bit-for-bit (the
+        transform path: coefficients for new trials)."""
+        import jax.numpy as jnp
+
+        xs, w_true, a_true, s_true = synthetic()
+        _, a0, _ = init_nm3f(xs, 3, 2, seed=1)
+        state = fit_nm3f(
+            jnp.asarray(xs), jnp.asarray(w_true), jnp.asarray(a0),
+            jnp.asarray(s_true), max_iter=400, tol=1e-8,
+            update_w=False, update_s=False,
+        )
+        np.testing.assert_array_equal(np.asarray(state.w), w_true)
+        np.testing.assert_array_equal(np.asarray(state.s), s_true)
+        # with the true modules fixed, coefficients recover the data
+        vaf = np.asarray(sbt_vaf(jnp.asarray(xs), state.w, state.a, state.s))
+        assert vaf.min() > 0.95
+
+    def test_nonnegativity(self):
+        import jax.numpy as jnp
+
+        xs, _, _, _ = synthetic()
+        w0, a0, s0 = init_nm3f(xs, 3, 2, seed=7)
+        state = fit_nm3f(jnp.asarray(xs), jnp.asarray(w0),
+                         jnp.asarray(a0), jnp.asarray(s0), max_iter=100)
+        assert float(np.asarray(state.w).min()) >= 0
+        assert float(np.asarray(state.a).min()) >= 0
+        assert float(np.asarray(state.s).min()) >= 0
+
+
+class TestNormalize:
+    def test_reconstruction_invariant_and_unit_norms(self):
+        w = RNG.uniform(0, 1, (30, 3))
+        a = RNG.uniform(0, 1, (4, 3, 2))
+        s = RNG.uniform(0, 1, (2, 5))
+        wn, an, sn = normalize_modules(w, a, s)
+        np.testing.assert_allclose(
+            np.asarray(nm3f_reconstruct(wn, an, sn)),
+            naive_reconstruct(w, a, s),
+            rtol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(wn), axis=0), 1.0, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(sn), axis=1), 1.0, rtol=1e-12
+        )
+
+    def test_zero_module_untouched(self):
+        w = RNG.uniform(0, 1, (30, 3))
+        w[:, 1] = 0.0
+        a = RNG.uniform(0, 1, (2, 3, 2))
+        s = RNG.uniform(0, 1, (2, 5))
+        wn, an, sn = normalize_modules(w, a, s)
+        assert np.all(np.isfinite(np.asarray(wn)))
+        np.testing.assert_array_equal(np.asarray(wn)[:, 1], 0.0)
+
+
+class TestFindSpaceByTime:
+    def test_end_to_end_on_dataframes(self):
+        import pandas
+
+        xs, _, _, _ = synthetic()
+        trials = [
+            pandas.DataFrame(x, columns=[f"m{i}" for i in range(6)])
+            for x in xs
+        ]
+        res = find_space_by_time_synergies(
+            trials, 3, 2, max_iter=800, tol=1e-7, n_inits=3, seed=0
+        )
+        assert res.vaf > 0.9
+        assert res.temporal_modules.shape == (80, 3)
+        assert res.spatial_modules.shape == (2, 6)
+        assert list(res.spatial_modules.columns) == [f"m{i}" for i in range(6)]
+        assert res.coefficients.shape == (6, 3, 2)
+        assert res.vaf_per_trial.shape == (6,)
+        assert res.restart_errors.shape == (3,)
+        np.testing.assert_allclose(
+            np.linalg.norm(res.temporal_modules.to_numpy(), axis=0),
+            1.0, rtol=1e-6,
+        )
+
+    def test_accepts_array_stack(self):
+        xs, _, _, _ = synthetic(b=3)
+        res = find_space_by_time_synergies(
+            xs, 2, 2, max_iter=200, n_inits=2
+        )
+        assert res.coefficients.shape == (3, 2, 2)
+
+    def test_validation(self):
+        xs, _, _, _ = synthetic(b=2)
+        with pytest.raises(ValueError, match="Negative"):
+            find_space_by_time_synergies(-xs - 1.0, 2, 2)
+        with pytest.raises(ValueError, match="NaN"):
+            bad = xs.copy()
+            bad[0, 0, 0] = np.nan
+            find_space_by_time_synergies(bad, 2, 2)
+        with pytest.raises(ValueError, match="n_temporal"):
+            find_space_by_time_synergies(xs, 0, 2)
+        with pytest.raises(ValueError, match="n_spatial"):
+            find_space_by_time_synergies(xs, 2, 99)
+        with pytest.raises(ValueError, match="n_inits"):
+            find_space_by_time_synergies(xs, 2, 2, n_inits=0)
+        with pytest.raises(ValueError, match="trial stack"):
+            find_space_by_time_synergies(xs[0], 2, 2)
+
+    def test_importable_from_package_root(self):
+        import muscle_synergies_tpu as mst
+
+        assert hasattr(mst, "find_space_by_time_synergies")
+        assert hasattr(mst.models, "find_space_by_time_synergies")
+
+    def test_plot(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from muscle_synergies_tpu.viz import plot_space_by_time
+
+        xs, _, _, _ = synthetic(b=3)
+        res = find_space_by_time_synergies(xs, 2, 2, max_iter=100,
+                                           n_inits=2)
+        fig = plot_space_by_time(res, show=False)
+        assert fig is not None
+        assert len(fig.axes) >= 3
+        plt.close(fig)

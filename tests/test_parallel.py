@@ -957,3 +957,53 @@ class TestShardedCNMF:
         xs, c0, s0 = self._problem(b=4, l=6)  # 6 % 4 != 0
         with pytest.raises(ValueError, match="channel count"):
             sharded_fit_cnmf_tp(xs, c0, s0, mesh)
+
+
+class TestShardedNM3F:
+    """Data-parallel space-by-time factorization: psum'd module sums."""
+
+    def test_matches_local_fit(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from muscle_synergies_tpu.models.nm3f import fit_nm3f, init_nm3f
+        from muscle_synergies_tpu.parallel import (
+            DATA_AXIS,
+            make_mesh,
+            sharded_fit_nm3f,
+        )
+
+        rng = np.random.default_rng(33)
+        xs = rng.uniform(0.1, 1.0, (8, 40, 6))
+        w0, a0, s0 = init_nm3f(xs, 3, 2, seed=1)
+        ref = fit_nm3f(
+            jnp.asarray(xs), jnp.asarray(w0), jnp.asarray(a0),
+            jnp.asarray(s0), max_iter=200, tol=1e-5,
+        )
+        mesh = make_mesh((8, 1))
+        xs_s = jax.device_put(xs, NamedSharding(mesh, P(DATA_AXIS)))
+        a_s = jax.device_put(a0, NamedSharding(mesh, P(DATA_AXIS)))
+        got = sharded_fit_nm3f(
+            xs_s, jnp.asarray(w0), a_s, jnp.asarray(s0), mesh,
+            max_iter=200, tol=1e-5,
+        )
+        assert int(got.n_iter) == int(ref.n_iter)
+        assert bool(got.converged) == bool(ref.converged)
+        np.testing.assert_allclose(np.asarray(got.w), np.asarray(ref.w),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got.a), np.asarray(ref.a),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got.s), np.asarray(ref.s),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(
+            float(got.previous_error), float(ref.previous_error), rtol=1e-9
+        )
+
+    def test_trial_divisibility_guard(self):
+        from muscle_synergies_tpu.models.nm3f import init_nm3f
+        from muscle_synergies_tpu.parallel import make_mesh, sharded_fit_nm3f
+
+        rng = np.random.default_rng(3)
+        xs = rng.uniform(0.1, 1.0, (6, 20, 4))  # 6 % 8 != 0
+        w0, a0, s0 = init_nm3f(xs, 2, 2)
+        with pytest.raises(ValueError, match="trial count"):
+            sharded_fit_nm3f(xs, w0, a0, s0, make_mesh((8, 1)))
