@@ -53,6 +53,23 @@ def _parse_ranks(spec: str):
     return lo, hi
 
 
+def _parse_modules(spec: str):
+    """``"3:2"`` -> (3, 2): temporal x spatial module counts."""
+    try:
+        p_s, q_s = spec.split(":", 1)
+        p, q = int(p_s), int(q_s)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"invalid --space-by-time {spec!r}: expected 'P:Q' module "
+            "counts, e.g. '3:2'"
+        )
+    if p < 1 or q < 1:
+        raise argparse.ArgumentTypeError(
+            f"invalid --space-by-time {spec!r}: module counts start at 1"
+        )
+    return p, q
+
+
 def _build_parser():
     parser = argparse.ArgumentParser(
         prog="python -m muscle_synergies_tpu",
@@ -201,6 +218,14 @@ def _build_parser():
         help="extract time-varying (convolutive) synergies per capture "
              "instead of the NMF rank sweep; takes a single --ranks "
              "value (the synergy count)",
+    )
+    p_ds.add_argument(
+        "--space-by-time", type=_parse_modules, metavar="P:Q",
+        default=None,
+        help="extract a Delis-style space-by-time decomposition of the "
+             "whole dataset instead of the NMF rank sweep: P shared "
+             "temporal modules x Q shared spatial modules with one "
+             "coefficient matrix per capture (e.g. '3:2')",
     )
     p_ds.add_argument(
         "--n-inits", type=int, default=4,
@@ -509,8 +534,15 @@ def _cmd_analyze_dataset(args) -> int:
     import muscle_synergies_tpu as mst
     from muscle_synergies_tpu.utils import PipelineConfig
 
+    if args.time_varying is not None and args.space_by_time is not None:
+        raise SystemExit(
+            "--time-varying and --space-by-time are different models; "
+            "pick one"
+        )
     if args.time_varying is not None:
         _validate_time_varying_flags(args)
+    elif args.space_by_time is not None:
+        _validate_space_by_time_flags(args)
     elif args.ranks is None:
         args.ranks = (1, 4)
     solver = args.solver if args.solver is not None else "cd"
@@ -533,8 +565,11 @@ def _cmd_analyze_dataset(args) -> int:
             )
     trials = [cap.emg.df for cap in captures]
 
-    lo, hi = args.ranks
-    ranks = tuple(range(lo, (hi if hi is not None else lo) + 1))
+    if args.space_by_time is None:
+        # the NM3F branch sets module counts through --space-by-time
+        # and rejects --ranks up front
+        lo, hi = args.ranks
+        ranks = tuple(range(lo, (hi if hi is not None else lo) + 1))
     try:
         beta_loss = float(args.beta_loss)
     except ValueError:
@@ -559,6 +594,10 @@ def _cmd_analyze_dataset(args) -> int:
     )
     if args.time_varying is not None:
         return _analyze_dataset_time_varying(
+            args, trials, fs, config, subjects
+        )
+    if args.space_by_time is not None:
+        return _analyze_dataset_space_by_time(
             args, trials, fs, config, subjects
         )
     try:
@@ -595,6 +634,78 @@ def _cmd_analyze_dataset(args) -> int:
             subj: {str(k): float(v) for k, v in means.loc[subj].items()}
             for subj in dict.fromkeys(subjects)
         }
+
+    text = json.dumps(report, indent=2)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(text + "\n")
+        print(f"wrote {args.output}")
+    else:
+        print(text)
+    return 0
+
+
+def _validate_space_by_time_flags(args):
+    """Reject flag combinations --space-by-time cannot honor (pre-ingest)."""
+    if args.ranks is not None:
+        raise SystemExit(
+            "--space-by-time P:Q sets the module counts itself; "
+            "drop --ranks"
+        )
+    if args.solver is not None:
+        raise SystemExit(
+            "--space-by-time has a single solver (trilinear MU); "
+            "drop --solver"
+        )
+    if args.beta_loss != "frobenius":
+        raise SystemExit(
+            "--space-by-time is Frobenius-only; drop --beta-loss"
+        )
+    if args.alpha_w != 0.0 or args.l1_ratio != 0.0 or args.alpha_h != "same":
+        raise SystemExit(
+            "--space-by-time has no sparsity penalties; drop "
+            "--alpha-w/--alpha-h/--l1-ratio"
+        )
+
+
+def _analyze_dataset_space_by_time(args, trials, fs, config, subjects) -> int:
+    """``analyze-dataset --space-by-time P:Q``: the NM3F branch."""
+    import numpy as np
+
+    import muscle_synergies_tpu as mst
+    from muscle_synergies_tpu.dataset import preprocess_trials
+
+    p, q = args.space_by_time
+    try:
+        xs = np.asarray(preprocess_trials(trials, fs, config))
+        res = mst.find_space_by_time_synergies(
+            xs, n_temporal=p, n_spatial=q, max_iter=args.max_iter,
+            tol=args.tol, n_inits=args.n_inits,
+        )
+    except ValueError as exc:
+        raise SystemExit(str(exc))
+
+    report = {
+        "files": list(args.csvs),
+        "sampling_frequency": float(fs),
+        "model": "space-by-time",
+        "n_temporal": p,
+        "n_spatial": q,
+        "n_inits": args.n_inits,
+        "vaf_overall": float(res.vaf),
+        "vaf_per_trial": [float(v) for v in res.vaf_per_trial],
+        "n_iter": int(res.n_iter),
+        "restart_errors": [float(e) for e in res.restart_errors],
+        "coefficients": np.asarray(res.coefficients).tolist(),
+    }
+    if subjects:
+        report["subjects"] = subjects
+    # the shared modules ARE the dataset-level result; always included
+    report["temporal_modules"] = res.temporal_modules.to_numpy().tolist()
+    report["spatial_modules"] = {
+        "columns": list(map(str, res.spatial_modules.columns)),
+        "rows": res.spatial_modules.to_numpy().tolist(),
+    }
 
     text = json.dumps(report, indent=2)
     if args.output:

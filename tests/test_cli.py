@@ -232,6 +232,41 @@ def test_analyze_dataset_time_varying(capture_csv, tmp_path):
     assert "single --ranks" in r.stderr
 
 
+def test_analyze_dataset_space_by_time(capture_csv, tmp_path):
+    out = tmp_path / "sbt.json"
+    result = _run([
+        "analyze-dataset", capture_csv, capture_csv,
+        "--space-by-time", "3:2", "--n-inits", "2", "--rms", "0.5",
+        "--max-iter", "200", "--tol", "1e-4",
+        "--subjects", "s1,s1", "-o", str(out),
+    ])
+    assert result.returncode == 0, result.stderr[-2000:]
+    report = json.loads(out.read_text())
+    assert report["model"] == "space-by-time"
+    assert report["n_temporal"] == 3 and report["n_spatial"] == 2
+    assert 0.0 < report["vaf_overall"] <= 1.0
+    assert len(report["vaf_per_trial"]) == 2
+    assert len(report["coefficients"]) == 2  # one matrix per capture
+    assert len(report["coefficients"][0]) == 3
+    assert len(report["coefficients"][0][0]) == 2
+    assert len(report["temporal_modules"][0]) == 3
+    assert len(report["spatial_modules"]["rows"]) == 2
+    assert len(report["spatial_modules"]["columns"]) == 8
+    # flag hygiene: both models at once, leftover rank-sweep flags
+    r = _run([
+        "analyze-dataset", capture_csv, "--space-by-time", "3:2",
+        "--time-varying", "8", "--ranks", "2",
+    ])
+    assert r.returncode == 1 and "pick one" in r.stderr
+    r = _run([
+        "analyze-dataset", capture_csv, "--space-by-time", "3:2",
+        "--ranks", "2",
+    ])
+    assert r.returncode == 1 and "drop --ranks" in r.stderr
+    r = _run(["analyze-dataset", capture_csv, "--space-by-time", "nope"])
+    assert r.returncode == 2 and "space-by-time" in r.stderr
+
+
 def test_analyze_dataset_rejects_bad_alpha_h(capture_csv):
     result = _run([
         "analyze-dataset", capture_csv, "--ranks", "1", "--rms", "0.5",
