@@ -278,6 +278,11 @@ def _validate_time_varying_flags(args):
             "--inner-iter applies to the Frobenius MU solver only; "
             "drop it for --time-varying"
         )
+    if getattr(args, "vaf_threshold", 0.90) != 0.90:
+        raise SystemExit(
+            "--vaf-threshold belongs to the rank-sweep report; drop it "
+            "for --time-varying"
+        )
     return lo
 
 
@@ -665,6 +670,16 @@ def _validate_space_by_time_flags(args):
         raise SystemExit(
             "--space-by-time has no sparsity penalties; drop "
             "--alpha-w/--alpha-h/--l1-ratio"
+        )
+    if args.impl != "auto":
+        raise SystemExit(
+            "--space-by-time runs the batched XLA trilinear updates; "
+            "drop --impl"
+        )
+    if args.vaf_threshold != 0.90:
+        raise SystemExit(
+            "--vaf-threshold belongs to the rank-sweep report; drop it "
+            "for --space-by-time"
         )
 
 

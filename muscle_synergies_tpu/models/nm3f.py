@@ -150,21 +150,27 @@ def fit_nm3f(
         return (state.n_iter < max_iter) & ~state.converged
 
     def body(state: NM3FState):
-        w, a, s = state.w, state.a, state.s
-        for _ in range(check_every):
-            w, a, s = nm3f_update(
-                xs, w, a, s, update_w=update_w, update_s=update_s
+        # max_iter is a hard cap, as everywhere in the solver family:
+        # the tail chunk runs max_iter % check_every updates
+        steps = jnp.minimum(check_every, max_iter - state.n_iter)
+
+        def one(_, was):
+            return nm3f_update(
+                xs, *was, update_w=update_w, update_s=update_s
             )
+
+        w, a, s = jax.lax.fori_loop(
+            0, steps, one, (state.w, state.a, state.s)
+        )
+        n_iter = state.n_iter + steps
         error = _nm3f_error(xs, w, a, s)
         improvement = (state.previous_error - error) / jnp.maximum(
             error_init, EPSILON
         )
-        return NM3FState(
-            w, a, s,
-            state.n_iter + check_every,
-            error,
-            improvement < tol,
+        converged = jnp.logical_and(
+            improvement < tol, n_iter % check_every == 0
         )
+        return NM3FState(w, a, s, n_iter, error, converged)
 
     init = NM3FState(
         w0.astype(xs.dtype),
@@ -333,10 +339,12 @@ def find_space_by_time_synergies(
     w, a, s = normalize_modules(
         states.w[best], states.a[best], states.s[best]
     )
-    per_trial = np.asarray(sbt_vaf(xs_dev, w, a, s))
-    rec = np.asarray(nm3f_reconstruct(w, a, s))
-    overall = 1.0 - float(((xs - rec) ** 2).sum()) / max(
-        float((xs**2).sum()), float(EPSILON)
+    rec = nm3f_reconstruct(w, a, s)
+    err2 = jnp.sum((xs_dev - rec) ** 2, axis=(1, 2))
+    tot2 = jnp.sum(xs_dev * xs_dev, axis=(1, 2))
+    per_trial = np.asarray(1.0 - err2 / jnp.where(tot2 == 0, 1.0, tot2))
+    overall = 1.0 - float(jnp.sum(err2)) / max(
+        float(jnp.sum(tot2)), float(EPSILON)
     )
 
     cols = columns if columns is not None else list(range(l))

@@ -191,7 +191,6 @@ def _local_cnmf_step_tp(x, c, s, axis_name: str, n_lags: int):
     xhat = jnp.einsum("dtk,kdl->tl", cs, s)
     g_num = axis_sum(jnp.einsum("tl,kdl->dtk", x, s), axis_name)
     g_den = axis_sum(jnp.einsum("tl,kdl->dtk", xhat, s), axis_name)
-    t = x.shape[0]
     num_c = sum(
         jnp.concatenate(
             [g_num[d, d:], jnp.zeros((d, g_num.shape[2]), g_num.dtype)]

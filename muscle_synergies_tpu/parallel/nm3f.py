@@ -126,19 +126,24 @@ def sharded_fit_nm3f(
             return (state.n_iter < max_iter) & ~state.converged
 
         def body(state: NM3FState):
-            w_, a_, s_ = state.w, state.a, state.s
-            for _ in range(check_every):
-                w_, a_, s_ = _local_nm3f_step(xb, w_, a_, s_, DATA_AXIS)
+            # hard max_iter cap, matching fit_nm3f's tail chunk
+            steps = jnp.minimum(check_every, max_iter - state.n_iter)
+
+            def one(_, was):
+                return _local_nm3f_step(xb, *was, axis_name=DATA_AXIS)
+
+            w_, a_, s_ = jax.lax.fori_loop(
+                0, steps, one, (state.w, state.a, state.s)
+            )
+            n_iter = state.n_iter + steps
             error = _local_nm3f_error(xb, w_, a_, s_, DATA_AXIS)
             improvement = (state.previous_error - error) / jnp.maximum(
                 error_init, EPSILON
             )
-            return NM3FState(
-                w_, a_, s_,
-                state.n_iter + check_every,
-                error,
-                improvement < tol,
+            converged = jnp.logical_and(
+                improvement < tol, n_iter % check_every == 0
             )
+            return NM3FState(w_, a_, s_, n_iter, error, converged)
 
         init = NM3FState(
             w,

@@ -148,6 +148,27 @@ class TestFit:
         vaf = np.asarray(sbt_vaf(jnp.asarray(xs), state.w, state.a, state.s))
         assert vaf.min() > 0.95
 
+    def test_max_iter_is_a_hard_cap(self):
+        """Like every solver here, a non-multiple max_iter clamps the
+        tail chunk instead of overrunning (review finding)."""
+        import jax.numpy as jnp
+
+        xs, _, _, _ = synthetic(b=2)
+        w0, a0, s0 = init_nm3f(xs, 2, 2, seed=4)
+        state = fit_nm3f(jnp.asarray(xs), jnp.asarray(w0),
+                         jnp.asarray(a0), jnp.asarray(s0),
+                         max_iter=25, tol=1e-12)
+        assert int(state.n_iter) == 25
+        # the tail chunk matches 25 plain updates exactly
+        w, a, s = w0, a0, s0
+        for _ in range(25):
+            w, a, s = nm3f_update(xs, np.asarray(w), np.asarray(a),
+                                  np.asarray(s))
+        np.testing.assert_allclose(np.asarray(state.w), np.asarray(w),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(state.a), np.asarray(a),
+                                   rtol=1e-9)
+
     def test_nonnegativity(self):
         import jax.numpy as jnp
 
