@@ -40,6 +40,10 @@ __all__ = [
     "TimeVaryingBootstrapResult",
     "fit_cnmf_masked",
     "cv_time_varying_rank_selection",
+    "bootstrap_space_by_time",
+    "fit_nm3f_masked",
+    "cv_space_by_time_selection",
+    "SpaceByTimeCVResult",
 ]
 
 
@@ -555,3 +559,258 @@ def cv_time_varying_rank_selection(
     test_error = np.asarray(heldout).reshape(n_repeats, len(ranks))
     best_rank = int(tuple(ranks)[int(np.argmin(test_error.mean(axis=0)))])
     return CVResult(tuple(ranks), test_error, best_rank)
+
+
+# ---------------------------------------------------------------------------
+# space-by-time (NM3F) stability and module-count selection
+# ---------------------------------------------------------------------------
+
+def bootstrap_space_by_time(
+    xs,
+    n_temporal: int,
+    n_spatial: int,
+    n_boot: int = 50,
+    seed: int = 0,
+    max_iter: int = 400,
+    tol: float = 1e-6,
+):
+    """Trial-axis bootstrap stability of the shared NM3F modules.
+
+    Trials are exchangeable under the space-by-time model (the shared
+    modules couple them; their order carries no structure), so the
+    plain iid bootstrap that would break the convolutive model is the
+    right resampling here: refit on ``n_boot`` resampled TRIAL sets —
+    as one vmapped batch over resamples — and score each reference
+    module's best-assignment cosine similarity across refits.
+
+    Returns:
+        ``(temporal BootstrapResult, spatial BootstrapResult)`` — the
+        reference components are the unit-norm ``(P, T)`` temporal and
+        ``(Q, L)`` spatial modules of the full fit.
+    """
+    from .nm3f import fit_nm3f, init_nm3f, normalize_modules
+
+    xs = np.asarray(xs, dtype=float)
+    b = xs.shape[0]
+
+    w0, a0, s0 = init_nm3f(xs, n_temporal, n_spatial, seed=seed)
+    ref = fit_nm3f(
+        jnp.asarray(xs), jnp.asarray(w0), jnp.asarray(a0),
+        jnp.asarray(s0), max_iter=max_iter, tol=tol,
+    )
+    w_ref, _, s_ref = normalize_modules(ref.w, ref.a, ref.s)
+    w_ref = np.asarray(w_ref).T  # (P, T): components as rows
+    s_ref = np.asarray(s_ref)  # (Q, L)
+
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, b, size=(n_boot, b))
+    xb = jnp.asarray(xs)[jnp.asarray(idx)]  # (n_boot, B, T, L)
+    inits = [
+        init_nm3f(xs[idx[r]], n_temporal, n_spatial, seed=seed + 1 + r)
+        for r in range(n_boot)
+    ]
+    w0b = jnp.asarray(np.stack([i[0] for i in inits]))
+    a0b = jnp.asarray(np.stack([i[1] for i in inits]))
+    s0b = jnp.asarray(np.stack([i[2] for i in inits]))
+    states = jax.vmap(
+        lambda x, w, a, s: fit_nm3f(x, w, a, s, max_iter=max_iter, tol=tol)
+    )(xb, w0b, a0b, s0b)
+    wn, _, sn = jax.vmap(normalize_modules)(states.w, states.a, states.s)
+    wn = np.swapaxes(np.asarray(wn), 1, 2)  # (n_boot, P, T)
+    sn = np.asarray(sn)
+
+    sims_w = np.stack(
+        [_match_components(w_ref, wn[r]) for r in range(n_boot)]
+    )
+    sims_s = np.stack(
+        [_match_components(s_ref, sn[r]) for r in range(n_boot)]
+    )
+    return (
+        BootstrapResult(reference_components=w_ref, similarities=sims_w),
+        BootstrapResult(reference_components=s_ref, similarities=sims_s),
+    )
+
+
+def _masked_nm3f_update(xs, mask, w, a, s):
+    """Weighted trilinear MU: every projection of X / X̂ sees the mask.
+
+    Mirrors :func:`muscle_synergies_tpu.models.nm3f.nm3f_update`
+    (A-then-W-then-S order) with ``mask * X`` and ``mask * X̂`` in
+    every numerator/denominator — the EM treatment of missing entries,
+    exactly as :func:`_masked_mu_update` does for the flat model.
+    """
+    from .nm3f import nm3f_reconstruct
+
+    mx = mask * xs
+    mrec = mask * nm3f_reconstruct(w, a, s)
+    num_a = jnp.einsum("tp,btl,ql->bpq", w, mx, s)
+    den_a = jnp.einsum("tp,btl,ql->bpq", w, mrec, s)
+    a = a * (num_a / jnp.where(den_a == 0, EPSILON, den_a))
+
+    mrec = mask * nm3f_reconstruct(w, a, s)
+    num_w = jnp.einsum("btl,ql,bpq->tp", mx, s, a)
+    den_w = jnp.einsum("btl,ql,bpq->tp", mrec, s, a)
+    w = w * (num_w / jnp.where(den_w == 0, EPSILON, den_w))
+
+    mrec = mask * nm3f_reconstruct(w, a, s)
+    num_s = jnp.einsum("bpq,tp,btl->ql", a, w, mx)
+    den_s = jnp.einsum("bpq,tp,btl->ql", a, w, mrec)
+    s = s * (num_s / jnp.where(den_s == 0, EPSILON, den_s))
+    return w, a, s
+
+
+def _masked_nm3f_error(xs, mask, w, a, s):
+    from .nm3f import nm3f_reconstruct
+
+    diff = mask * (xs - nm3f_reconstruct(w, a, s))
+    return jnp.sqrt(jnp.sum(diff * diff))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iter", "tol", "check_every")
+)
+def fit_nm3f_masked(
+    xs: jnp.ndarray,
+    mask: jnp.ndarray,
+    w0: jnp.ndarray,
+    a0: jnp.ndarray,
+    s0: jnp.ndarray,
+    max_iter: int = 400,
+    tol: float = 1e-6,
+    check_every: int = 10,
+):
+    """Masked NM3F: minimize ``||mask * (X - W A S)||_F`` on device.
+
+    Same loop structure and stopping rule as
+    :func:`muscle_synergies_tpu.models.nm3f.fit_nm3f`, restricted to
+    observed (mask=1) entries.  Note the masked updates rebuild the
+    full reconstruction per half-step (no Gram shortcut exists under a
+    mask), like :func:`fit_mu_masked`.
+    """
+    from .nm3f import NM3FState
+
+    error_init = _masked_nm3f_error(xs, mask, w0, a0, s0)
+
+    def cond(state):
+        return (state.n_iter < max_iter) & ~state.converged
+
+    def body(state):
+        steps = jnp.minimum(check_every, max_iter - state.n_iter)
+
+        def one(_, was):
+            return _masked_nm3f_update(xs, mask, *was)
+
+        w, a, s = jax.lax.fori_loop(
+            0, steps, one, (state.w, state.a, state.s)
+        )
+        n_iter = state.n_iter + steps
+        error = _masked_nm3f_error(xs, mask, w, a, s)
+        improvement = (state.previous_error - error) / jnp.maximum(
+            error_init, EPSILON
+        )
+        converged = jnp.logical_and(
+            improvement < tol, n_iter % check_every == 0
+        )
+        return NM3FState(w, a, s, n_iter, error, converged)
+
+    init = NM3FState(
+        w0.astype(xs.dtype),
+        a0.astype(xs.dtype),
+        s0.astype(xs.dtype),
+        jnp.asarray(0, jnp.int32),
+        error_init,
+        jnp.asarray(False),
+    )
+    return jax.lax.while_loop(cond, body, init)
+
+
+class SpaceByTimeCVResult(NamedTuple):
+    """Held-out module-count selection outcome.
+
+    ``test_error``: ``(n_repeats, n_pairs)`` relative held-out errors,
+    one column per ``(P, Q)`` candidate.  ``best``: the pair minimizing
+    the mean held-out error.
+    """
+
+    pairs: tuple
+    test_error: np.ndarray
+    best: tuple
+
+    @property
+    def mean_test_error(self) -> np.ndarray:
+        return self.test_error.mean(axis=0)
+
+
+def cv_space_by_time_selection(
+    xs,
+    pairs: Sequence,
+    holdout_fraction: float = 0.1,
+    n_repeats: int = 5,
+    seed: int = 0,
+    max_iter: int = 400,
+    tol: float = 1e-6,
+) -> SpaceByTimeCVResult:
+    """Wold-style CV over ``(n_temporal, n_spatial)`` candidates.
+
+    Hold out random entries across the whole trial stack, fit
+    :func:`fit_nm3f_masked` on the rest for every (repeat, pair) — ONE
+    vmapped device solve with both module counts zero-padded to the
+    grid maxima (padded modules and their coefficient rows/columns
+    start at zero, so every MU numerator touching them is identically
+    zero and they stay zero) — and score each candidate's held-out
+    reconstruction error.
+    """
+    from .nm3f import init_nm3f
+
+    xs = jnp.asarray(np.asarray(xs, dtype=float))
+    b, t, l = xs.shape
+    pairs = tuple((int(p), int(q)) for p, q in pairs)
+    p_max = max(p for p, _ in pairs)
+    q_max = max(q for _, q in pairs)
+    rng = np.random.default_rng(seed)
+
+    masks = (
+        rng.random((n_repeats, b, t, l)) >= holdout_fraction
+    ).astype(xs.dtype)
+
+    xs_list, ms, w0s, a0s, s0s = [], [], [], [], []
+    for r in range(n_repeats):
+        x_obs = np.asarray(xs * masks[r])
+        for p, q in pairs:
+            w0, a0, s0 = init_nm3f(x_obs, p, q, seed=seed + r)
+            w0p = np.zeros((t, p_max), w0.dtype)
+            w0p[:, :p] = w0
+            a0p = np.zeros((b, p_max, q_max), a0.dtype)
+            a0p[:, :p, :q] = a0
+            s0p = np.zeros((q_max, l), s0.dtype)
+            s0p[:q] = s0
+            xs_list.append(xs)
+            ms.append(jnp.asarray(masks[r]))
+            w0s.append(jnp.asarray(w0p))
+            a0s.append(jnp.asarray(a0p))
+            s0s.append(jnp.asarray(s0p))
+
+    fits = jax.vmap(
+        lambda xi, mi, wi, ai, si: fit_nm3f_masked(
+            xi, mi, wi, ai, si, max_iter=max_iter, tol=tol
+        )
+    )(
+        jnp.stack(xs_list), jnp.stack(ms), jnp.stack(w0s),
+        jnp.stack(a0s), jnp.stack(s0s),
+    )
+
+    from .nm3f import nm3f_reconstruct
+
+    rec = np.asarray(
+        jax.vmap(nm3f_reconstruct)(fits.w, fits.a, fits.s)
+    )
+    x_np = np.asarray(xs)
+    denom = np.linalg.norm(x_np)
+    heldout = []
+    for i in range(len(xs_list)):
+        r = i // len(pairs)
+        err = (1.0 - masks[r]) * (x_np - rec[i])
+        heldout.append(np.linalg.norm(err) / denom)
+    test_error = np.asarray(heldout).reshape(n_repeats, len(pairs))
+    best = pairs[int(np.argmin(test_error.mean(axis=0)))]
+    return SpaceByTimeCVResult(pairs, test_error, best)

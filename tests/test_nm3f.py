@@ -278,3 +278,94 @@ class TestFindSpaceByTime:
         assert fig is not None
         assert len(fig.axes) >= 3
         plt.close(fig)
+
+
+class TestNM3FStability:
+    def test_masked_full_mask_equals_unmasked(self):
+        import jax.numpy as jnp
+
+        from muscle_synergies_tpu.models import fit_nm3f_masked
+
+        xs, _, _, _ = synthetic(b=3)
+        w0, a0, s0 = init_nm3f(xs, 2, 2, seed=1)
+        full = fit_nm3f(jnp.asarray(xs), jnp.asarray(w0),
+                        jnp.asarray(a0), jnp.asarray(s0),
+                        max_iter=80, tol=1e-6)
+        masked = fit_nm3f_masked(
+            jnp.asarray(xs), jnp.ones_like(jnp.asarray(xs)),
+            jnp.asarray(w0), jnp.asarray(a0), jnp.asarray(s0),
+            max_iter=80, tol=1e-6,
+        )
+        assert int(masked.n_iter) == int(full.n_iter)
+        np.testing.assert_allclose(np.asarray(masked.w),
+                                   np.asarray(full.w), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(masked.a),
+                                   np.asarray(full.a), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(masked.s),
+                                   np.asarray(full.s), rtol=1e-9)
+
+    def test_masked_recovers_heldout(self):
+        import jax.numpy as jnp
+
+        from muscle_synergies_tpu.models import fit_nm3f_masked
+        from muscle_synergies_tpu.models.nm3f import nm3f_reconstruct
+
+        xs, _, _, _ = synthetic()
+        rng = np.random.default_rng(0)
+        mask = (rng.random(xs.shape) >= 0.15).astype(float)
+        w0, a0, s0 = init_nm3f(xs * mask, 3, 2, seed=2)
+        state = fit_nm3f_masked(
+            jnp.asarray(xs), jnp.asarray(mask), jnp.asarray(w0),
+            jnp.asarray(a0), jnp.asarray(s0), max_iter=1200, tol=1e-9,
+        )
+        rec = np.asarray(nm3f_reconstruct(state.w, state.a, state.s))
+        err = np.linalg.norm((1 - mask) * (xs - rec)) / np.linalg.norm(xs)
+        assert err < 0.08
+
+    def test_cv_zero_padding_stays_zero(self):
+        import jax.numpy as jnp
+
+        from muscle_synergies_tpu.models import fit_nm3f_masked
+
+        xs, _, _, _ = synthetic(b=3)
+        w0, a0, s0 = init_nm3f(xs, 2, 1, seed=3)
+        t, l = xs.shape[1], xs.shape[2]
+        w0p = np.zeros((t, 3)); w0p[:, :2] = w0
+        a0p = np.zeros((3, 3, 2)); a0p[:, :2, :1] = a0
+        s0p = np.zeros((2, l)); s0p[:1] = s0
+        state = fit_nm3f_masked(
+            jnp.asarray(xs), jnp.ones_like(jnp.asarray(xs)),
+            jnp.asarray(w0p), jnp.asarray(a0p), jnp.asarray(s0p),
+            max_iter=50, tol=1e-6,
+        )
+        np.testing.assert_array_equal(np.asarray(state.w)[:, 2:], 0.0)
+        np.testing.assert_array_equal(np.asarray(state.a)[:, 2:, :], 0.0)
+        np.testing.assert_array_equal(np.asarray(state.a)[:, :, 1:], 0.0)
+        np.testing.assert_array_equal(np.asarray(state.s)[1:], 0.0)
+
+    def test_cv_picks_true_module_counts(self):
+        from muscle_synergies_tpu.models import cv_space_by_time_selection
+
+        xs, _, _, _ = synthetic(b=8, p=3, q=2)
+        res = cv_space_by_time_selection(
+            xs, pairs=[(1, 1), (2, 2), (3, 2)], n_repeats=3,
+            max_iter=400, tol=1e-8,
+        )
+        assert res.test_error.shape == (3, 3)
+        means = res.mean_test_error
+        assert means[2] < means[0]  # the true (3, 2) beats (1, 1)
+        assert res.best in ((2, 2), (3, 2))
+
+    def test_bootstrap_modules_stable_on_model_data(self):
+        from muscle_synergies_tpu.models import bootstrap_space_by_time
+
+        xs, _, _, _ = synthetic(b=10)
+        boot_w, boot_s = bootstrap_space_by_time(
+            xs, 3, 2, n_boot=8, max_iter=300, tol=1e-7, seed=0
+        )
+        assert boot_w.similarities.shape == (8, 3)
+        assert boot_s.similarities.shape == (8, 2)
+        # model-generated data: the shared modules are recoverable
+        # across trial resamples
+        assert np.all(boot_w.mean > 0.8)
+        assert np.all(boot_s.mean > 0.8)
