@@ -893,8 +893,44 @@ def run_check(args):
     return 0 if ok else 1
 
 
+def _backend_reachable(timeout_s: int = 240) -> bool:
+    """Probe the accelerator backend in a killable subprocess.
+
+    When the remote-TPU relay is down, the in-process PJRT client init
+    HANGS for ~25 minutes before erroring; probing in a subprocess
+    with a timeout turns that into a fast, clear failure.  Only used
+    when the ambient platform is the remote plugin — forced-CPU runs
+    initialize instantly and skip the probe.
+    """
+    import os
+    import subprocess
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        return True
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return proc.returncode == 0
+
+
 def main(argv=None):
     args = _parse_args(argv)
+    if not _backend_reachable():
+        print(json.dumps({
+            "metric": "backend_unreachable",
+            "value": 0,
+            "unit": "accelerator backend failed to initialize within the "
+                    "probe window (remote-TPU relay down?); no "
+                    "measurement taken",
+            "vs_baseline": 0,
+            "date": _utc_date(),
+        }))
+        return 1
     if args.quick:
         # keep 3 repeats: with tiny per-call compute the chain
         # differencing needs a median to survive relay jitter
