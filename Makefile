@@ -45,12 +45,13 @@ bench-vaf:  # BASELINE.md's second metric: time-to-90%-VAF
 bench-check:  # on-device Pallas kernel numerics vs float64 references
 	$(PYTHON) bench.py --check | tee BENCH_CHECK.json
 
-bench-solvers:  # per-solver throughput rows (mu, cd, kl, is, cnmf) -> artifact
+bench-solvers:  # per-solver throughput rows (mu, cd, kl, is, cnmf, nm3f) -> artifact
 	$(PYTHON) bench.py --solver mu > BENCH_SOLVERS.json
 	$(PYTHON) bench.py --solver cd >> BENCH_SOLVERS.json
 	$(PYTHON) bench.py --solver kl >> BENCH_SOLVERS.json
 	$(PYTHON) bench.py --solver is >> BENCH_SOLVERS.json
 	$(PYTHON) bench.py --solver cnmf >> BENCH_SOLVERS.json
+	$(PYTHON) bench.py --solver nm3f >> BENCH_SOLVERS.json
 	cat BENCH_SOLVERS.json
 
 bench-fit:  # full convergence-fit wall time per solver -> artifact
@@ -59,6 +60,7 @@ bench-fit:  # full convergence-fit wall time per solver -> artifact
 	$(PYTHON) bench.py --metric fit --solver kl >> BENCH_FIT.json
 	$(PYTHON) bench.py --metric fit --solver is >> BENCH_FIT.json
 	$(PYTHON) bench.py --metric fit --solver cnmf >> BENCH_FIT.json
+	$(PYTHON) bench.py --metric fit --solver nm3f >> BENCH_FIT.json
 	cat BENCH_FIT.json
 
 bench-e2e:  # head-to-head full workflow vs the reference impl (same core)

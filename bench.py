@@ -7,13 +7,15 @@ EMG, 200 time-normalized samples per trial — the BASELINE.json
 configuration) on the default JAX device.  Target from BASELINE.md:
 >= 10,000 MU iterations/sec/chip.
 
-``--solver {mu,cd,kl,is}`` selects the iteration being measured (and
-checked): Frobenius multiplicative updates (the headline), HALS
-coordinate descent (the TPU twin of sklearn's default ``solver='cd'``
-behind the reference's ``find_synergies`` — reference
-analysis.py:862), KL-loss MU (``beta_loss='kullback-leibler'``) and
-Itakura-Saito MU (``beta_loss='itakura-saito'``).  Every README
-throughput row is reproducible from this one harness.
+``--solver {mu,cd,kl,is,cnmf,nm3f}`` selects the iteration being
+measured (and checked): Frobenius multiplicative updates (the
+headline), HALS coordinate descent (the TPU twin of sklearn's default
+``solver='cd'`` behind the reference's ``find_synergies`` — reference
+analysis.py:862), KL-loss MU (``beta_loss='kullback-leibler'``),
+Itakura-Saito MU (``beta_loss='itakura-saito'``), the convolutive
+(time-varying) updates, and the space-by-time trilinear (NM3F)
+updates.  Every README throughput row is reproducible from this one
+harness.
 
 ``--metric vaf`` measures BASELINE.md's second metric — time to 90%
 batch VAF on the *calibrated gait regime* (32 distinct seeded
@@ -66,13 +68,15 @@ def _parse_args(argv=None):
              "elsewhere",
     )
     parser.add_argument(
-        "--solver", choices=["mu", "cd", "kl", "is", "cnmf"],
+        "--solver", choices=["mu", "cd", "kl", "is", "cnmf", "nm3f"],
         default="mu",
         help="which solver iteration to measure/check: mu = Frobenius "
              "multiplicative updates (headline), cd = HALS coordinate "
              "descent (sklearn's default solver), kl / is = "
              "beta-divergence MU (beta=1 / beta=0), cnmf = the "
-             "convolutive (time-varying synergy) updates",
+             "convolutive (time-varying synergy) updates, nm3f = the "
+             "space-by-time trilinear updates (--rank temporal modules "
+             "x --spatial spatial modules, shared across the batch)",
     )
     parser.add_argument(
         "--metric", choices=["iters", "vaf", "fit"], default="iters",
@@ -85,6 +89,10 @@ def _parse_args(argv=None):
     parser.add_argument("--lags", type=int, default=10,
                         help="temporal extent of each synergy "
                              "(--solver cnmf only)")
+    parser.add_argument("--spatial", type=int, default=3,
+                        help="spatial module count Q of the space-by-"
+                             "time model (--solver nm3f only; --rank "
+                             "is the temporal module count P)")
     parser.add_argument(
         "--check", action="store_true",
         help="validate Pallas kernel numerics on the active device "
@@ -117,7 +125,23 @@ def _make_step(impl, batch, solver="mu"):
 
     block_b = min(128, batch)
 
-    if solver == "cnmf":
+    if solver == "nm3f":
+        import jax
+
+        from muscle_synergies_tpu.models.nm3f import nm3f_update
+
+        # factor slots: w = shared temporal modules W (T, P); the
+        # second slot carries the (A, S) pair as a pytree — per-trial
+        # coefficients (B, P, Q) and shared spatial modules (Q, L)
+        def step_fn(xs, w, a_s, iters):
+            a, s = a_s
+
+            def one(_, was):
+                return nm3f_update(xs, *was)
+
+            w, a, s = jax.lax.fori_loop(0, iters, one, (w, a, s))
+            return w, (a, s)
+    elif solver == "cnmf":
         from muscle_synergies_tpu.models.cnmf import cnmf_iterations_batch
 
         def step_fn(xs, c, srg, iters):
@@ -197,6 +221,14 @@ def _fresh_factors(args, dtype, seed, avg):
     import jax.numpy as jnp
 
     r = np.random.default_rng(seed)
+    if getattr(args, "solver", "mu") == "nm3f":
+        wt = jnp.asarray(avg * np.abs(r.standard_normal(
+            (args.samples, args.rank))).astype(dtype))
+        a0 = jnp.asarray(avg * np.abs(r.standard_normal(
+            (args.batch, args.rank, args.spatial))).astype(dtype))
+        s0 = jnp.asarray(avg * np.abs(r.standard_normal(
+            (args.spatial, args.channels))).astype(dtype))
+        return wt, (a0, s0)  # shared W, (per-trial A, shared S)
     w0 = jnp.asarray(avg * np.abs(r.standard_normal(
         (args.batch, args.samples, args.rank))).astype(dtype))
     if getattr(args, "solver", "mu") == "cnmf":
@@ -265,7 +297,9 @@ def _measure_per_call(step_fn, xs, args, dtype, avg):
             return step_fn(xs, w, h, args.iters)
 
         w, h = jax.lax.fori_loop(0, n_calls, body, (w, h))
-        return jnp.sum(w) + jnp.sum(h)
+        # factor slots may be pytrees (nm3f carries (A, S) in slot 2)
+        leaves = jax.tree_util.tree_leaves((w, h))
+        return sum(jnp.sum(x) for x in leaves)
 
     def timed_chain(n_calls, seed):
         w, h = _fresh_factors(args, dtype, seed, avg)
@@ -281,16 +315,28 @@ def run_iters(args):
     import jax.numpy as jnp
 
     impl = _resolve_impl(args.impl)
+    if args.solver == "nm3f":
+        # no Pallas twin: the trilinear updates are batched einsums
+        # that map straight onto the MXU through XLA
+        impl = "xla"
     step_fn = _make_step(impl, args.batch, args.solver)
     dtype = jnp.dtype(args.dtype)
     x_np = _make_problem(args, dtype, args.solver)
     xs = jnp.asarray(x_np)
-    denom = args.rank * (args.lags if args.solver == "cnmf" else 1)
-    avg = float(np.sqrt(x_np.mean() / denom))
+    if args.solver == "nm3f":
+        # trilinear reconstruction: E[X̂] ≈ P·Q·c³ = mean(X)
+        avg = float(
+            (x_np.mean() / (args.rank * args.spatial)) ** (1.0 / 3.0)
+        )
+    else:
+        denom = args.rank * (args.lags if args.solver == "cnmf" else 1)
+        avg = float(np.sqrt(x_np.mean() / denom))
 
     per_call = _measure_per_call(step_fn, xs, args, dtype, avg)
     iters_per_sec = args.iters / per_call
     lag_note = f", lags={args.lags}" if args.solver == "cnmf" else ""
+    if args.solver == "nm3f":
+        lag_note = f", Q={args.spatial}"
     impl_note = impl
     # The 10k target is defined for plain-NMF iterations; one
     # convolutive iteration does ~lags x that work (every projection is
@@ -429,7 +475,12 @@ def run_fit(args):
     dtype = jnp.dtype(args.dtype)
     x_np = _make_problem(args, dtype, args.solver)
     xs = jnp.asarray(x_np)
-    avg = float(np.sqrt(x_np.mean() / args.rank))
+    if args.solver == "nm3f":
+        avg = float(
+            (x_np.mean() / (args.rank * args.spatial)) ** (1.0 / 3.0)
+        )
+    else:
+        avg = float(np.sqrt(x_np.mean() / args.rank))
     max_iter, tol = 500, 1e-4
 
     def make_fit(impl):
@@ -444,6 +495,12 @@ def run_fit(args):
                 return fit_cd_batch(
                     xs, w, h, max_iter=max_iter, tol=tol, impl=impl
                 )
+        elif args.solver == "nm3f":
+            from muscle_synergies_tpu.models.nm3f import fit_nm3f
+
+            def fit(xs, w, a_s):
+                a, s = a_s
+                return fit_nm3f(xs, w, a, s, max_iter=max_iter, tol=tol)
         elif args.solver == "cnmf":
             from muscle_synergies_tpu.models.cnmf import fit_cnmf_batch
 
@@ -489,6 +546,8 @@ def run_fit(args):
         return _differenced_timing(timed_chain, args.repeats, clip=(4, 200))
 
     impl = _resolve_impl(args.impl)
+    if args.solver == "nm3f":
+        impl = "xla"  # no Pallas twin; see run_iters
     if impl == "pallas":
         ctx = contextlib.nullcontext()
         if jax.default_backend() != "tpu":
@@ -938,6 +997,11 @@ def main(argv=None):
     if args.check:
         return run_check(args)
     if args.metric == "vaf":
+        if args.solver in ("cnmf", "nm3f"):
+            raise SystemExit(
+                "--metric vaf measures the plain-NMF time-to-VAF "
+                "problem; it supports --solver mu/cd/kl/is only"
+            )
         return run_vaf(args)
     if args.metric == "fit":
         return run_fit(args)

@@ -59,7 +59,7 @@ def test_bench_vaf_metric_emits_json_contract():
     assert payload["vs_baseline"] > 1  # faster than sklearn's trial loop
 
 
-@pytest.mark.parametrize("solver", ["cd", "kl", "is", "cnmf"])
+@pytest.mark.parametrize("solver", ["cd", "kl", "is", "cnmf", "nm3f"])
 def test_bench_solver_axis_emits_json_contract(solver):
     """Every README throughput row reproduces from one harness."""
     result = _run(
