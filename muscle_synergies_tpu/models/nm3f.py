@@ -47,12 +47,14 @@ import numpy as np
 from .mu import EPSILON
 
 __all__ = [
+    "NM3FModel",
     "NM3FState",
     "SpaceByTimeResult",
     "find_space_by_time_synergies",
     "fit_nm3f",
     "init_nm3f",
     "nm3f_reconstruct",
+    "nm3f_transform",
     "nm3f_update",
     "normalize_modules",
     "sbt_vaf",
@@ -238,6 +240,71 @@ def sbt_vaf(xs: jnp.ndarray, w: jnp.ndarray, a: jnp.ndarray, s: jnp.ndarray):
     return 1.0 - err / jnp.where(tot == 0, 1.0, tot)
 
 
+def nm3f_transform(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    s: jnp.ndarray,
+    a0: jnp.ndarray = None,
+    max_iter: int = 200,
+    tol: float = 1e-4,
+    seed: int = 0,
+) -> NM3FState:
+    """Project trials onto FIXED modules: solve A, freeze W and S.
+
+    The space-by-time analog of ``NMFModel.transform`` (sklearn
+    ``NMF.transform`` runs the same updates with the components frozen;
+    the reference reaches it through sklearn, reference
+    analysis.py:848-864) and the single-trial-decoding step of Delis
+    et al. (2014): given shared temporal/spatial modules from a prior
+    fit, recover the per-trial mixing coefficients of *new* trials on
+    the SAME time base (``W`` pins the number of samples ``T``).
+
+    Args:
+        x: ``(T, L)`` or batched ``(B, T, L)`` nonnegative trials.
+        w: ``(T, P)`` fixed temporal modules.
+        s: ``(Q, L)`` fixed spatial modules.
+        a0: optional initial coefficients ``(B, P, Q)``; defaults to a
+            scaled-random init matched to the data magnitude.
+        max_iter / tol: sklearn-style stopping on the Frobenius error.
+
+    Returns:
+        :class:`NM3FState` whose ``w`` and ``s`` equal the inputs
+        bit-for-bit; ``a`` holds the solved coefficients.
+    """
+    x = jnp.asarray(x)
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    w = jnp.asarray(w)
+    s = jnp.asarray(s)
+    b = x.shape[0]
+    p, q = w.shape[1], s.shape[0]
+    if a0 is None:
+        # E[X̂] over (t, l) with A ≡ c is c·(ΣW)(ΣS)/(T·L); match it to
+        # the data mean so the first multiplicative steps are O(1)
+        t, l = x.shape[1], x.shape[2]
+        denom = float(jnp.sum(w)) * float(jnp.sum(s))
+        c = (
+            float(jnp.mean(x)) * t * l / denom if denom > 0 else 1.0
+        )
+        rng = np.random.default_rng(seed)
+        a0 = jnp.asarray(
+            rng.uniform(0, 2 * max(c, float(EPSILON)), size=(b, p, q)),
+            dtype=x.dtype,
+        )
+    else:
+        a0 = jnp.asarray(a0)
+        if a0.ndim == 2:
+            a0 = a0[None]
+    state = fit_nm3f(
+        x, w, a0, s, max_iter=max_iter, tol=tol, check_every=10,
+        update_w=False, update_s=False,
+    )
+    if squeeze:
+        state = state._replace(a=state.a[0])
+    return state
+
+
 class SpaceByTimeResult(NamedTuple):
     """Best-restart result of :func:`find_space_by_time_synergies`.
 
@@ -360,3 +427,110 @@ def find_space_by_time_synergies(
         n_iter=int(states.n_iter[best]),
         restart_errors=errors,
     )
+
+
+class NM3FModel:
+    """sklearn-style estimator for the space-by-time synergy model.
+
+    The trilinear companion to
+    :class:`muscle_synergies_tpu.models.select.NMFModel` and
+    :class:`muscle_synergies_tpu.models.cnmf.CNMFModel` (the reference
+    has no space-by-time surface at all — beyond-reference capability):
+    ``fit`` / ``fit_transform`` estimate shared temporal and spatial
+    modules from a whole trial stack with batched multi-restart via
+    :func:`find_space_by_time_synergies`; ``transform`` solves the
+    per-trial mixing coefficients of NEW trials with both module sets
+    frozen (:func:`nm3f_transform`) — the representation Delis et al.
+    (2014) decode single trials from.
+
+    Attributes after fitting:
+        temporal_modules_: ``(T, P)`` unit-norm columns.
+        spatial_modules_: ``(Q, L)`` unit-norm rows.
+        n_temporal_ / n_spatial_: module counts actually used.
+        n_iter_: iterations of the winning restart.
+        reconstruction_err_: its final Frobenius error.
+        restart_errors_: ``(n_inits,)`` final errors of all restarts.
+        vaf_: overall VAF of the training reconstruction.
+    """
+
+    def __init__(
+        self,
+        n_temporal: int,
+        n_spatial: int,
+        *,
+        tol: float = 1e-5,
+        max_iter: int = 500,
+        n_inits: int = 4,
+        random_state: int = 0,
+    ):
+        self.n_temporal = n_temporal
+        self.n_spatial = n_spatial
+        self.tol = tol
+        self.max_iter = max_iter
+        self.n_inits = n_inits
+        self.random_state = random_state
+
+    def fit_transform(self, X) -> np.ndarray:
+        """Fit the modules and return the ``(B, P, Q)`` coefficients."""
+        res = find_space_by_time_synergies(
+            X, self.n_temporal, self.n_spatial, max_iter=self.max_iter,
+            tol=self.tol, n_inits=self.n_inits, seed=self.random_state,
+        )
+        self.temporal_modules_ = res.temporal_modules.to_numpy()
+        self.spatial_modules_ = res.spatial_modules.to_numpy()
+        self.n_temporal_ = self.n_temporal
+        self.n_spatial_ = self.n_spatial
+        self.n_iter_ = res.n_iter
+        self.restart_errors_ = res.restart_errors
+        self.reconstruction_err_ = float(res.restart_errors.min())
+        self.vaf_ = res.vaf
+        return res.coefficients
+
+    def fit(self, X) -> "NM3FModel":
+        self.fit_transform(X)
+        return self
+
+    def _check_fitted(self):
+        if not hasattr(self, "temporal_modules_"):
+            raise ValueError(
+                "this NM3FModel instance is not fitted yet; call fit "
+                "or fit_transform first"
+            )
+
+    def transform(self, X) -> np.ndarray:
+        """Coefficients of new trials against the FITTED modules.
+
+        New trials must share the training time base (``W`` is a
+        ``(T, P)`` matrix over a fixed ``T`` — time-normalize trials
+        to the same sample count first, as the fit did).
+        """
+        self._check_fitted()
+        x = np.asarray(X, dtype=float)
+        if x.ndim not in (2, 3):
+            raise ValueError(
+                f"expected (T, L) or (B, T, L) trials, got shape {x.shape}"
+            )
+        if x.shape[-2] != self.temporal_modules_.shape[0]:
+            raise ValueError(
+                f"trials have {x.shape[-2]} samples but the fitted "
+                f"temporal modules expect "
+                f"{self.temporal_modules_.shape[0]}"
+            )
+        state = nm3f_transform(
+            jnp.asarray(x), jnp.asarray(self.temporal_modules_),
+            jnp.asarray(self.spatial_modules_),
+            max_iter=self.max_iter, tol=self.tol,
+            seed=self.random_state,
+        )
+        return np.asarray(state.a)
+
+    def inverse_transform(self, A) -> np.ndarray:
+        """Reconstruction ``X̂`` from coefficients and fitted modules."""
+        self._check_fitted()
+        return np.asarray(
+            nm3f_reconstruct(
+                jnp.asarray(self.temporal_modules_),
+                jnp.asarray(np.asarray(A, dtype=float)),
+                jnp.asarray(self.spatial_modules_),
+            )
+        )

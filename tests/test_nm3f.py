@@ -369,3 +369,79 @@ class TestNM3FStability:
         # across trial resamples
         assert np.all(boot_w.mean > 0.8)
         assert np.all(boot_s.mean > 0.8)
+
+
+class TestTransform:
+    def test_modules_frozen_and_coefficients_recovered(self):
+        from muscle_synergies_tpu.models.nm3f import nm3f_transform
+
+        xs, w, a, s = synthetic(b=5)
+        state = nm3f_transform(xs, w, s, max_iter=3000, tol=1e-12)
+        # W and S come back bit-for-bit; only A was solved
+        np.testing.assert_array_equal(np.asarray(state.w), w)
+        np.testing.assert_array_equal(np.asarray(state.s), s)
+        rec = naive_reconstruct(w, np.asarray(state.a), s)
+        rel = np.linalg.norm(rec - xs) / np.linalg.norm(xs)
+        assert rel < 1e-3
+
+    def test_single_trial_squeezes(self):
+        from muscle_synergies_tpu.models.nm3f import nm3f_transform
+
+        xs, w, a, s = synthetic(b=3)
+        state = nm3f_transform(xs[0], w, s, max_iter=200)
+        assert np.asarray(state.a).shape == a[0].shape
+
+    def test_explicit_a0_is_respected(self):
+        from muscle_synergies_tpu.models.nm3f import nm3f_transform
+
+        xs, w, a, s = synthetic(b=2)
+        state = nm3f_transform(
+            xs, w, s, a0=np.zeros_like(a), max_iter=50
+        )
+        # multiplicative updates cannot leave an all-zero init
+        np.testing.assert_array_equal(np.asarray(state.a), 0.0)
+
+
+class TestEstimator:
+    def test_fit_transform_and_roundtrip(self):
+        from muscle_synergies_tpu.models import NM3FModel
+
+        xs, w, a, s = synthetic(b=6)
+        model = NM3FModel(3, 2, max_iter=800, tol=1e-10, n_inits=3)
+        coeffs = model.fit_transform(xs)
+        assert coeffs.shape == a.shape
+        assert model.temporal_modules_.shape == w.shape
+        assert model.spatial_modules_.shape == s.shape
+        # unit-norm module conventions, as find_space_by_time returns
+        np.testing.assert_allclose(
+            np.linalg.norm(model.temporal_modules_, axis=0), 1.0,
+            rtol=1e-6,
+        )
+        assert model.vaf_ > 0.99
+        rec = model.inverse_transform(coeffs)
+        rel = np.linalg.norm(rec - xs) / np.linalg.norm(xs)
+        assert rel < 0.05
+
+    def test_transform_new_trials_against_fitted_modules(self):
+        from muscle_synergies_tpu.models import NM3FModel
+
+        xs, w, a, s = synthetic(b=8)
+        model = NM3FModel(3, 2, max_iter=800, tol=1e-10).fit(xs[:5])
+        coeffs = model.transform(xs[5:])
+        assert coeffs.shape == (3, 3, 2)
+        rec = model.inverse_transform(coeffs)
+        rel = np.linalg.norm(rec - xs[5:]) / np.linalg.norm(xs[5:])
+        assert rel < 0.05
+
+    def test_unfitted_and_bad_shapes_raise(self):
+        from muscle_synergies_tpu.models import NM3FModel
+
+        xs, _, _, _ = synthetic(b=4)
+        model = NM3FModel(3, 2)
+        with pytest.raises(ValueError, match="not fitted"):
+            model.transform(xs)
+        model.fit(xs)
+        with pytest.raises(ValueError, match="samples"):
+            model.transform(xs[:, : xs.shape[1] // 2, :])
+        with pytest.raises(ValueError, match="expected"):
+            model.transform(xs[0, 0])
