@@ -1,4 +1,4 @@
-"""Data-parallel space-by-time (NM3F) factorization over a mesh.
+"""Mesh-sharded space-by-time (NM3F) factorization: data x time.
 
 Extends the mesh-sharded solver family to
 :mod:`muscle_synergies_tpu.models.nm3f`.  The model couples trials
@@ -6,19 +6,27 @@ through the SHARED temporal/spatial modules, so the sharding story
 differs from the per-trial solvers:
 
 - trials (and their coefficient matrices ``A_b``) shard over ``data``;
-  the A update is embarrassingly parallel;
-- ``W``/``S`` stay replicated; their updates reduce over trials, and
-  the local contributions close with one ``psum`` pair per module —
-  numerator and Gram are tiny ``(T, P)/(P, P)`` and ``(Q, L)/(Q, Q)``
-  matrices, so the collective volume is independent of the trial
-  count (the classic data-parallel gradient-allreduce shape);
+  the A update is embarrassingly parallel across trials;
+- the shared TIME BASE shards over ``time`` (sequence parallelism for
+  long shared time axes): ``W`` is ``P(time, None)`` and every sum
+  over samples — ``WᵀW``, the A numerators ``Wᵀ X_b Sᵀ``, the S
+  numerator ``Σ_b A_bᵀ Wᵀ X_b`` — closes with a psum over ``time``,
+  while the W update's output axis IS the time axis, so it needs no
+  collective at all;
+- ``S`` stays replicated; its update reduces over trials and samples,
+  and the local contributions close with one psum pair — numerator
+  and Gram are tiny ``(Q, L)/(Q, Q)`` matrices, so the collective
+  volume is independent of both the trial count and the sequence
+  length (the classic gradient-allreduce shape);
 - the stopping criterion is GLOBAL (one total-Frobenius error across
   all trials, one converged flag), matching
   :func:`~muscle_synergies_tpu.models.nm3f.fit_nm3f` exactly: the
-  local squared errors psum before the sqrt.
+  local squared errors psum over both axes before the sqrt.
 
-Parity with the local fit holds up to psum float reordering, tested on
-the 8-device CPU mesh.
+A pure-DP mesh (``make_mesh((n, 1))``) degrades to the data-parallel
+scheme (every time psum spans one shard); parity with the local fit
+holds up to psum float reordering, tested on the 8-device CPU mesh in
+``(8, 1)``, ``(2, 4)`` and ``(1, 8)`` layouts.
 """
 
 from __future__ import annotations
@@ -33,41 +41,51 @@ from ..models.mu import EPSILON
 from ..models.nm3f import NM3FState
 from .collectives import axis_sum
 from .nmf import DATA_AXIS
+from .mesh import TIME_AXIS
 
 __all__ = ["sharded_fit_nm3f"]
 
 
-def _local_nm3f_step(xb, w, ab, s, axis_name: str):
-    """One A-then-W-then-S update on this shard's trials.
+def _local_nm3f_step(xb, w, ab, s, data_axis: str, time_axis: str):
+    """One A-then-W-then-S update on this shard's trials and samples.
 
     Mirrors :func:`muscle_synergies_tpu.models.nm3f.nm3f_update` with
-    the trial reductions ``psum``'d; shapes xb ``(b_loc, T, L)``,
-    w ``(T, P)`` / s ``(Q, L)`` replicated, ab ``(b_loc, P, Q)``.
+    the trial reductions psum'd over ``data`` and the sample
+    reductions psum'd over ``time``; shapes xb ``(b_loc, t_loc, L)``,
+    w ``(t_loc, P)`` time-sharded, s ``(Q, L)`` replicated,
+    ab ``(b_loc, P, Q)`` data-sharded.
     """
-    wtw = w.T @ w
+    wtw = axis_sum(w.T @ w, time_axis)  # (P, P) global Gram
     sst = s @ s.T
-    num_a = jnp.einsum("tp,btl,ql->bpq", w, xb, s)
+    num_a = axis_sum(
+        jnp.einsum("tp,btl,ql->bpq", w, xb, s), time_axis
+    )
     den_a = jnp.einsum("pr,brm,mq->bpq", wtw, ab, sst)
     ab = ab * (num_a / jnp.where(den_a == 0, EPSILON, den_a))
 
-    num_w = axis_sum(jnp.einsum("btl,ql,bpq->tp", xb, s, ab), axis_name)
-    gram_w = axis_sum(jnp.einsum("bpq,qm,brm->pr", ab, sst, ab), axis_name)
+    # W's output axis is the time axis: numerator rows stay local
+    num_w = axis_sum(jnp.einsum("btl,ql,bpq->tp", xb, s, ab), data_axis)
+    gram_w = axis_sum(jnp.einsum("bpq,qm,brm->pr", ab, sst, ab), data_axis)
     den_w = w @ gram_w
     w = w * (num_w / jnp.where(den_w == 0, EPSILON, den_w))
 
-    wtw = w.T @ w
-    num_s = axis_sum(jnp.einsum("bpq,tp,btl->ql", ab, w, xb), axis_name)
-    gram_s = axis_sum(jnp.einsum("bpq,pr,brm->qm", ab, wtw, ab), axis_name)
+    wtw = axis_sum(w.T @ w, time_axis)  # refresh with the new W
+    num_s = axis_sum(
+        axis_sum(jnp.einsum("bpq,tp,btl->ql", ab, w, xb), data_axis),
+        time_axis,
+    )
+    gram_s = axis_sum(jnp.einsum("bpq,pr,brm->qm", ab, wtw, ab), data_axis)
     den_s = gram_s @ s
     s = s * (num_s / jnp.where(den_s == 0, EPSILON, den_s))
     return w, ab, s
 
 
-def _local_nm3f_error(xb, w, ab, s, axis_name: str):
-    """Total Frobenius error with the trial sums ``psum``'d."""
+def _local_nm3f_error(xb, w, ab, s, data_axis: str, time_axis: str):
+    """Total Frobenius error, trial and sample sums psum'd."""
     rec = jnp.einsum("tp,bpq,ql->btl", w, ab, s)
     diff = xb - rec
-    return jnp.sqrt(axis_sum(jnp.sum(diff * diff), axis_name))
+    local = jnp.sum(diff * diff)
+    return jnp.sqrt(axis_sum(axis_sum(local, data_axis), time_axis))
 
 
 def sharded_fit_nm3f(
@@ -80,11 +98,11 @@ def sharded_fit_nm3f(
     tol: float = 1e-5,
     check_every: int = 10,
 ) -> NM3FState:
-    """Run the space-by-time factorization on a ``data`` mesh axis.
+    """Run the space-by-time factorization on a ``(data, time)`` mesh.
 
     Args:
-        xs: ``(B, T, L)`` trials, sharded ``P(data, None, None)``.
-        w0: ``(T, P)`` temporal modules, replicated.
+        xs: ``(B, T, L)`` trials, sharded ``P(data, time, None)``.
+        w0: ``(T, P)`` temporal modules, sharded ``P(time, None)``.
         a0: ``(B, P, Q)`` coefficients, sharded ``P(data)``.
         s0: ``(Q, L)`` spatial modules, replicated.
 
@@ -95,23 +113,29 @@ def sharded_fit_nm3f(
         stopping — the modules couple every trial).
     """
     n_data = mesh.shape[DATA_AXIS]
+    n_time = mesh.shape[TIME_AXIS]
     if xs.shape[0] % n_data:
         raise ValueError(
             f"trial count {xs.shape[0]} must divide over {n_data} "
             "data shards"
+        )
+    if xs.shape[1] % n_time:
+        raise ValueError(
+            f"sample count {xs.shape[1]} must divide over {n_time} "
+            "time shards"
         )
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(
-            P(DATA_AXIS, None, None),
-            P(None, None),
+            P(DATA_AXIS, TIME_AXIS, None),
+            P(TIME_AXIS, None),
             P(DATA_AXIS, None, None),
             P(None, None),
         ),
         out_specs=NM3FState(
-            w=P(None, None),
+            w=P(TIME_AXIS, None),
             a=P(DATA_AXIS, None, None),
             s=P(None, None),
             n_iter=P(),
@@ -120,7 +144,9 @@ def sharded_fit_nm3f(
         ),
     )
     def fit(xb, w, ab, s):
-        error_init = _local_nm3f_error(xb, w, ab, s, DATA_AXIS)
+        error_init = _local_nm3f_error(
+            xb, w, ab, s, DATA_AXIS, TIME_AXIS
+        )
 
         def cond(state: NM3FState):
             return (state.n_iter < max_iter) & ~state.converged
@@ -130,13 +156,17 @@ def sharded_fit_nm3f(
             steps = jnp.minimum(check_every, max_iter - state.n_iter)
 
             def one(_, was):
-                return _local_nm3f_step(xb, *was, axis_name=DATA_AXIS)
+                return _local_nm3f_step(
+                    xb, *was, data_axis=DATA_AXIS, time_axis=TIME_AXIS
+                )
 
             w_, a_, s_ = jax.lax.fori_loop(
                 0, steps, one, (state.w, state.a, state.s)
             )
             n_iter = state.n_iter + steps
-            error = _local_nm3f_error(xb, w_, a_, s_, DATA_AXIS)
+            error = _local_nm3f_error(
+                xb, w_, a_, s_, DATA_AXIS, TIME_AXIS
+            )
             improvement = (state.previous_error - error) / jnp.maximum(
                 error_init, EPSILON
             )

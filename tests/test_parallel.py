@@ -1007,3 +1007,56 @@ class TestShardedNM3F:
         w0, a0, s0 = init_nm3f(xs, 2, 2)
         with pytest.raises(ValueError, match="trial count"):
             sharded_fit_nm3f(xs, w0, a0, s0, make_mesh((8, 1)))
+
+    def test_sample_divisibility_guard(self):
+        from muscle_synergies_tpu.models.nm3f import init_nm3f
+        from muscle_synergies_tpu.parallel import make_mesh, sharded_fit_nm3f
+
+        rng = np.random.default_rng(3)
+        xs = rng.uniform(0.1, 1.0, (8, 30, 4))  # 30 % 8 != 0
+        w0, a0, s0 = init_nm3f(xs, 2, 2)
+        with pytest.raises(ValueError, match="sample count"):
+            sharded_fit_nm3f(xs, w0, a0, s0, make_mesh((1, 8)))
+
+    @pytest.mark.parametrize("layout", [(2, 4), (1, 8)])
+    def test_time_sharded_matches_local_fit(self, layout):
+        """Sequence-parallel NM3F: the shared time base shards too."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from muscle_synergies_tpu.models.nm3f import fit_nm3f, init_nm3f
+        from muscle_synergies_tpu.parallel import (
+            DATA_AXIS,
+            TIME_AXIS,
+            make_mesh,
+            sharded_fit_nm3f,
+        )
+
+        rng = np.random.default_rng(34)
+        xs = rng.uniform(0.1, 1.0, (4, 40, 6))
+        w0, a0, s0 = init_nm3f(xs, 3, 2, seed=2)
+        ref = fit_nm3f(
+            jnp.asarray(xs), jnp.asarray(w0), jnp.asarray(a0),
+            jnp.asarray(s0), max_iter=200, tol=1e-5,
+        )
+        mesh = make_mesh(layout)
+        xs_s = jax.device_put(
+            xs, NamedSharding(mesh, P(DATA_AXIS, TIME_AXIS))
+        )
+        w_s = jax.device_put(w0, NamedSharding(mesh, P(TIME_AXIS)))
+        a_s = jax.device_put(a0, NamedSharding(mesh, P(DATA_AXIS)))
+        got = sharded_fit_nm3f(
+            xs_s, w_s, a_s, jnp.asarray(s0), mesh,
+            max_iter=200, tol=1e-5,
+        )
+        assert int(got.n_iter) == int(ref.n_iter)
+        assert bool(got.converged) == bool(ref.converged)
+        np.testing.assert_allclose(np.asarray(got.w), np.asarray(ref.w),
+                                   rtol=1e-7, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got.a), np.asarray(ref.a),
+                                   rtol=1e-7, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got.s), np.asarray(ref.s),
+                                   rtol=1e-7, atol=1e-12)
+        np.testing.assert_allclose(
+            float(got.previous_error), float(ref.previous_error),
+            rtol=1e-9,
+        )
