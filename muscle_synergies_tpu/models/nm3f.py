@@ -328,6 +328,74 @@ class SpaceByTimeResult(NamedTuple):
     restart_errors: np.ndarray
 
 
+def _fit_restarts_meshed(xs_np, inits, mesh, max_iter, tol):
+    """Sharded restart fits for :func:`find_space_by_time_synergies`.
+
+    One :func:`~muscle_synergies_tpu.parallel.sharded_fit_nm3f` call
+    per restart (the shared modules make each restart a separate
+    GLOBAL problem, so restarts cannot stack on the data axis the way
+    the per-trial solvers' grids do); states come back stacked on a
+    leading restart axis, matching the local vmapped layout.
+
+    Trial counts that don't divide the data axis are zero-padded:
+    zero trials with zero coefficients contribute exactly nothing to
+    any numerator, Gram, or error sum (their ``A`` rows stay
+    identically zero under the multiplicative update), so the padded
+    problem's W/S/error match the unpadded one bit-for-bit up to psum
+    reordering.  Returns ``None`` (caller falls back to the local
+    path, with a warning) when the time axis doesn't divide.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, TIME_AXIS
+    from ..parallel.nm3f import sharded_fit_nm3f
+
+    b, t, _ = xs_np.shape
+    n_time = dict(mesh.shape).get(TIME_AXIS, 1)
+    if t % n_time:
+        import warnings
+
+        warnings.warn(
+            f"find_space_by_time_synergies: trial length {t} must "
+            f"divide over the mesh's {n_time}-way time axis; falling "
+            "back to the local single-device solver.",
+            stacklevel=3,
+        )
+        return None
+    n_data = mesh.shape[DATA_AXIS]
+    pad = (-b) % n_data
+    if pad:
+        xs_np = np.concatenate(
+            [xs_np, np.zeros((pad,) + xs_np.shape[1:], xs_np.dtype)]
+        )
+    xs_dev = jax.device_put(
+        jnp.asarray(xs_np), NamedSharding(mesh, P(DATA_AXIS, TIME_AXIS))
+    )
+    states = []
+    for w0, a0, s0 in inits:
+        if pad:
+            a0 = np.concatenate(
+                [a0, np.zeros((pad,) + a0.shape[1:], a0.dtype)]
+            )
+        st = sharded_fit_nm3f(
+            xs_dev,
+            jax.device_put(
+                jnp.asarray(w0), NamedSharding(mesh, P(TIME_AXIS))
+            ),
+            jax.device_put(
+                jnp.asarray(a0), NamedSharding(mesh, P(DATA_AXIS))
+            ),
+            jnp.asarray(s0),
+            mesh, max_iter=max_iter, tol=tol,
+        )
+        if pad:
+            st = st._replace(a=st.a[:b])
+        states.append(st)
+    return jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves), *states
+    )
+
+
 def find_space_by_time_synergies(
     trials,
     n_temporal: int,
@@ -336,6 +404,7 @@ def find_space_by_time_synergies(
     tol: float = 1e-5,
     n_inits: int = 4,
     seed: int = 0,
+    mesh=None,
 ) -> SpaceByTimeResult:
     """Extract Delis-style space-by-time synergies from a trial stack.
 
@@ -354,6 +423,12 @@ def find_space_by_time_synergies(
         max_iter / tol: sklearn-style stopping (see :func:`fit_nm3f`).
         n_inits: random restarts (batched into one computation).
         seed: base seed; restart ``r`` uses ``seed + r``.
+        mesh: optional ``(data, time)`` mesh — each restart runs
+            through :func:`~muscle_synergies_tpu.parallel.sharded_fit_nm3f`
+            (trials and coefficients over ``data``, the shared time
+            base over ``time``); trial counts that don't divide the
+            data axis are exactly zero-padded, and a non-dividing time
+            axis warns and falls back to the local solver.
     """
     import pandas
 
@@ -390,16 +465,20 @@ def find_space_by_time_synergies(
         init_nm3f(xs, n_temporal, n_spatial, seed=seed + r)
         for r in range(n_inits)
     ]
-    w0 = jnp.asarray(np.stack([i[0] for i in inits]))
-    a0 = jnp.asarray(np.stack([i[1] for i in inits]))
-    s0 = jnp.asarray(np.stack([i[2] for i in inits]))
     xs_dev = jnp.asarray(xs)
 
-    states = jax.vmap(
-        lambda w, a, s: fit_nm3f(
-            xs_dev, w, a, s, max_iter=max_iter, tol=tol
-        )
-    )(w0, a0, s0)
+    states = None
+    if mesh is not None:
+        states = _fit_restarts_meshed(xs, inits, mesh, max_iter, tol)
+    if states is None:
+        w0 = jnp.asarray(np.stack([i[0] for i in inits]))
+        a0 = jnp.asarray(np.stack([i[1] for i in inits]))
+        s0 = jnp.asarray(np.stack([i[2] for i in inits]))
+        states = jax.vmap(
+            lambda w, a, s: fit_nm3f(
+                xs_dev, w, a, s, max_iter=max_iter, tol=tol
+            )
+        )(w0, a0, s0)
 
     errors = np.asarray(states.previous_error)
     best = int(np.argmin(errors))

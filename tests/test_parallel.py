@@ -1060,3 +1060,75 @@ class TestShardedNM3F:
             float(got.previous_error), float(ref.previous_error),
             rtol=1e-9,
         )
+
+
+class TestMeshedSpaceByTime:
+    """find_space_by_time_synergies(mesh=...): sharded restart fits."""
+
+    def test_meshed_matches_local_with_zero_padding(self):
+        from muscle_synergies_tpu.models.nm3f import (
+            find_space_by_time_synergies,
+        )
+        from muscle_synergies_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(44)
+        xs = rng.uniform(0.1, 1.0, (6, 40, 5))  # 6 trials pad to 8
+        kw = dict(max_iter=200, tol=1e-6, n_inits=3, seed=4)
+        ref = find_space_by_time_synergies(xs, 3, 2, **kw)
+        got = find_space_by_time_synergies(
+            xs, 3, 2, mesh=make_mesh((8, 1)), **kw
+        )
+        assert got.n_iter == ref.n_iter
+        np.testing.assert_allclose(
+            got.restart_errors, ref.restart_errors, rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            got.temporal_modules.to_numpy(),
+            ref.temporal_modules.to_numpy(), rtol=1e-7, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            got.spatial_modules.to_numpy(),
+            ref.spatial_modules.to_numpy(), rtol=1e-7, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            got.coefficients, ref.coefficients, rtol=1e-7, atol=1e-12
+        )
+        assert got.coefficients.shape == (6, 3, 2)
+
+    def test_time_sharded_mesh(self):
+        from muscle_synergies_tpu.models.nm3f import (
+            find_space_by_time_synergies,
+        )
+        from muscle_synergies_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(45)
+        xs = rng.uniform(0.1, 1.0, (4, 40, 5))
+        kw = dict(max_iter=150, tol=1e-6, n_inits=2, seed=1)
+        ref = find_space_by_time_synergies(xs, 2, 2, **kw)
+        got = find_space_by_time_synergies(
+            xs, 2, 2, mesh=make_mesh((2, 4)), **kw
+        )
+        assert got.n_iter == ref.n_iter
+        np.testing.assert_allclose(
+            got.temporal_modules.to_numpy(),
+            ref.temporal_modules.to_numpy(), rtol=1e-7, atol=1e-12,
+        )
+
+    def test_non_dividing_time_axis_warns_and_falls_back(self):
+        from muscle_synergies_tpu.models.nm3f import (
+            find_space_by_time_synergies,
+        )
+        from muscle_synergies_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(46)
+        xs = rng.uniform(0.1, 1.0, (4, 30, 5))  # 30 % 8 != 0
+        kw = dict(max_iter=100, tol=1e-6, n_inits=2, seed=2)
+        ref = find_space_by_time_synergies(xs, 2, 2, **kw)
+        with pytest.warns(UserWarning, match="time axis"):
+            got = find_space_by_time_synergies(
+                xs, 2, 2, mesh=make_mesh((1, 8)), **kw
+            )
+        np.testing.assert_allclose(
+            got.temporal_modules.to_numpy(),
+            ref.temporal_modules.to_numpy(), rtol=1e-12,
+        )
