@@ -29,8 +29,10 @@ from .data import (
 from .frames import ForcesEMGFrameTracker, FrameSubfr, SamplingFreq, TrajFrameTracker
 from .dataset import (
     DatasetResult,
+    SpaceByTimeDatasetResult,
     TimeVaryingDatasetResult,
     analyze_dataset,
+    analyze_dataset_space_by_time,
     analyze_dataset_time_varying,
 )
 from .io import ViconCSVError, load_vicon_file
@@ -79,8 +81,10 @@ __all__ = [
     "SpaceByTimeResult",
     "TimeVaryingSynergyResult",
     "analyze_dataset",
+    "analyze_dataset_space_by_time",
     "analyze_dataset_time_varying",
     "DatasetResult",
+    "SpaceByTimeDatasetResult",
     "TimeVaryingDatasetResult",
     # viz
     "plot_signal",

@@ -688,14 +688,13 @@ def _analyze_dataset_space_by_time(args, trials, fs, config, subjects) -> int:
     import numpy as np
 
     import muscle_synergies_tpu as mst
-    from muscle_synergies_tpu.dataset import preprocess_trials
 
     p, q = args.space_by_time
     try:
-        xs = np.asarray(preprocess_trials(trials, fs, config))
-        res = mst.find_space_by_time_synergies(
-            xs, n_temporal=p, n_spatial=q, max_iter=args.max_iter,
-            tol=args.tol, n_inits=args.n_inits,
+        res = mst.analyze_dataset_space_by_time(
+            trials, fs, n_temporal=p, n_spatial=q, config=config,
+            max_iter=args.max_iter, tol=args.tol, n_inits=args.n_inits,
+            subjects=subjects or None,
         )
     except ValueError as exc:
         raise SystemExit(str(exc))
@@ -707,8 +706,9 @@ def _analyze_dataset_space_by_time(args, trials, fs, config, subjects) -> int:
         "n_temporal": p,
         "n_spatial": q,
         "n_inits": args.n_inits,
-        "vaf_overall": float(res.vaf),
+        "vaf_overall": float(res.vaf_overall),
         "vaf_per_trial": [float(v) for v in res.vaf_per_trial],
+        "vaf_per_muscle": np.asarray(res.vaf_per_channel).tolist(),
         "n_iter": int(res.n_iter),
         "restart_errors": [float(e) for e in res.restart_errors],
         "coefficients": np.asarray(res.coefficients).tolist(),

@@ -29,8 +29,10 @@ from .utils.config import PipelineConfig
 
 __all__ = [
     "DatasetResult",
+    "SpaceByTimeDatasetResult",
     "TimeVaryingDatasetResult",
     "analyze_dataset",
+    "analyze_dataset_space_by_time",
     "analyze_dataset_time_varying",
     "preprocess_trials",
 ]
@@ -907,6 +909,169 @@ def analyze_dataset_time_varying(
         n_iter=np.asarray(state.n_iter)[best],
         converged=np.asarray(state.converged)[best],
         restart_errors=errors,
+        channel_names=channel_names,
+        subjects=subjects,
+    )
+
+
+@dataclass
+class SpaceByTimeDatasetResult:
+    """Shared space-by-time modules for a whole dataset (NM3F).
+
+    Unlike the per-trial results above, the modules themselves ARE the
+    dataset-level quantity — every trial is described by one small
+    coefficient matrix against the SHARED temporal/spatial modules
+    (Delis et al. 2014; see :mod:`muscle_synergies_tpu.models.nm3f`).
+
+    Attributes:
+        n_temporal / n_spatial: module counts ``P`` / ``Q``.
+        temporal_modules: ``(T, P)`` DataFrame, unit-norm columns.
+        spatial_modules: ``(Q, L)`` DataFrame, unit-norm rows, columns
+            named after the muscles when the trials carry labels.
+        coefficients: ``(B, P, Q)`` per-trial mixing coefficients.
+        vaf_overall: overall VAF across the dataset (scalar float).
+        vaf_per_trial: ``(B,)``.
+        vaf_per_channel: ``(B, L)``.
+        n_iter: iterations used by the winning restart.
+        restart_errors: ``(n_inits,)`` final errors of all restarts.
+        channel_names / subjects: as on :class:`DatasetResult`.
+    """
+
+    n_temporal: int
+    n_spatial: int
+    temporal_modules: pandas.DataFrame
+    spatial_modules: pandas.DataFrame
+    coefficients: np.ndarray
+    vaf_overall: float
+    vaf_per_trial: np.ndarray
+    vaf_per_channel: np.ndarray
+    n_iter: int
+    restart_errors: np.ndarray
+    channel_names: Optional[List[str]] = None
+    subjects: Optional[List] = None
+
+    def vaf_table(self) -> pandas.Series:
+        """Per-trial VAF (subject/trial MultiIndex when labeled)."""
+        b = self.vaf_per_trial.shape[0]
+        if self.subjects is not None:
+            index = pandas.MultiIndex.from_arrays(
+                [self.subjects, range(b)], names=["subject", "trial"]
+            )
+        else:
+            index = pandas.RangeIndex(b, name="trial")
+        return pandas.Series(self.vaf_per_trial, index=index, name="vaf")
+
+    def subject_table(self, statistic: str = "mean") -> pandas.Series:
+        """Per-subject VAF aggregated over trials."""
+        if self.subjects is None:
+            raise ValueError(
+                "no subject labels: pass subjects= (or a {subject: "
+                "trials} mapping) to analyze_dataset_space_by_time"
+            )
+        return self.vaf_table().groupby(level="subject", sort=False).agg(
+            statistic
+        )
+
+    def to_result(self):
+        """Repackage as a
+        :class:`~muscle_synergies_tpu.models.nm3f.SpaceByTimeResult`
+        (what :func:`~muscle_synergies_tpu.viz.plot_space_by_time`
+        consumes)."""
+        from .models.nm3f import SpaceByTimeResult
+
+        return SpaceByTimeResult(
+            temporal_modules=self.temporal_modules,
+            spatial_modules=self.spatial_modules,
+            coefficients=self.coefficients,
+            vaf=self.vaf_overall,
+            vaf_per_trial=self.vaf_per_trial,
+            n_iter=self.n_iter,
+            restart_errors=self.restart_errors,
+        )
+
+
+def analyze_dataset_space_by_time(
+    trials: Union[Sequence, Mapping],
+    sampling_frequency: float,
+    n_temporal: int,
+    n_spatial: int,
+    config: PipelineConfig = PipelineConfig(),
+    mesh=None,
+    max_iter: Optional[int] = None,
+    tol: Optional[float] = None,
+    n_inits: int = 4,
+    seed: int = 0,
+    dtype=None,
+    subjects: Optional[Sequence] = None,
+) -> SpaceByTimeDatasetResult:
+    """Preprocess a dataset and extract its space-by-time synergies.
+
+    The trilinear companion to :func:`analyze_dataset` (spatial-only)
+    and :func:`analyze_dataset_time_varying` (convolutive): one NM3F
+    fit over the whole trial stack yields SHARED temporal and spatial
+    modules plus one small coefficient matrix per trial — the
+    single-trial-decoding representation of Delis et al. (2014).  The
+    reference has no dataset-level surface at all (it loops sklearn
+    fits per trial, reference analysis.py:909-913).
+
+    Args:
+        trials / sampling_frequency / config / dtype / subjects: as on
+            :func:`analyze_dataset` (the preprocessing pipeline is
+            shared, including the meshed sequence-parallel filters).
+        n_temporal / n_spatial: module counts ``P`` / ``Q``.
+        max_iter / tol: sklearn-style stopping; default to the config's.
+        n_inits: random restarts (each a full dataset fit; batched into
+            one vmapped computation locally, sequential sharded fits on
+            a mesh).
+        mesh: optional ``(data, time)`` mesh — preprocessing runs
+            through the sequence-parallel filters and every restart
+            through
+            :func:`~muscle_synergies_tpu.parallel.sharded_fit_nm3f`
+            (trial counts zero-pad exactly over ``data``; a
+            non-dividing time axis warns and solves locally).
+
+    Returns:
+        :class:`SpaceByTimeDatasetResult` for the whole dataset.
+    """
+    from .models.nm3f import find_space_by_time_synergies
+
+    trials, subjects = _normalize_trials_subjects(trials, subjects)
+    max_iter = max_iter if max_iter is not None else config.max_iter
+    tol = tol if tol is not None else config.tol
+    channel_names = _channel_names(trials[0])
+
+    xs = preprocess_trials(
+        trials, sampling_frequency, config, dtype=dtype, mesh=mesh
+    )
+    xs_np = np.asarray(xs)
+    res = find_space_by_time_synergies(
+        xs_np, n_temporal, n_spatial, max_iter=max_iter, tol=tol,
+        n_inits=n_inits, seed=seed, mesh=mesh,
+    )
+
+    spatial = res.spatial_modules
+    if channel_names is not None:
+        spatial = spatial.set_axis(list(channel_names), axis=1)
+
+    # per-channel VAF of the winning reconstruction
+    w = res.temporal_modules.to_numpy()
+    s = spatial.to_numpy()
+    rec = np.einsum("tp,bpq,ql->btl", w, res.coefficients, s)
+    err2 = np.sum((xs_np - rec) ** 2, axis=1)  # (B, L)
+    tot2 = np.sum(xs_np * xs_np, axis=1)
+    per_channel = 1.0 - err2 / np.where(tot2 == 0, 1.0, tot2)
+
+    return SpaceByTimeDatasetResult(
+        n_temporal=n_temporal,
+        n_spatial=n_spatial,
+        temporal_modules=res.temporal_modules,
+        spatial_modules=spatial,
+        coefficients=res.coefficients,
+        vaf_overall=res.vaf,
+        vaf_per_trial=res.vaf_per_trial,
+        vaf_per_channel=per_channel,
+        n_iter=res.n_iter,
+        restart_errors=res.restart_errors,
         channel_names=channel_names,
         subjects=subjects,
     )

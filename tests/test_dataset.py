@@ -433,3 +433,100 @@ def test_impl_auto_resolves_by_backend():
     )
     assert res.vaf_overall.shape == (1, 2)
     assert np.all(res.vaf_overall > 0.9)
+
+
+class TestAnalyzeDatasetSpaceByTime:
+    @pytest.fixture(scope="class")
+    def trials(self):
+        return _trials()
+
+    @pytest.fixture(scope="class")
+    def result(self, trials):
+        from muscle_synergies_tpu import analyze_dataset_space_by_time
+
+        return analyze_dataset_space_by_time(
+            trials, 200, n_temporal=3, n_spatial=2, config=CFG,
+            max_iter=300, tol=1e-6, n_inits=3, seed=0,
+        )
+
+    def test_shapes_and_labels(self, result):
+        assert result.temporal_modules.shape == (100, 3)
+        assert result.spatial_modules.shape == (2, 6)
+        assert list(result.spatial_modules.columns) == [
+            f"M{j}" for j in range(6)
+        ]
+        assert result.coefficients.shape == (4, 3, 2)
+        assert result.vaf_per_trial.shape == (4,)
+        assert result.vaf_per_channel.shape == (4, 6)
+        assert result.restart_errors.shape == (3,)
+        assert result.channel_names == [f"M{j}" for j in range(6)]
+
+    def test_unit_norm_modules_and_vaf(self, result):
+        np.testing.assert_allclose(
+            np.linalg.norm(result.temporal_modules.to_numpy(), axis=0),
+            1.0, rtol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.linalg.norm(result.spatial_modules.to_numpy(), axis=1),
+            1.0, rtol=1e-10,
+        )
+        assert 0.5 < result.vaf_overall <= 1.0
+        assert np.all(result.vaf_per_trial > 0.5)
+
+    def test_matches_model_entry_point(self, trials, result):
+        """Same preprocessing + seeds = the models-layer result."""
+        from muscle_synergies_tpu import find_space_by_time_synergies
+
+        xs = np.asarray(preprocess_trials(trials, 200, CFG))
+        direct = find_space_by_time_synergies(
+            xs, 3, 2, max_iter=300, tol=1e-6, n_inits=3, seed=0
+        )
+        np.testing.assert_allclose(
+            result.temporal_modules.to_numpy(),
+            direct.temporal_modules.to_numpy(),
+        )
+        np.testing.assert_allclose(
+            result.coefficients, direct.coefficients
+        )
+        assert result.n_iter == direct.n_iter
+
+    def test_meshed_matches_local(self, trials, result):
+        from muscle_synergies_tpu import analyze_dataset_space_by_time
+
+        meshed = analyze_dataset_space_by_time(
+            trials, 200, n_temporal=3, n_spatial=2, config=CFG,
+            max_iter=300, tol=1e-6, n_inits=3, seed=0,
+            mesh=make_mesh((2, 4)),
+        )
+        assert meshed.n_iter == result.n_iter
+        np.testing.assert_allclose(
+            meshed.temporal_modules.to_numpy(),
+            result.temporal_modules.to_numpy(), rtol=1e-6, atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            meshed.coefficients, result.coefficients,
+            rtol=1e-6, atol=1e-10,
+        )
+
+    def test_subject_tables_and_to_result(self, trials, result):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from muscle_synergies_tpu import analyze_dataset_space_by_time
+        from muscle_synergies_tpu.viz import plot_space_by_time
+
+        labeled = analyze_dataset_space_by_time(
+            {"s1": trials[:2], "s2": trials[2:]}, 200,
+            n_temporal=2, n_spatial=2, config=CFG,
+            max_iter=100, tol=1e-5, n_inits=2,
+        )
+        table = labeled.vaf_table()
+        assert list(table.index.names) == ["subject", "trial"]
+        per_subject = labeled.subject_table()
+        assert list(per_subject.index) == ["s1", "s2"]
+        with pytest.raises(ValueError, match="no subject labels"):
+            result.subject_table()
+        fig = plot_space_by_time(labeled.to_result(), show=False)
+        plt.close(fig)
