@@ -74,19 +74,20 @@ def main():
     # --- 4c. space-by-time (NM3F) decomposition ----------------------------
     import numpy as np
 
-    from muscle_synergies_tpu import find_space_by_time_synergies
-    from muscle_synergies_tpu.dataset import preprocess_trials
+    from muscle_synergies_tpu import analyze_dataset_space_by_time
     from muscle_synergies_tpu.utils import PipelineConfig
 
     windows = [emg.iloc[i * 4000 : (i + 1) * 4000] for i in range(4)]
     cfg = PipelineConfig(use_rms=True, rms_window_s=0.25, reduce_to=150)
-    stack = np.asarray(preprocess_trials(windows, fs, cfg))
-    sbt = find_space_by_time_synergies(
-        stack, n_temporal=3, n_spatial=2, n_inits=2, max_iter=250
+    sbt = analyze_dataset_space_by_time(
+        windows, fs, n_temporal=3, n_spatial=2, config=cfg,
+        n_inits=2, max_iter=250,
     )
     print(f"\nspace-by-time (3 temporal x 2 spatial modules): "
-          f"VAF {sbt.vaf:.4f}")
+          f"VAF {sbt.vaf_overall:.4f}")
     print("per-trial VAF:", np.round(sbt.vaf_per_trial, 3))
+    print("per-muscle VAF (trial 0):",
+          np.round(sbt.vaf_per_channel[0], 3))
 
     # --- 5. gait segmentation + joint analysis ----------------------------
     from muscle_synergies_tpu.segment import Segmenter, phase_summary
