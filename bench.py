@@ -107,12 +107,24 @@ def _utc_date() -> str:
     )
 
 
-def _resolve_impl(impl):
+def _resolve_impl(impl, solver="mu"):
     import jax
 
+    if solver == "nm3f":
+        # no Pallas twin: the trilinear updates are batched einsums
+        # that map straight onto the MXU through XLA (an explicit
+        # --impl pallas is rejected up front in main())
+        return "xla"
     if impl == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "xla"
     return impl
+
+
+def _nm3f_avg(x_np, n_temporal, n_spatial):
+    """Init magnitude: trilinear ``E[X̂] ≈ P·Q·c³ = mean(X)``."""
+    return float(
+        (x_np.mean() / (n_temporal * n_spatial)) ** (1.0 / 3.0)
+    )
 
 
 def _make_step(impl, batch, solver="mu"):
@@ -314,20 +326,13 @@ def run_iters(args):
     """Headline metric: solver iterations/sec/chip."""
     import jax.numpy as jnp
 
-    impl = _resolve_impl(args.impl)
-    if args.solver == "nm3f":
-        # no Pallas twin: the trilinear updates are batched einsums
-        # that map straight onto the MXU through XLA
-        impl = "xla"
+    impl = _resolve_impl(args.impl, args.solver)
     step_fn = _make_step(impl, args.batch, args.solver)
     dtype = jnp.dtype(args.dtype)
     x_np = _make_problem(args, dtype, args.solver)
     xs = jnp.asarray(x_np)
     if args.solver == "nm3f":
-        # trilinear reconstruction: E[X̂] ≈ P·Q·c³ = mean(X)
-        avg = float(
-            (x_np.mean() / (args.rank * args.spatial)) ** (1.0 / 3.0)
-        )
+        avg = _nm3f_avg(x_np, args.rank, args.spatial)
     else:
         denom = args.rank * (args.lags if args.solver == "cnmf" else 1)
         avg = float(np.sqrt(x_np.mean() / denom))
@@ -476,9 +481,7 @@ def run_fit(args):
     x_np = _make_problem(args, dtype, args.solver)
     xs = jnp.asarray(x_np)
     if args.solver == "nm3f":
-        avg = float(
-            (x_np.mean() / (args.rank * args.spatial)) ** (1.0 / 3.0)
-        )
+        avg = _nm3f_avg(x_np, args.rank, args.spatial)
     else:
         avg = float(np.sqrt(x_np.mean() / args.rank))
     max_iter, tol = 500, 1e-4
@@ -545,9 +548,7 @@ def run_fit(args):
 
         return _differenced_timing(timed_chain, args.repeats, clip=(4, 200))
 
-    impl = _resolve_impl(args.impl)
-    if args.solver == "nm3f":
-        impl = "xla"  # no Pallas twin; see run_iters
+    impl = _resolve_impl(args.impl, args.solver)
     if impl == "pallas":
         ctx = contextlib.nullcontext()
         if jax.default_backend() != "tpu":
@@ -979,6 +980,18 @@ def _backend_reachable(timeout_s: int = 240) -> bool:
 
 def main(argv=None):
     args = _parse_args(argv)
+    # pure argument validation first — before the backend probe, which
+    # can spend minutes discovering that the remote relay is down
+    if args.metric == "vaf" and args.solver in ("cnmf", "nm3f"):
+        raise SystemExit(
+            "--metric vaf measures the plain-NMF time-to-VAF "
+            "problem; it supports --solver mu/cd/kl/is only"
+        )
+    if args.solver == "nm3f" and args.impl == "pallas":
+        raise SystemExit(
+            "--solver nm3f has no Pallas twin (the trilinear updates "
+            "are batched MXU einsums); use --impl auto or xla"
+        )
     if not _backend_reachable():
         print(json.dumps({
             "metric": "backend_unreachable",
@@ -997,11 +1010,6 @@ def main(argv=None):
     if args.check:
         return run_check(args)
     if args.metric == "vaf":
-        if args.solver in ("cnmf", "nm3f"):
-            raise SystemExit(
-                "--metric vaf measures the plain-NMF time-to-VAF "
-                "problem; it supports --solver mu/cd/kl/is only"
-            )
         return run_vaf(args)
     if args.metric == "fit":
         return run_fit(args)

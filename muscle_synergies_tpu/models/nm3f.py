@@ -295,7 +295,12 @@ def nm3f_transform(
     else:
         a0 = jnp.asarray(a0)
         if a0.ndim == 2:
-            a0 = a0[None]
+            # one init matrix broadcast across the batch
+            a0 = jnp.broadcast_to(a0[None], (b,) + a0.shape)
+        elif a0.shape[0] != b:
+            raise ValueError(
+                f"a0 has batch {a0.shape[0]} but x has {b} trials"
+            )
     state = fit_nm3f(
         x, w, a0, s, max_iter=max_iter, tol=tol, check_every=10,
         update_w=False, update_s=False,
@@ -350,18 +355,29 @@ def _fit_restarts_meshed(xs_np, inits, mesh, max_iter, tol):
     from ..parallel.mesh import DATA_AXIS, TIME_AXIS
     from ..parallel.nm3f import sharded_fit_nm3f
 
-    b, t, _ = xs_np.shape
-    n_time = dict(mesh.shape).get(TIME_AXIS, 1)
-    if t % n_time:
+    def _fall_back(reason):
         import warnings
 
         warnings.warn(
-            f"find_space_by_time_synergies: trial length {t} must "
-            f"divide over the mesh's {n_time}-way time axis; falling "
-            "back to the local single-device solver.",
+            f"find_space_by_time_synergies: {reason}; falling back to "
+            "the local single-device solver.",
             stacklevel=3,
         )
         return None
+
+    missing = {DATA_AXIS, TIME_AXIS} - set(mesh.axis_names)
+    if missing:
+        return _fall_back(
+            f"mesh {mesh.axis_names} lacks the "
+            f"{sorted(missing)} axis (a (data, time) mesh is required)"
+        )
+    b, t, _ = xs_np.shape
+    n_time = mesh.shape[TIME_AXIS]
+    if t % n_time:
+        return _fall_back(
+            f"trial length {t} must divide over the mesh's "
+            f"{n_time}-way time axis"
+        )
     n_data = mesh.shape[DATA_AXIS]
     pad = (-b) % n_data
     if pad:
@@ -437,8 +453,12 @@ def find_space_by_time_synergies(
         first = trials[0]
         if isinstance(first, pandas.DataFrame):
             columns = list(first.columns)
-        trials = np.stack([np.asarray(t, dtype=float) for t in trials])
-    xs = np.asarray(trials, dtype=float)
+        trials = np.stack([np.asarray(t) for t in trials])
+    # keep the caller's float dtype (f32 stacks solve in f32 — the
+    # package-wide dtype-explicit convention); promote ints to f64
+    xs = np.asarray(trials)
+    if not np.issubdtype(xs.dtype, np.floating):
+        xs = xs.astype(np.float64)
     if xs.ndim != 3:
         raise ValueError(
             f"expected a (B, T, L) trial stack, got shape {xs.shape}"

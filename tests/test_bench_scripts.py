@@ -86,3 +86,14 @@ def test_dryrun_with_more_devices_than_requested():
     result = _run(["-c", code])
     assert result.returncode == 0, result.stderr[-2000:]
     assert "OK4" in result.stdout
+
+
+def test_bench_flag_validation_precedes_backend_probe():
+    """Pure argument errors must not wait for the relay probe."""
+    for flags, msg in [
+        (["--solver", "nm3f", "--impl", "pallas"], "no Pallas twin"),
+        (["--metric", "vaf", "--solver", "cnmf"], "mu/cd/kl/is only"),
+    ]:
+        result = _run(["bench.py", *flags], timeout=60)
+        assert result.returncode != 0
+        assert msg in result.stderr

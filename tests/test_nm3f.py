@@ -445,3 +445,46 @@ class TestEstimator:
             model.transform(xs[:, : xs.shape[1] // 2, :])
         with pytest.raises(ValueError, match="expected"):
             model.transform(xs[0, 0])
+
+
+class TestReviewRegressions:
+    def test_transform_broadcasts_single_a0_across_batch(self):
+        from muscle_synergies_tpu.models.nm3f import nm3f_transform
+
+        xs, w, a, s = synthetic(b=3)
+        one = np.full(a[0].shape, 0.5)
+        state = nm3f_transform(xs, w, s, a0=one, max_iter=30)
+        assert np.asarray(state.a).shape == a.shape
+
+    def test_transform_rejects_wrong_a0_batch(self):
+        from muscle_synergies_tpu.models.nm3f import nm3f_transform
+
+        xs, w, a, s = synthetic(b=3)
+        with pytest.raises(ValueError, match="batch 2"):
+            nm3f_transform(xs, w, s, a0=a[:2], max_iter=10)
+
+    def test_f32_stack_solves_in_f32(self):
+        xs, _, _, _ = synthetic(b=4)
+        res = find_space_by_time_synergies(
+            xs.astype(np.float32), 2, 2, max_iter=50, n_inits=1
+        )
+        assert res.coefficients.dtype == np.float32
+        assert res.temporal_modules.to_numpy().dtype == np.float32
+
+    def test_mesh_without_time_axis_warns_and_falls_back(self):
+        from muscle_synergies_tpu.parallel import make_mesh
+        from muscle_synergies_tpu.parallel.mesh import (
+            DATA_AXIS,
+            MODEL_AXIS,
+        )
+
+        xs, _, _, _ = synthetic(b=8)
+        kw = dict(max_iter=50, tol=1e-6, n_inits=1, seed=0)
+        ref = find_space_by_time_synergies(xs, 2, 2, **kw)
+        mesh = make_mesh((8, 1), axis_names=(DATA_AXIS, MODEL_AXIS))
+        with pytest.warns(UserWarning, match="lacks"):
+            got = find_space_by_time_synergies(xs, 2, 2, mesh=mesh, **kw)
+        np.testing.assert_allclose(
+            got.temporal_modules.to_numpy(),
+            ref.temporal_modules.to_numpy(), rtol=1e-12,
+        )
