@@ -29,6 +29,7 @@ check: lint  # full static gate: lint + bytecode-compile + optional mypy/pylint
 docs-exec:  # executable documentation: example script + tutorial notebook
 	JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \
 		$(PYTHON) examples/full_workflow.py --platform cpu
+	$(PYTHON) scripts/gen_tutorial_nb.py  # notebook follows tutorial.md
 	JAX_PLATFORMS=cpu TUTORIAL_FORCE_PLATFORM=cpu \
 		XLA_FLAGS="--xla_force_host_platform_device_count=8" \
 		$(PYTHON) scripts/exec_tutorial.py

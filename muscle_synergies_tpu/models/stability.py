@@ -44,6 +44,8 @@ __all__ = [
     "fit_nm3f_masked",
     "cv_space_by_time_selection",
     "SpaceByTimeCVResult",
+    "match_synergies",
+    "SynergyMatch",
 ]
 
 
@@ -814,3 +816,99 @@ def cv_space_by_time_selection(
     test_error = np.asarray(heldout).reshape(n_repeats, len(pairs))
     best = pairs[int(np.argmin(test_error.mean(axis=0)))]
     return SpaceByTimeCVResult(pairs, test_error, best)
+
+
+# ---------------------------------------------------------------------------
+# cross-set synergy comparison
+# ---------------------------------------------------------------------------
+
+
+class SynergyMatch(NamedTuple):
+    """Best-assignment pairing between two synergy sets.
+
+    Attributes:
+        pairs: matched ``(i, j)`` index pairs — component ``i`` of set
+            A paired with component ``j`` of set B; ``min(k_a, k_b)``
+            of them, ordered by ``i``.
+        similarities: cosine similarity of each pair (shift-tolerant
+            for time-varying sets), aligned with ``pairs``.
+        similarity_matrix: the full ``(k_a, k_b)`` similarity matrix
+            the assignment optimized over.
+    """
+
+    pairs: list
+    similarities: np.ndarray
+    similarity_matrix: np.ndarray
+
+    @property
+    def mean(self) -> float:
+        """Mean matched similarity — the set-level agreement score."""
+        return float(self.similarities.mean()) if len(self.pairs) else 0.0
+
+
+def match_synergies(a, b, max_shift: Optional[int] = None) -> SynergyMatch:
+    """Match two synergy sets and score their similarity.
+
+    The standard cross-subject / cross-condition / cross-day
+    comparison of the synergy literature (e.g. d'Avella et al. 2003's
+    cosine-matched synergies; the same matching the bootstrap
+    stability layer uses internally): find the one-to-one assignment
+    between the two sets that maximizes total cosine similarity
+    (Hungarian algorithm; rectangular sets pair ``min(k_a, k_b)``
+    components and leave the surplus unmatched).
+
+    Args:
+        a / b: synergy sets — ``(k, L)`` spatial components (arrays or
+            DataFrames, e.g. ``SynergyRunResult.components[rank]`` or
+            NM3F spatial modules), or ``(K, D, L)`` time-varying
+            synergy stacks (e.g. ``CNMFModel.synergies_``).  Both must
+            have the same kind and trailing shape.
+        max_shift: for time-varying sets only — the lag tolerance of
+            the shift-invariant cosine (defaults to ``D // 2``, the
+            bootstrap layer's rule; the convolutive model's time-shift
+            indeterminacy makes plain cosine under-score genuinely
+            identical synergies).
+
+    Returns:
+        :class:`SynergyMatch`; ``.mean`` is the set-level agreement.
+    """
+    a = np.asarray(a, dtype=float)
+    b = np.asarray(b, dtype=float)
+    if a.ndim != b.ndim or a.ndim not in (2, 3):
+        raise ValueError(
+            "expected two (k, L) spatial sets or two (K, D, L) "
+            f"time-varying sets, got shapes {a.shape} and {b.shape}"
+        )
+    if a.shape[1:] != b.shape[1:]:
+        raise ValueError(
+            f"synergy shapes differ: {a.shape[1:]} vs {b.shape[1:]}"
+        )
+    if a.ndim == 2:
+        if max_shift is not None:
+            raise ValueError(
+                "max_shift applies to (K, D, L) time-varying sets only"
+            )
+
+        def normalize(h):
+            norm = np.linalg.norm(h, axis=1, keepdims=True)
+            return h / np.where(norm == 0, 1.0, norm)
+
+        sim = normalize(a) @ normalize(b).T
+    else:
+        if max_shift is None:
+            max_shift = a.shape[1] // 2
+        sim = np.zeros((a.shape[0], b.shape[0]))
+        for i in range(a.shape[0]):
+            for j in range(b.shape[0]):
+                sim[i, j] = _shifted_cosine(a[i], b[j], max_shift)
+
+    from scipy.optimize import linear_sum_assignment
+
+    rows, cols = linear_sum_assignment(-sim)
+    order = np.argsort(rows)
+    pairs = [(int(rows[t]), int(cols[t])) for t in order]
+    return SynergyMatch(
+        pairs=pairs,
+        similarities=sim[rows[order], cols[order]],
+        similarity_matrix=sim,
+    )

@@ -353,3 +353,74 @@ class TestTimeVaryingStability:
             bootstrap_time_varying_synergies(
                 x, 2, 8, n_boot=2, block_len=4
             )
+
+
+class TestMatchSynergies:
+    """Cross-set synergy comparison (match_synergies)."""
+
+    def test_identical_sets_match_perfectly(self):
+        from muscle_synergies_tpu.models import match_synergies
+
+        rng = np.random.default_rng(0)
+        h = rng.random((3, 8))
+        m = match_synergies(h, h)
+        assert m.pairs == [(0, 0), (1, 1), (2, 2)]
+        np.testing.assert_allclose(m.similarities, 1.0, rtol=1e-12)
+        assert m.mean == pytest.approx(1.0)
+
+    def test_permutation_and_scale_invariance(self):
+        from muscle_synergies_tpu.models import match_synergies
+
+        rng = np.random.default_rng(1)
+        h = rng.random((4, 6))
+        perm = [2, 0, 3, 1]
+        scaled = h[perm] * rng.uniform(0.5, 3.0, (4, 1))
+        m = match_synergies(h, scaled)
+        # pair (i, j) means A[i] ~ B[j]; B[j] = A[perm[j]]
+        assert m.pairs == sorted((perm[j], j) for j in range(4))
+        np.testing.assert_allclose(m.similarities, 1.0, rtol=1e-12)
+
+    def test_rectangular_sets(self):
+        from muscle_synergies_tpu.models import match_synergies
+
+        rng = np.random.default_rng(2)
+        h = rng.random((3, 8))
+        m = match_synergies(h[:2], h)
+        assert len(m.pairs) == 2
+        assert m.similarity_matrix.shape == (2, 3)
+        np.testing.assert_allclose(m.similarities, 1.0, rtol=1e-12)
+
+    def test_dataframe_input(self):
+        import pandas as pd
+
+        from muscle_synergies_tpu.models import match_synergies
+
+        rng = np.random.default_rng(3)
+        h = pd.DataFrame(rng.random((2, 5)))
+        m = match_synergies(h, h.iloc[::-1])
+        assert m.pairs == [(0, 1), (1, 0)]
+
+    def test_time_varying_shift_tolerance(self):
+        from muscle_synergies_tpu.models import match_synergies
+
+        rng = np.random.default_rng(4)
+        s = rng.random((2, 10, 6))
+        shifted = np.roll(s, 2, axis=1)
+        shifted[:, :2, :] = 0.0  # causal shift, zeros in
+        plain = match_synergies(s, shifted, max_shift=0)
+        tol = match_synergies(s, shifted)  # default D//2 = 5
+        assert tol.mean > 0.999
+        assert tol.mean > plain.mean
+
+    def test_validation(self):
+        from muscle_synergies_tpu.models import match_synergies
+
+        rng = np.random.default_rng(5)
+        with pytest.raises(ValueError, match="shapes differ"):
+            match_synergies(rng.random((2, 5)), rng.random((2, 6)))
+        with pytest.raises(ValueError, match="expected two"):
+            match_synergies(rng.random(5), rng.random(5))
+        with pytest.raises(ValueError, match="time-varying sets only"):
+            match_synergies(
+                rng.random((2, 5)), rng.random((2, 5)), max_shift=2
+            )
