@@ -895,6 +895,42 @@ def run_check(args):
         cr, sr = _cnmf_reference_f64(x_cn[i], c0[i], s0[i], cn_iters)
         cn_err = max(cn_err, _factor_err(cp[i], sp[i], cr, sr))
 
+    # --- convergence-fit kernels: the fused in-VMEM stopping
+    # machinery (while_loop carries, converged-lane freezing) that the
+    # fixed-iteration checks above never exercise.  The XLA batch fit
+    # is the reference; its TPU matmuls round through bf16, so the
+    # two paths may legitimately stop a checkpoint apart — the bounds
+    # catch legality/garbage failures, not last-ulp drift. ---
+    from muscle_synergies_tpu.models.batch import fit_cd_batch, fit_mu_batch
+    from muscle_synergies_tpu.models.kernels import (
+        fit_cd_pallas,
+        fit_mu_pallas,
+    )
+
+    fit_kw = dict(max_iter=200, tol=1e-4)
+    fm = fit_mu_pallas(xs, ws, hs, block_b=b, interpret=interpret, **fit_kw)
+    fm_ref = fit_mu_batch(xs, ws, hs, impl="xla", **fit_kw)
+    fitmu_err = _factor_err(
+        np.asarray(fm[0]), np.asarray(fm[1]),
+        np.asarray(fm_ref.w), np.asarray(fm_ref.h),
+    )
+    fitmu_gap = int(np.max(np.abs(
+        np.asarray(fm[2], dtype=np.int64)
+        - np.asarray(fm_ref.n_iter, dtype=np.int64)
+    )))
+
+    fc = fit_cd_pallas(xs, ws, hs, block_b=b, interpret=interpret, **fit_kw)
+    fc_ref = fit_cd_batch(xs, ws, hs, impl="xla", **fit_kw)
+    fitcd_err = _factor_err(
+        np.asarray(fc[0]), np.asarray(fc[1]),
+        np.asarray(fc_ref.w),
+        np.asarray(jnp.swapaxes(fc_ref.ht, -1, -2)),
+    )
+    fitcd_gap = int(np.max(np.abs(
+        np.asarray(fc[2], dtype=np.int64)
+        - np.asarray(fc_ref.n_iter, dtype=np.int64)
+    )))
+
     # --- fused filtfilt kernel vs scipy float64 ---
     # EMG-envelope-like signal: low-frequency content the 10 Hz lowpass
     # passes (white noise would leave a tiny-scale output that inflates
@@ -929,13 +965,20 @@ def run_check(args):
         )
 
     mu_tol, ff_tol = 1e-3, 5e-4
+    fit_tol, fit_gap_max = 2e-2, 20  # vs the bf16-rounding XLA fit
     ff_err = max(ff_err, batch_err)
     solver_errs = {
         "mu": mu_err, "cd": cd_err, "kl": kl_err, "is": is_err,
         "beta1.5": b15_err, "cnmf": cn_err,
     }
+    fits_ok = (
+        fitmu_err <= fit_tol and fitcd_err <= fit_tol
+        and fitmu_gap <= fit_gap_max and fitcd_gap <= fit_gap_max
+    )
     ok = (
-        all(e <= mu_tol for e in solver_errs.values()) and ff_err <= ff_tol
+        all(e <= mu_tol for e in solver_errs.values())
+        and ff_err <= ff_tol
+        and fits_ok
     )
     worst = max(max(solver_errs.values()), ff_err)
     print(json.dumps({
@@ -944,6 +987,9 @@ def run_check(args):
         "unit": (
             " ".join(f"{s}={e:.2e}" for s, e in solver_errs.items())
             + f" (tol {mu_tol:g}), filtfilt={ff_err:.2e} (tol {ff_tol:g}), "
+            f"fitmu={fitmu_err:.2e}/gap{fitmu_gap} "
+            f"fitcd={fitcd_err:.2e}/gap{fitcd_gap} "
+            f"(tol {fit_tol:g}/gap{fit_gap_max}), "
             f"platform={jax.default_backend()}"
             f"{' interpret' if interpret else ''}"
         ),
