@@ -161,6 +161,32 @@ def _sharded_envelope_batch(xs, spec, sampling_frequency, zero_center_, mesh):
     return _unfold_channels(y, b, l)
 
 
+def _usable_mesh(mesh, caller: str):
+    """Return ``mesh`` when it carries the ``(data, time)`` axes.
+
+    Every meshed path in this module shards over those two names; a
+    mesh built with other axis names (e.g. the tensor-parallel
+    ``(data, model)`` layout) would crash deep inside a
+    ``PartitionSpec`` — warn and fall back to the local path instead.
+    """
+    if mesh is None:
+        return None
+    from .parallel.mesh import DATA_AXIS, TIME_AXIS
+
+    missing = {DATA_AXIS, TIME_AXIS} - set(mesh.axis_names)
+    if missing:
+        import warnings
+
+        warnings.warn(
+            f"{caller}: mesh {mesh.axis_names} lacks the "
+            f"{sorted(missing)} axis (a (data, time) mesh is "
+            "required); falling back to the local single-device path.",
+            stacklevel=3,
+        )
+        return None
+    return mesh
+
+
 def preprocess_trials(
     trials: Sequence,
     sampling_frequency: float,
@@ -457,6 +483,7 @@ def analyze_dataset(
         :class:`DatasetResult` over the full ``(rank, trial)`` grid.
     """
     trials, subjects = _normalize_trials_subjects(trials, subjects)
+    mesh = _usable_mesh(mesh, "analyze_dataset")
     if isinstance(ranks, int):
         ranks = (ranks,)
     ranks = tuple(ranks)
@@ -793,6 +820,7 @@ def analyze_dataset_time_varying(
     from .models.mu import EPSILON
 
     trials, subjects = _normalize_trials_subjects(trials, subjects)
+    mesh = _usable_mesh(mesh, "analyze_dataset_time_varying")
     if n_synergies < 1:
         raise ValueError(f"n_synergies must be >= 1, got {n_synergies}")
     if n_inits < 1:
@@ -1036,6 +1064,7 @@ def analyze_dataset_space_by_time(
     from .models.nm3f import find_space_by_time_synergies
 
     trials, subjects = _normalize_trials_subjects(trials, subjects)
+    mesh = _usable_mesh(mesh, "analyze_dataset_space_by_time")
     max_iter = max_iter if max_iter is not None else config.max_iter
     tol = tol if tol is not None else config.tol
     channel_names = _channel_names(trials[0])

@@ -530,3 +530,36 @@ class TestAnalyzeDatasetSpaceByTime:
             result.subject_table()
         fig = plot_space_by_time(labeled.to_result(), show=False)
         plt.close(fig)
+
+
+class TestMeshAxisGuard:
+    """Meshes lacking the (data, time) axes warn and run locally."""
+
+    def test_all_entries_fall_back_with_warning(self):
+        from muscle_synergies_tpu import (
+            analyze_dataset_space_by_time,
+            analyze_dataset_time_varying,
+        )
+        from muscle_synergies_tpu.parallel.mesh import (
+            DATA_AXIS,
+            MODEL_AXIS,
+        )
+
+        trials = _trials()
+        mesh = make_mesh((8, 1), axis_names=(DATA_AXIS, MODEL_AXIS))
+        with pytest.warns(UserWarning, match="analyze_dataset: mesh"):
+            res = analyze_dataset(
+                trials, 200, ranks=(2,), config=CFG, mesh=mesh
+            )
+        ref = analyze_dataset(trials, 200, ranks=(2,), config=CFG)
+        np.testing.assert_allclose(res.vaf_overall, ref.vaf_overall)
+        with pytest.warns(UserWarning, match="time_varying: mesh"):
+            analyze_dataset_time_varying(
+                trials, 200, n_synergies=2, n_lags=5, config=CFG,
+                mesh=mesh, max_iter=30,
+            )
+        with pytest.warns(UserWarning, match="space_by_time: mesh"):
+            analyze_dataset_space_by_time(
+                trials, 200, n_temporal=2, n_spatial=2, config=CFG,
+                mesh=mesh, max_iter=30,
+            )
