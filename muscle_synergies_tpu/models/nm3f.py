@@ -49,8 +49,12 @@ from .mu import EPSILON
 __all__ = [
     "NM3FModel",
     "NM3FState",
+    "SharedSpatialResult",
+    "SharedTemporalResult",
     "SpaceByTimeResult",
+    "find_shared_spatial_synergies",
     "find_space_by_time_synergies",
+    "find_temporal_synergies",
     "fit_nm3f",
     "init_nm3f",
     "nm3f_reconstruct",
@@ -633,3 +637,225 @@ class NM3FModel:
                 jnp.asarray(self.spatial_modules_),
             )
         )
+
+
+class SharedTemporalResult(NamedTuple):
+    """Best-restart result of :func:`find_temporal_synergies`.
+
+    Attributes:
+        temporal_modules: ``(T, P)`` DataFrame, unit-norm columns.
+        weights: ``(B, P, L)`` per-trial muscle weightings of each
+            module.
+        vaf: overall VAF across the dataset.
+        vaf_per_trial: ``(B,)``.
+        n_iter: iterations used by the winning restart.
+        restart_errors: ``(n_inits,)`` final errors of all restarts.
+    """
+
+    temporal_modules: object
+    weights: np.ndarray
+    vaf: float
+    vaf_per_trial: np.ndarray
+    n_iter: int
+    restart_errors: np.ndarray
+
+
+class SharedSpatialResult(NamedTuple):
+    """Best-restart result of :func:`find_shared_spatial_synergies`.
+
+    Attributes:
+        spatial_modules: ``(Q, L)`` DataFrame, unit-norm rows, columns
+            named after the muscles when the input carries labels.
+        activations: ``(B, T, Q)`` per-trial recruitment of each
+            module over time.
+        vaf: overall VAF across the dataset.
+        vaf_per_trial: ``(B,)``.
+        n_iter: iterations used by the winning restart.
+        restart_errors: ``(n_inits,)`` final errors of all restarts.
+    """
+
+    spatial_modules: object
+    activations: np.ndarray
+    vaf: float
+    vaf_per_trial: np.ndarray
+    n_iter: int
+    restart_errors: np.ndarray
+
+
+def _validate_trial_stack(trials):
+    """Shared (B, T, L) stack validation; returns (xs, columns)."""
+    import pandas
+
+    columns = None
+    if not hasattr(trials, "ndim"):
+        first = trials[0]
+        if isinstance(first, pandas.DataFrame):
+            columns = list(first.columns)
+        trials = np.stack([np.asarray(t) for t in trials])
+    xs = np.asarray(trials)
+    if not np.issubdtype(xs.dtype, np.floating):
+        xs = xs.astype(np.float64)
+    if xs.ndim != 3:
+        raise ValueError(
+            f"expected a (B, T, L) trial stack, got shape {xs.shape}"
+        )
+    if xs.size == 0:
+        raise ValueError("empty trial stack")
+    if not np.all(np.isfinite(xs)):
+        raise ValueError("Input X contains NaN or infinity.")
+    if np.any(xs < 0):
+        raise ValueError("Negative values in data passed to NMF")
+    return xs, columns
+
+
+def _fit_frozen_restarts(
+    xs, inits_w, inits_a, inits_s, max_iter, tol, update_w, update_s
+):
+    """vmapped restarts of :func:`fit_nm3f` with one factor frozen."""
+    w0 = jnp.asarray(np.stack(inits_w))
+    a0 = jnp.asarray(np.stack(inits_a))
+    s0 = jnp.asarray(np.stack(inits_s))
+    xs_dev = jnp.asarray(xs)
+    return jax.vmap(
+        lambda w, a, s: fit_nm3f(
+            xs_dev, w, a, s, max_iter=max_iter, tol=tol,
+            update_w=update_w, update_s=update_s,
+        )
+    )(w0, a0, s0)
+
+
+def find_temporal_synergies(
+    trials,
+    n_temporal: int,
+    max_iter: int = 500,
+    tol: float = 1e-5,
+    n_inits: int = 4,
+    seed: int = 0,
+) -> SharedTemporalResult:
+    """Extract SHARED temporal modules with per-trial muscle weights.
+
+    Delis et al. (2014)'s *temporal* decomposition (the "tMod" of
+    their unifying taxonomy; the other two members — the shared-
+    spatial "sMod" and the full space-by-time model — are
+    :func:`find_shared_spatial_synergies` and
+    :func:`find_space_by_time_synergies`):
+
+        ``X_b[t, l] ≈ Σ_i W[t, i] · A_b[i, l]``
+
+    i.e. the exact space-by-time model with the spatial side frozen at
+    identity (``Q = L``, ``S = I``) — every trial recruits the SAME
+    temporal waveforms with its own muscle weighting.  Runs as one
+    vmapped multi-restart :func:`fit_nm3f` with ``update_s=False``;
+    the frozen identity passes through bit-for-bit.
+    """
+    xs, _ = _validate_trial_stack(trials)
+    b, t, l = xs.shape
+    if not 1 <= n_temporal <= t:
+        raise ValueError(
+            f"n_temporal must be in [1, n_samples={t}], got {n_temporal}"
+        )
+    if n_inits < 1:
+        raise ValueError(f"n_inits must be >= 1, got {n_inits}")
+
+    eye = np.eye(l, dtype=xs.dtype)
+    # random (W, A) scaled for S = I: E[X̂] ≈ P·c² = mean(X)
+    c = (float(max(xs.mean(), 0.0)) / n_temporal) ** 0.5 if xs.size else 1.0
+    rng = np.random.default_rng(seed)
+    inits_w = [rng.uniform(0, 2 * c, (t, n_temporal)).astype(xs.dtype)
+               for _ in range(n_inits)]
+    inits_a = [rng.uniform(0, 2 * c, (b, n_temporal, l)).astype(xs.dtype)
+               for _ in range(n_inits)]
+    states = _fit_frozen_restarts(
+        xs, inits_w, inits_a, [eye] * n_inits, max_iter, tol,
+        update_w=True, update_s=False,
+    )
+
+    errors = np.asarray(states.previous_error)
+    best = int(np.argmin(errors))
+    w, a, s = normalize_modules(
+        states.w[best], states.a[best], states.s[best]
+    )
+    per_trial = np.asarray(sbt_vaf(jnp.asarray(xs), w, a, s))
+    rec = nm3f_reconstruct(w, a, s)
+    err2 = float(jnp.sum((jnp.asarray(xs) - rec) ** 2))
+    tot2 = float(jnp.sum(jnp.asarray(xs) ** 2))
+    import pandas
+
+    return SharedTemporalResult(
+        temporal_modules=pandas.DataFrame(
+            np.asarray(w),
+            columns=[f"temporal {i}" for i in range(n_temporal)],
+        ),
+        weights=np.asarray(a),
+        vaf=1.0 - err2 / max(tot2, float(EPSILON)),
+        vaf_per_trial=per_trial,
+        n_iter=int(states.n_iter[best]),
+        restart_errors=errors,
+    )
+
+
+def find_shared_spatial_synergies(
+    trials,
+    n_spatial: int,
+    max_iter: int = 500,
+    tol: float = 1e-5,
+    n_inits: int = 4,
+    seed: int = 0,
+) -> SharedSpatialResult:
+    """Extract SHARED spatial modules with per-trial activations.
+
+    Delis et al. (2014)'s *spatial* decomposition ("sMod"): the
+    dataset-level twin of the reference's per-trial spatial NMF
+    (reference analysis.py:848-864 fits each trial its own
+    components; here ONE module set explains every trial):
+
+        ``X_b[t, l] ≈ Σ_j C_b[t, j] · S[j, l]``
+
+    i.e. the space-by-time model with the temporal side frozen at
+    identity (``P = T``, ``W = I``).  Runs as one vmapped
+    multi-restart :func:`fit_nm3f` with ``update_w=False``; the
+    frozen identity passes through bit-for-bit.
+    """
+    xs, columns = _validate_trial_stack(trials)
+    b, t, l = xs.shape
+    if not 1 <= n_spatial <= l:
+        raise ValueError(
+            f"n_spatial must be in [1, n_muscles={l}], got {n_spatial}"
+        )
+    if n_inits < 1:
+        raise ValueError(f"n_inits must be >= 1, got {n_inits}")
+
+    eye = np.eye(t, dtype=xs.dtype)
+    c = (float(max(xs.mean(), 0.0)) / n_spatial) ** 0.5 if xs.size else 1.0
+    rng = np.random.default_rng(seed)
+    inits_a = [rng.uniform(0, 2 * c, (b, t, n_spatial)).astype(xs.dtype)
+               for _ in range(n_inits)]
+    inits_s = [rng.uniform(0, 2 * c, (n_spatial, l)).astype(xs.dtype)
+               for _ in range(n_inits)]
+    states = _fit_frozen_restarts(
+        xs, [eye] * n_inits, inits_a, inits_s, max_iter, tol,
+        update_w=False, update_s=True,
+    )
+
+    errors = np.asarray(states.previous_error)
+    best = int(np.argmin(errors))
+    w, a, s = states.w[best], states.a[best], states.s[best]
+    # unit-norm the spatial rows only (W is the frozen identity)
+    sn = jnp.sqrt(jnp.sum(s * s, axis=1))
+    s_out = s / jnp.where(sn == 0, 1.0, sn)[:, None]
+    a_out = a * sn[None, None, :]
+    per_trial = np.asarray(sbt_vaf(jnp.asarray(xs), w, a_out, s_out))
+    rec = nm3f_reconstruct(w, a_out, s_out)
+    err2 = float(jnp.sum((jnp.asarray(xs) - rec) ** 2))
+    tot2 = float(jnp.sum(jnp.asarray(xs) ** 2))
+    import pandas
+
+    cols = columns if columns is not None else list(range(l))
+    return SharedSpatialResult(
+        spatial_modules=pandas.DataFrame(np.asarray(s_out), columns=cols),
+        activations=np.asarray(a_out),
+        vaf=1.0 - err2 / max(tot2, float(EPSILON)),
+        vaf_per_trial=per_trial,
+        n_iter=int(states.n_iter[best]),
+        restart_errors=errors,
+    )

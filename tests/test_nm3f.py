@@ -488,3 +488,110 @@ class TestReviewRegressions:
             got.temporal_modules.to_numpy(),
             ref.temporal_modules.to_numpy(), rtol=1e-12,
         )
+
+
+class TestSharedFactorModels:
+    """Delis tMod/sMod: NM3F with one factor frozen at identity."""
+
+    def test_temporal_model_recovers_planted_modules(self):
+        from muscle_synergies_tpu.models import find_temporal_synergies
+
+        rng = np.random.default_rng(7)
+        t, p, l, b = 60, 3, 6, 8
+        w_true = np.zeros((t, p))
+        width = t // p
+        for i in range(p):
+            center = (i + 0.5) * width
+            w_true[:, i] = np.exp(
+                -0.5 * ((np.arange(t) - center) / (width / 3)) ** 2
+            )
+        a_true = rng.uniform(0.1, 1.0, (b, p, l))
+        xs = np.einsum("tp,bpl->btl", w_true, a_true)
+        res = find_temporal_synergies(
+            xs, p, max_iter=2000, tol=1e-10, n_inits=4
+        )
+        assert res.vaf > 0.99
+        assert np.all(res.vaf_per_trial > 0.99)
+        assert res.temporal_modules.shape == (t, p)
+        assert res.weights.shape == (b, p, l)
+        np.testing.assert_allclose(
+            np.linalg.norm(res.temporal_modules.to_numpy(), axis=0),
+            1.0, rtol=1e-6,
+        )
+        # planted modules recoverable up to permutation
+        from muscle_synergies_tpu.models import match_synergies
+
+        m = match_synergies(
+            w_true.T / np.linalg.norm(w_true, axis=0)[:, None],
+            res.temporal_modules.to_numpy().T,
+        )
+        assert m.mean > 0.95
+
+    def test_spatial_model_recovers_planted_modules(self):
+        from muscle_synergies_tpu.models import (
+            find_shared_spatial_synergies,
+            match_synergies,
+        )
+
+        rng = np.random.default_rng(8)
+        t, q, l, b = 40, 2, 6, 6
+        s_true = rng.uniform(0.1, 1.0, (q, l))
+        c_true = rng.uniform(0.0, 1.0, (b, t, q))
+        xs = np.einsum("btq,ql->btl", c_true, s_true)
+        res = find_shared_spatial_synergies(
+            xs, q, max_iter=2000, tol=1e-10, n_inits=4
+        )
+        assert res.vaf > 0.99
+        assert res.spatial_modules.shape == (q, l)
+        assert res.activations.shape == (b, t, q)
+        np.testing.assert_allclose(
+            np.linalg.norm(res.spatial_modules.to_numpy(), axis=1),
+            1.0, rtol=1e-6,
+        )
+        m = match_synergies(s_true, res.spatial_modules.to_numpy())
+        assert m.mean > 0.95
+
+    def test_spatial_model_carries_muscle_labels(self):
+        import pandas as pd
+
+        from muscle_synergies_tpu.models import (
+            find_shared_spatial_synergies,
+        )
+
+        rng = np.random.default_rng(9)
+        names = [f"M{j}" for j in range(5)]
+        trials = [
+            pd.DataFrame(rng.uniform(0.1, 1.0, (30, 5)), columns=names)
+            for _ in range(4)
+        ]
+        res = find_shared_spatial_synergies(
+            trials, 2, max_iter=100, n_inits=2
+        )
+        assert list(res.spatial_modules.columns) == names
+
+    def test_reconstruction_beats_space_by_time_special_cases(self):
+        """tMod/sMod are NM3F specializations: same data, frozen eye."""
+        from muscle_synergies_tpu.models import find_temporal_synergies
+
+        xs, w, a, s = synthetic(b=6)
+        res = find_temporal_synergies(xs, 3, max_iter=500, tol=1e-8)
+        # full freedom on the muscle side: must reconstruct at least as
+        # well as the (3, 2)-constrained space-by-time fit
+        sbt = find_space_by_time_synergies(
+            xs, 3, 2, max_iter=500, tol=1e-8
+        )
+        assert res.vaf >= sbt.vaf - 1e-6
+
+    def test_validation(self):
+        from muscle_synergies_tpu.models import (
+            find_shared_spatial_synergies,
+            find_temporal_synergies,
+        )
+
+        xs, _, _, _ = synthetic(b=3)
+        with pytest.raises(ValueError, match="n_temporal"):
+            find_temporal_synergies(xs, 0)
+        with pytest.raises(ValueError, match="n_spatial"):
+            find_shared_spatial_synergies(xs, 99)
+        with pytest.raises(ValueError, match="Negative"):
+            find_temporal_synergies(-xs, 2)
