@@ -44,6 +44,8 @@ __all__ = [
     "fit_nm3f_masked",
     "cv_space_by_time_selection",
     "SpaceByTimeCVResult",
+    "cv_temporal_selection",
+    "cv_shared_spatial_selection",
     "match_synergies",
     "SynergyMatch",
 ]
@@ -633,13 +635,15 @@ def bootstrap_space_by_time(
     )
 
 
-def _masked_nm3f_update(xs, mask, w, a, s):
+def _masked_nm3f_update(xs, mask, w, a, s, update_w=True, update_s=True):
     """Weighted trilinear MU: every projection of X / X̂ sees the mask.
 
     Mirrors :func:`muscle_synergies_tpu.models.nm3f.nm3f_update`
     (A-then-W-then-S order) with ``mask * X`` and ``mask * X̂`` in
     every numerator/denominator — the EM treatment of missing entries,
     exactly as :func:`_masked_mu_update` does for the flat model.
+    ``update_w`` / ``update_s`` freeze a module set (the shared-factor
+    tMod/sMod specializations hold one side at identity).
     """
     from .nm3f import nm3f_reconstruct
 
@@ -649,15 +653,17 @@ def _masked_nm3f_update(xs, mask, w, a, s):
     den_a = jnp.einsum("tp,btl,ql->bpq", w, mrec, s)
     a = a * (num_a / jnp.where(den_a == 0, EPSILON, den_a))
 
-    mrec = mask * nm3f_reconstruct(w, a, s)
-    num_w = jnp.einsum("btl,ql,bpq->tp", mx, s, a)
-    den_w = jnp.einsum("btl,ql,bpq->tp", mrec, s, a)
-    w = w * (num_w / jnp.where(den_w == 0, EPSILON, den_w))
+    if update_w:
+        mrec = mask * nm3f_reconstruct(w, a, s)
+        num_w = jnp.einsum("btl,ql,bpq->tp", mx, s, a)
+        den_w = jnp.einsum("btl,ql,bpq->tp", mrec, s, a)
+        w = w * (num_w / jnp.where(den_w == 0, EPSILON, den_w))
 
-    mrec = mask * nm3f_reconstruct(w, a, s)
-    num_s = jnp.einsum("bpq,tp,btl->ql", a, w, mx)
-    den_s = jnp.einsum("bpq,tp,btl->ql", a, w, mrec)
-    s = s * (num_s / jnp.where(den_s == 0, EPSILON, den_s))
+    if update_s:
+        mrec = mask * nm3f_reconstruct(w, a, s)
+        num_s = jnp.einsum("bpq,tp,btl->ql", a, w, mx)
+        den_s = jnp.einsum("bpq,tp,btl->ql", a, w, mrec)
+        s = s * (num_s / jnp.where(den_s == 0, EPSILON, den_s))
     return w, a, s
 
 
@@ -669,7 +675,10 @@ def _masked_nm3f_error(xs, mask, w, a, s):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iter", "tol", "check_every")
+    jax.jit,
+    static_argnames=(
+        "max_iter", "tol", "check_every", "update_w", "update_s",
+    ),
 )
 def fit_nm3f_masked(
     xs: jnp.ndarray,
@@ -680,6 +689,8 @@ def fit_nm3f_masked(
     max_iter: int = 400,
     tol: float = 1e-6,
     check_every: int = 10,
+    update_w: bool = True,
+    update_s: bool = True,
 ):
     """Masked NM3F: minimize ``||mask * (X - W A S)||_F`` on device.
 
@@ -687,7 +698,8 @@ def fit_nm3f_masked(
     :func:`muscle_synergies_tpu.models.nm3f.fit_nm3f`, restricted to
     observed (mask=1) entries.  Note the masked updates rebuild the
     full reconstruction per half-step (no Gram shortcut exists under a
-    mask), like :func:`fit_mu_masked`.
+    mask), like :func:`fit_mu_masked`.  ``update_w`` / ``update_s``
+    freeze a module set (the tMod/sMod shared-factor specializations).
     """
     from .nm3f import NM3FState
 
@@ -700,7 +712,9 @@ def fit_nm3f_masked(
         steps = jnp.minimum(check_every, max_iter - state.n_iter)
 
         def one(_, was):
-            return _masked_nm3f_update(xs, mask, *was)
+            return _masked_nm3f_update(
+                xs, mask, *was, update_w=update_w, update_s=update_s
+            )
 
         w, a, s = jax.lax.fori_loop(
             0, steps, one, (state.w, state.a, state.s)
@@ -911,4 +925,131 @@ def match_synergies(a, b, max_shift: Optional[int] = None) -> SynergyMatch:
         pairs=pairs,
         similarities=sim[rows[order], cols[order]],
         similarity_matrix=sim,
+    )
+
+
+def _cv_shared_factor_selection(
+    xs,
+    candidates,
+    temporal: bool,
+    holdout_fraction: float,
+    n_repeats: int,
+    seed: int,
+    max_iter: int,
+    tol: float,
+) -> CVResult:
+    """Wold-style CV core shared by the tMod/sMod selectors.
+
+    One vmapped :func:`fit_nm3f_masked` over the (repeat, candidate)
+    grid with the free side zero-padded to the grid maximum (padded
+    modules start at zero, so every masked MU numerator touching them
+    is identically zero and they stay zero) and the other side frozen
+    at identity.
+    """
+    xs = jnp.asarray(np.asarray(xs, dtype=float))
+    b, t, l = xs.shape
+    candidates = tuple(int(k) for k in candidates)
+    bound = t if temporal else l
+    for k in candidates:
+        if not 1 <= k <= bound:
+            raise ValueError(
+                f"candidate module count {k} outside [1, {bound}]"
+            )
+    k_max = max(candidates)
+    rng = np.random.default_rng(seed)
+    masks = (
+        rng.random((n_repeats, b, t, l)) >= holdout_fraction
+    ).astype(xs.dtype)
+    eye = np.eye(l if temporal else t)
+
+    xs_list, ms, w0s, a0s, s0s = [], [], [], [], []
+    for r in range(n_repeats):
+        x_obs = np.asarray(xs * masks[r])
+        for k in candidates:
+            c = (max(x_obs.mean(), 0.0) / k) ** 0.5 if x_obs.size else 1.0
+            if temporal:
+                w0 = np.zeros((t, k_max))
+                w0[:, :k] = rng.uniform(0, 2 * c, (t, k))
+                a0 = np.zeros((b, k_max, l))
+                a0[:, :k, :] = rng.uniform(0, 2 * c, (b, k, l))
+                s0 = eye
+            else:
+                w0 = eye
+                a0 = np.zeros((b, t, k_max))
+                a0[:, :, :k] = rng.uniform(0, 2 * c, (b, t, k))
+                s0 = np.zeros((k_max, l))
+                s0[:k] = rng.uniform(0, 2 * c, (k, l))
+            xs_list.append(xs)
+            ms.append(jnp.asarray(masks[r]))
+            w0s.append(jnp.asarray(w0))
+            a0s.append(jnp.asarray(a0))
+            s0s.append(jnp.asarray(s0))
+
+    fits = jax.vmap(
+        lambda xi, mi, wi, ai, si: fit_nm3f_masked(
+            xi, mi, wi, ai, si, max_iter=max_iter, tol=tol,
+            update_w=temporal, update_s=not temporal,
+        )
+    )(
+        jnp.stack(xs_list), jnp.stack(ms), jnp.stack(w0s),
+        jnp.stack(a0s), jnp.stack(s0s),
+    )
+
+    from .nm3f import nm3f_reconstruct
+
+    rec = np.asarray(jax.vmap(nm3f_reconstruct)(fits.w, fits.a, fits.s))
+    x_np = np.asarray(xs)
+    denom = np.linalg.norm(x_np)
+    heldout = []
+    for i in range(len(xs_list)):
+        r = i // len(candidates)
+        err = (1.0 - masks[r]) * (x_np - rec[i])
+        heldout.append(np.linalg.norm(err) / denom)
+    test_error = np.asarray(heldout).reshape(n_repeats, len(candidates))
+    best = candidates[int(np.argmin(test_error.mean(axis=0)))]
+    return CVResult(candidates, test_error, best)
+
+
+def cv_temporal_selection(
+    xs,
+    candidates: Sequence,
+    holdout_fraction: float = 0.1,
+    n_repeats: int = 5,
+    seed: int = 0,
+    max_iter: int = 400,
+    tol: float = 1e-6,
+) -> CVResult:
+    """Held-out module-count selection for the shared-temporal model.
+
+    The tMod counterpart of :func:`cv_space_by_time_selection`:
+    random entries are held out across the whole stack, the masked
+    trilinear fit runs with the spatial side FROZEN at identity
+    (exactly :func:`~muscle_synergies_tpu.models.nm3f.find_temporal_synergies`'s
+    model), and each candidate ``P`` is scored on held-out
+    reconstruction error.  ``best_rank`` is the selected module count.
+    """
+    return _cv_shared_factor_selection(
+        xs, candidates, True, holdout_fraction, n_repeats, seed,
+        max_iter, tol,
+    )
+
+
+def cv_shared_spatial_selection(
+    xs,
+    candidates: Sequence,
+    holdout_fraction: float = 0.1,
+    n_repeats: int = 5,
+    seed: int = 0,
+    max_iter: int = 400,
+    tol: float = 1e-6,
+) -> CVResult:
+    """Held-out module-count selection for the shared-spatial model.
+
+    The sMod counterpart of :func:`cv_temporal_selection` — temporal
+    side frozen at identity, candidates are spatial module counts
+    ``Q``.
+    """
+    return _cv_shared_factor_selection(
+        xs, candidates, False, holdout_fraction, n_repeats, seed,
+        max_iter, tol,
     )

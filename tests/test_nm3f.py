@@ -595,3 +595,65 @@ class TestSharedFactorModels:
             find_shared_spatial_synergies(xs, 99)
         with pytest.raises(ValueError, match="Negative"):
             find_temporal_synergies(-xs, 2)
+
+
+class TestSharedFactorCV:
+    """Module-count selection for the tMod/sMod specializations."""
+
+    def test_temporal_cv_picks_true_count(self):
+        from muscle_synergies_tpu.models import cv_temporal_selection
+
+        rng = np.random.default_rng(10)
+        t, p, l, b = 60, 3, 6, 8
+        w_true = np.zeros((t, p))
+        width = t // p
+        for i in range(p):
+            center = (i + 0.5) * width
+            w_true[:, i] = np.exp(
+                -0.5 * ((np.arange(t) - center) / (width / 3)) ** 2
+            )
+        a_true = rng.uniform(0.1, 1.0, (b, p, l))
+        xs = np.einsum("tp,bpl->btl", w_true, a_true)
+        res = cv_temporal_selection(
+            xs, candidates=(1, 3), n_repeats=3, max_iter=300, tol=1e-8
+        )
+        assert res.test_error.shape == (3, 2)
+        assert res.mean_test_error[1] < res.mean_test_error[0]
+        assert res.best_rank == 3
+
+    def test_spatial_cv_picks_true_count(self):
+        from muscle_synergies_tpu.models import (
+            cv_shared_spatial_selection,
+        )
+
+        rng = np.random.default_rng(11)
+        t, q, l, b = 40, 2, 6, 6
+        s_true = rng.uniform(0.1, 1.0, (q, l))
+        c_true = rng.uniform(0.0, 1.0, (b, t, q))
+        xs = np.einsum("btq,ql->btl", c_true, s_true)
+        res = cv_shared_spatial_selection(
+            xs, candidates=(1, 2), n_repeats=3, max_iter=300, tol=1e-8
+        )
+        assert res.mean_test_error[1] < res.mean_test_error[0]
+        assert res.best_rank == 2
+
+    def test_frozen_identity_survives_masked_fit(self):
+        from muscle_synergies_tpu.models import fit_nm3f_masked
+
+        rng = np.random.default_rng(12)
+        xs = rng.uniform(0.1, 1.0, (3, 20, 4))
+        mask = (rng.random(xs.shape) >= 0.1).astype(float)
+        eye = np.eye(4)
+        w0 = rng.uniform(0.1, 1.0, (20, 2))
+        a0 = rng.uniform(0.1, 1.0, (3, 2, 4))
+        st = fit_nm3f_masked(
+            xs, mask, w0, a0, eye, max_iter=50, update_s=False
+        )
+        np.testing.assert_array_equal(np.asarray(st.s), eye)
+
+    def test_candidate_validation(self):
+        from muscle_synergies_tpu.models import cv_temporal_selection
+
+        xs = np.abs(np.random.default_rng(13).standard_normal((3, 20, 4)))
+        with pytest.raises(ValueError, match="outside"):
+            cv_temporal_selection(xs, candidates=(0,))
