@@ -228,9 +228,22 @@ def _build_parser():
              "coefficient matrix per capture (e.g. '3:2')",
     )
     p_ds.add_argument(
+        "--temporal-modules", type=int, metavar="P", default=None,
+        help="extract the shared-temporal model (Delis tMod) instead "
+             "of the NMF rank sweep: P temporal modules shared by the "
+             "whole dataset, one muscle-weight matrix per capture",
+    )
+    p_ds.add_argument(
+        "--spatial-modules", type=int, metavar="Q", default=None,
+        help="extract the shared-spatial model (Delis sMod) instead "
+             "of the NMF rank sweep: Q spatial modules shared by the "
+             "whole dataset, one activation train per capture",
+    )
+    p_ds.add_argument(
         "--n-inits", type=int, default=4,
-        help="random restarts per capture for --time-varying "
-             "(all restarts join the one batched solve; default 4)",
+        help="random restarts for the --time-varying/--space-by-time/"
+             "--temporal-modules/--spatial-modules models (all "
+             "restarts join one batched solve; default 4)",
     )
     p_ds.add_argument("--output", "-o", default=None)
     return parser
@@ -539,15 +552,28 @@ def _cmd_analyze_dataset(args) -> int:
     import muscle_synergies_tpu as mst
     from muscle_synergies_tpu.utils import PipelineConfig
 
-    if args.time_varying is not None and args.space_by_time is not None:
+    chosen = [
+        name
+        for name, value in (
+            ("--time-varying", args.time_varying),
+            ("--space-by-time", args.space_by_time),
+            ("--temporal-modules", args.temporal_modules),
+            ("--spatial-modules", args.spatial_modules),
+        )
+        if value is not None
+    ]
+    if len(chosen) > 1:
         raise SystemExit(
-            "--time-varying and --space-by-time are different models; "
-            "pick one"
+            " and ".join(chosen) + " are different models; pick one"
         )
     if args.time_varying is not None:
         _validate_time_varying_flags(args)
     elif args.space_by_time is not None:
-        _validate_space_by_time_flags(args)
+        _validate_shared_model_flags(args, "--space-by-time")
+    elif args.temporal_modules is not None:
+        _validate_shared_model_flags(args, "--temporal-modules")
+    elif args.spatial_modules is not None:
+        _validate_shared_model_flags(args, "--spatial-modules")
     elif args.ranks is None:
         args.ranks = (1, 4)
     solver = args.solver if args.solver is not None else "cd"
@@ -570,9 +596,14 @@ def _cmd_analyze_dataset(args) -> int:
             )
     trials = [cap.emg.df for cap in captures]
 
-    if args.space_by_time is None:
-        # the NM3F branch sets module counts through --space-by-time
-        # and rejects --ranks up front
+    shared_model = (
+        args.space_by_time is not None
+        or args.temporal_modules is not None
+        or args.spatial_modules is not None
+    )
+    if not shared_model:
+        # the shared-module branches set module counts through their
+        # own flags and reject --ranks up front
         lo, hi = args.ranks
         ranks = tuple(range(lo, (hi if hi is not None else lo) + 1))
     try:
@@ -603,6 +634,10 @@ def _cmd_analyze_dataset(args) -> int:
         )
     if args.space_by_time is not None:
         return _analyze_dataset_space_by_time(
+            args, trials, fs, config, subjects
+        )
+    if args.temporal_modules is not None or args.spatial_modules is not None:
+        return _analyze_dataset_shared_factor(
             args, trials, fs, config, subjects
         )
     try:
@@ -650,37 +685,43 @@ def _cmd_analyze_dataset(args) -> int:
     return 0
 
 
-def _validate_space_by_time_flags(args):
-    """Reject flag combinations --space-by-time cannot honor (pre-ingest)."""
+def _validate_shared_model_flags(args, name):
+    """Reject flags the shared-module models cannot honor (pre-ingest).
+
+    Shared by ``--space-by-time``, ``--temporal-modules`` and
+    ``--spatial-modules`` — all three run the batched trilinear MU.
+    """
     if args.ranks is not None:
         raise SystemExit(
-            "--space-by-time P:Q sets the module counts itself; "
-            "drop --ranks"
+            f"{name} sets the module count itself; drop --ranks"
         )
     if args.solver is not None:
         raise SystemExit(
-            "--space-by-time has a single solver (trilinear MU); "
-            "drop --solver"
+            f"{name} has a single solver (trilinear MU); drop --solver"
         )
     if args.beta_loss != "frobenius":
-        raise SystemExit(
-            "--space-by-time is Frobenius-only; drop --beta-loss"
-        )
+        raise SystemExit(f"{name} is Frobenius-only; drop --beta-loss")
     if args.alpha_w != 0.0 or args.l1_ratio != 0.0 or args.alpha_h != "same":
         raise SystemExit(
-            "--space-by-time has no sparsity penalties; drop "
+            f"{name} has no sparsity penalties; drop "
             "--alpha-w/--alpha-h/--l1-ratio"
         )
     if args.impl != "auto":
         raise SystemExit(
-            "--space-by-time runs the batched XLA trilinear updates; "
-            "drop --impl"
+            f"{name} runs the batched XLA trilinear updates; drop --impl"
         )
     if args.vaf_threshold != 0.90:
         raise SystemExit(
             "--vaf-threshold belongs to the rank-sweep report; drop it "
-            "for --space-by-time"
+            f"for {name}"
         )
+    count = (
+        args.temporal_modules
+        if args.temporal_modules is not None
+        else args.spatial_modules
+    )
+    if name != "--space-by-time" and count is not None and count < 1:
+        raise SystemExit(f"{name} must be >= 1, got {count}")
 
 
 def _analyze_dataset_space_by_time(args, trials, fs, config, subjects) -> int:
@@ -721,6 +762,72 @@ def _analyze_dataset_space_by_time(args, trials, fs, config, subjects) -> int:
         "columns": list(map(str, res.spatial_modules.columns)),
         "rows": res.spatial_modules.to_numpy().tolist(),
     }
+
+    text = json.dumps(report, indent=2)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(text + "\n")
+        print(f"wrote {args.output}")
+    else:
+        print(text)
+    return 0
+
+
+def _analyze_dataset_shared_factor(args, trials, fs, config, subjects) -> int:
+    """``--temporal-modules P`` / ``--spatial-modules Q``: tMod / sMod."""
+    import numpy as np
+
+    from muscle_synergies_tpu.dataset import preprocess_trials
+    from muscle_synergies_tpu.models import (
+        find_shared_spatial_synergies,
+        find_temporal_synergies,
+    )
+
+    temporal = args.temporal_modules is not None
+    k = args.temporal_modules if temporal else args.spatial_modules
+    try:
+        xs = preprocess_trials(trials, fs, config)
+        if temporal:
+            res = find_temporal_synergies(
+                np.asarray(xs), k, max_iter=args.max_iter, tol=args.tol,
+                n_inits=args.n_inits,
+            )
+        else:
+            res = find_shared_spatial_synergies(
+                np.asarray(xs), k, max_iter=args.max_iter, tol=args.tol,
+                n_inits=args.n_inits,
+            )
+    except ValueError as exc:
+        raise SystemExit(str(exc))
+
+    report = {
+        "files": list(args.csvs),
+        "sampling_frequency": float(fs),
+        "model": "temporal" if temporal else "shared-spatial",
+        "n_modules": k,
+        "n_inits": args.n_inits,
+        "vaf_overall": float(res.vaf),
+        "vaf_per_trial": [float(v) for v in res.vaf_per_trial],
+        "n_iter": int(res.n_iter),
+        "restart_errors": [float(e) for e in res.restart_errors],
+    }
+    if subjects:
+        report["subjects"] = subjects
+    names = [str(c) for c in trials[0].columns]
+    if temporal:
+        report["temporal_modules"] = (
+            res.temporal_modules.to_numpy().tolist()
+        )
+        report["weights"] = {
+            "columns": names,
+            "per_capture": np.asarray(res.weights).tolist(),
+        }
+    else:
+        report["spatial_modules"] = {
+            "columns": names,
+            "rows": res.spatial_modules.to_numpy().tolist(),
+        }
+        report["activations"] = np.asarray(res.activations).tolist()
 
     text = json.dumps(report, indent=2)
     if args.output:

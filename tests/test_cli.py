@@ -274,3 +274,49 @@ def test_analyze_dataset_rejects_bad_alpha_h(capture_csv):
     ])
     assert result.returncode != 0
     assert "alpha-h" in result.stderr
+
+
+def test_analyze_dataset_shared_factor_models(capture_csv, tmp_path):
+    out = tmp_path / "tmod.json"
+    result = _run([
+        "analyze-dataset", capture_csv, capture_csv,
+        "--temporal-modules", "3", "--n-inits", "2", "--rms", "0.5",
+        "--max-iter", "150", "--tol", "1e-4", "-o", str(out),
+    ])
+    assert result.returncode == 0, result.stderr[-2000:]
+    report = json.loads(out.read_text())
+    assert report["model"] == "temporal"
+    assert report["n_modules"] == 3
+    assert 0.0 < report["vaf_overall"] <= 1.0
+    assert len(report["temporal_modules"][0]) == 3
+    assert len(report["weights"]["per_capture"]) == 2
+    assert len(report["weights"]["columns"]) == 8
+
+    out2 = tmp_path / "smod.json"
+    result = _run([
+        "analyze-dataset", capture_csv, capture_csv,
+        "--spatial-modules", "2", "--n-inits", "2", "--rms", "0.5",
+        "--max-iter", "150", "--tol", "1e-4", "-o", str(out2),
+    ])
+    assert result.returncode == 0, result.stderr[-2000:]
+    report = json.loads(out2.read_text())
+    assert report["model"] == "shared-spatial"
+    assert len(report["spatial_modules"]["rows"]) == 2
+    assert len(report["spatial_modules"]["columns"]) == 8
+    assert len(report["activations"]) == 2
+
+    # flag hygiene: model exclusivity and leftover rank-sweep flags
+    r = _run([
+        "analyze-dataset", capture_csv, "--temporal-modules", "3",
+        "--spatial-modules", "2",
+    ])
+    assert r.returncode == 1 and "pick one" in r.stderr
+    r = _run([
+        "analyze-dataset", capture_csv, "--spatial-modules", "2",
+        "--ranks", "2",
+    ])
+    assert r.returncode == 1 and "drop --ranks" in r.stderr
+    r = _run([
+        "analyze-dataset", capture_csv, "--temporal-modules", "0",
+    ])
+    assert r.returncode == 1 and ">= 1" in r.stderr
