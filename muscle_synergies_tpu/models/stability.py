@@ -46,6 +46,8 @@ __all__ = [
     "SpaceByTimeCVResult",
     "cv_temporal_selection",
     "cv_shared_spatial_selection",
+    "bootstrap_temporal_synergies",
+    "bootstrap_shared_spatial_synergies",
     "match_synergies",
     "SynergyMatch",
 ]
@@ -1052,4 +1054,112 @@ def cv_shared_spatial_selection(
     return _cv_shared_factor_selection(
         xs, candidates, False, holdout_fraction, n_repeats, seed,
         max_iter, tol,
+    )
+
+
+def _bootstrap_shared_factor(
+    xs, k: int, temporal: bool, n_boot: int, seed: int,
+    max_iter: int, tol: float,
+) -> BootstrapResult:
+    """Trial-axis bootstrap core shared by the tMod/sMod wrappers.
+
+    Same resampling argument as :func:`bootstrap_space_by_time`
+    (trials are exchangeable under shared modules); fits run with one
+    side frozen at identity, vmapped over resamples.
+    """
+    xs = np.asarray(xs, dtype=float)
+    b, t, l = xs.shape
+    bound = t if temporal else l
+    if not 1 <= k <= bound:
+        raise ValueError(f"module count {k} outside [1, {bound}]")
+    eye = np.eye(l if temporal else t)
+    rng = np.random.default_rng(seed)
+
+    def random_init(x_sub, r):
+        c = (max(x_sub.mean(), 0.0) / k) ** 0.5 if x_sub.size else 1.0
+        local = np.random.default_rng(seed + 1 + r)
+        if temporal:
+            w0 = local.uniform(0, 2 * c, (t, k))
+            a0 = local.uniform(0, 2 * c, (b, k, l))
+            return w0, a0, eye
+        a0 = local.uniform(0, 2 * c, (b, t, k))
+        s0 = local.uniform(0, 2 * c, (k, l))
+        return eye, a0, s0
+
+    from .nm3f import fit_nm3f
+
+    def normalize_free(w, a, s):
+        if temporal:
+            wn = jnp.sqrt(jnp.sum(w * w, axis=0))
+            return (w / jnp.where(wn == 0, 1.0, wn)[None, :]).T  # (k, T)
+        sn = jnp.sqrt(jnp.sum(s * s, axis=1))
+        return s / jnp.where(sn == 0, 1.0, sn)[:, None]  # (k, L)
+
+    # full fit = reference modules
+    w0, a0, s0 = random_init(xs, -1)
+    ref = fit_nm3f(
+        jnp.asarray(xs), jnp.asarray(w0), jnp.asarray(a0),
+        jnp.asarray(s0), max_iter=max_iter, tol=tol,
+        update_w=temporal, update_s=not temporal,
+    )
+    ref_mods = np.asarray(normalize_free(ref.w, ref.a, ref.s))
+
+    idx = rng.integers(0, b, size=(n_boot, b))
+    xb = jnp.asarray(xs)[jnp.asarray(idx)]
+    inits = [random_init(xs[idx[r]], r) for r in range(n_boot)]
+    w0b = jnp.asarray(np.stack([i[0] for i in inits]))
+    a0b = jnp.asarray(np.stack([i[1] for i in inits]))
+    s0b = jnp.asarray(np.stack([i[2] for i in inits]))
+    states = jax.vmap(
+        lambda x, w, a, s: fit_nm3f(
+            x, w, a, s, max_iter=max_iter, tol=tol,
+            update_w=temporal, update_s=not temporal,
+        )
+    )(xb, w0b, a0b, s0b)
+    mods = np.asarray(
+        jax.vmap(normalize_free)(states.w, states.a, states.s)
+    )
+    sims = np.stack(
+        [_match_components(ref_mods, mods[r]) for r in range(n_boot)]
+    )
+    return BootstrapResult(reference_components=ref_mods, similarities=sims)
+
+
+def bootstrap_temporal_synergies(
+    xs,
+    n_temporal: int,
+    n_boot: int = 50,
+    seed: int = 0,
+    max_iter: int = 400,
+    tol: float = 1e-6,
+) -> BootstrapResult:
+    """Trial-axis bootstrap stability of the shared-temporal model.
+
+    The tMod counterpart of :func:`bootstrap_space_by_time` (spatial
+    side frozen at identity, exactly
+    :func:`~muscle_synergies_tpu.models.nm3f.find_temporal_synergies`'s
+    model); reference components are the unit-norm ``(P, T)`` temporal
+    modules of the full fit.
+    """
+    return _bootstrap_shared_factor(
+        xs, n_temporal, True, n_boot, seed, max_iter, tol
+    )
+
+
+def bootstrap_shared_spatial_synergies(
+    xs,
+    n_spatial: int,
+    n_boot: int = 50,
+    seed: int = 0,
+    max_iter: int = 400,
+    tol: float = 1e-6,
+) -> BootstrapResult:
+    """Trial-axis bootstrap stability of the shared-spatial model.
+
+    The sMod counterpart of :func:`bootstrap_temporal_synergies` —
+    temporal side frozen at identity; reference components are the
+    unit-norm ``(Q, L)`` spatial modules of the full fit.
+    """
+    return _bootstrap_shared_factor(
+        xs, n_spatial, False, n_boot, seed, max_iter, tol
     )

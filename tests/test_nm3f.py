@@ -657,3 +657,54 @@ class TestSharedFactorCV:
         xs = np.abs(np.random.default_rng(13).standard_normal((3, 20, 4)))
         with pytest.raises(ValueError, match="outside"):
             cv_temporal_selection(xs, candidates=(0,))
+
+
+class TestSharedFactorBootstrap:
+    def test_temporal_bootstrap_stable_on_model_data(self):
+        from muscle_synergies_tpu.models import (
+            bootstrap_temporal_synergies,
+        )
+
+        rng = np.random.default_rng(14)
+        t, p, l, b = 60, 3, 6, 10
+        w_true = np.zeros((t, p))
+        width = t // p
+        for i in range(p):
+            center = (i + 0.5) * width
+            w_true[:, i] = np.exp(
+                -0.5 * ((np.arange(t) - center) / (width / 3)) ** 2
+            )
+        a_true = rng.uniform(0.1, 1.0, (b, p, l))
+        xs = np.einsum("tp,bpl->btl", w_true, a_true)
+        boot = bootstrap_temporal_synergies(
+            xs, p, n_boot=8, max_iter=300, tol=1e-7
+        )
+        assert boot.similarities.shape == (8, p)
+        assert boot.reference_components.shape == (p, t)
+        assert np.all(boot.mean > 0.8)
+
+    def test_spatial_bootstrap_stable_on_model_data(self):
+        from muscle_synergies_tpu.models import (
+            bootstrap_shared_spatial_synergies,
+        )
+
+        rng = np.random.default_rng(15)
+        t, q, l, b = 40, 2, 6, 10
+        s_true = rng.uniform(0.1, 1.0, (q, l))
+        c_true = rng.uniform(0.0, 1.0, (b, t, q))
+        xs = np.einsum("btq,ql->btl", c_true, s_true)
+        boot = bootstrap_shared_spatial_synergies(
+            xs, q, n_boot=8, max_iter=300, tol=1e-7
+        )
+        assert boot.similarities.shape == (8, q)
+        assert boot.reference_components.shape == (q, l)
+        assert np.all(boot.mean > 0.8)
+
+    def test_module_count_validation(self):
+        from muscle_synergies_tpu.models import (
+            bootstrap_temporal_synergies,
+        )
+
+        xs, _, _, _ = synthetic(b=3)
+        with pytest.raises(ValueError, match="outside"):
+            bootstrap_temporal_synergies(xs, 0, n_boot=2)
