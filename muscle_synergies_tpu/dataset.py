@@ -401,6 +401,31 @@ class DatasetResult:
         cols = self.channel_names or range(mean.shape[1])
         return pandas.DataFrame(mean, columns=list(cols))
 
+    def cluster_subjects(self, rank: int, n_clusters: Optional[int] = None):
+        """Group-level synergy clusters across subjects at one rank.
+
+        Feeds each subject's trial-averaged components
+        (:meth:`subject_components`) to
+        :func:`~muscle_synergies_tpu.models.cluster_synergies` — the
+        Cheung-style shared-vs-specific analysis: ``.shared`` lists the
+        clusters every subject expresses, ``.coverage`` how widely each
+        is shared, ``.consensus`` the group-level synergy of each
+        cluster.  Input sets follow the subject order of first
+        appearance in ``self.subjects`` (``dict.fromkeys`` order), so
+        ``result.labels[j]`` belongs to the ``j``-th distinct subject.
+
+        Requires at least two subjects (clustering one set is just the
+        set itself).
+        """
+        from .models.stability import cluster_synergies
+
+        self._require_subjects()
+        ordered = list(dict.fromkeys(self.subjects))
+        sets = [
+            self.subject_components(rank, s).to_numpy() for s in ordered
+        ]
+        return cluster_synergies(sets, n_clusters=n_clusters)
+
     def min_rank_reaching(self, vaf_threshold: float = 0.9) -> np.ndarray:
         """Per trial: smallest swept rank whose VAF >= threshold (-1 if none)."""
         reached = self.vaf_overall >= vaf_threshold  # (R, B)

@@ -50,6 +50,8 @@ __all__ = [
     "bootstrap_shared_spatial_synergies",
     "match_synergies",
     "SynergyMatch",
+    "cluster_synergies",
+    "SynergyClusters",
 ]
 
 
@@ -306,16 +308,14 @@ class TimeVaryingBootstrapResult:
         return self.similarities.std(axis=0)
 
 
-def _shifted_cosine(a: np.ndarray, b: np.ndarray, max_shift: int) -> float:
-    """Cosine of two ``(D, L)`` patterns at their best relative lag shift.
+def _best_shift(a: np.ndarray, b: np.ndarray, max_shift: int):
+    """Best overlap-windowed cosine of two ``(D, L)`` patterns + its lag.
 
-    The convolutive model has a time-shift indeterminacy (a synergy
-    delayed by one lag with its activations advanced by one is the same
-    reconstruction), so plain flattened cosine under-scores genuinely
-    stable synergies; the overlap-windowed maximum removes that.
+    Returns ``(similarity, shift)`` where ``shift >= 0`` means ``b``
+    delayed by ``shift`` lags matches ``a`` (``a[shift + t] ~ b[t]``).
     """
     d = a.shape[0]
-    best = -1.0
+    best, best_sh = -1.0, 0
     for sh in range(-max_shift, max_shift + 1):
         if sh >= 0:
             aa, bb = a[sh:], b[: d - sh]
@@ -324,8 +324,21 @@ def _shifted_cosine(a: np.ndarray, b: np.ndarray, max_shift: int) -> float:
         na, nb = np.linalg.norm(aa), np.linalg.norm(bb)
         if na == 0 or nb == 0:
             continue
-        best = max(best, float(np.sum(aa * bb) / (na * nb)))
-    return best
+        sim = float(np.sum(aa * bb) / (na * nb))
+        if sim > best:
+            best, best_sh = sim, sh
+    return best, best_sh
+
+
+def _shifted_cosine(a: np.ndarray, b: np.ndarray, max_shift: int) -> float:
+    """Cosine of two ``(D, L)`` patterns at their best relative lag shift.
+
+    The convolutive model has a time-shift indeterminacy (a synergy
+    delayed by one lag with its activations advanced by one is the same
+    reconstruction), so plain flattened cosine under-scores genuinely
+    stable synergies; the overlap-windowed maximum removes that.
+    """
+    return _best_shift(a, b, max_shift)[0]
 
 
 def _match_time_varying(
@@ -1162,4 +1175,193 @@ def bootstrap_shared_spatial_synergies(
     """
     return _bootstrap_shared_factor(
         xs, n_spatial, False, n_boot, seed, max_iter, tol
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-set synergy clustering (group-level common synergies)
+# ---------------------------------------------------------------------------
+
+class SynergyClusters(NamedTuple):
+    """Group-level clustering of synergy sets from many subjects/conditions.
+
+    Attributes:
+        labels: one int array per input set — the cluster id (0-based)
+            of each of that set's components.
+        consensus: ``(n_clusters, L)`` or ``(n_clusters, D, L)``
+            unit-norm cluster-mean synergies (time-varying members are
+            lag-aligned to the cluster medoid before averaging).
+        membership: ``(n_clusters, n_sets)`` int counts — how many of
+            set ``j``'s components landed in cluster ``i``.
+        similarity_matrix: the pooled ``(total, total)`` cosine
+            similarity matrix the clustering ran on (shift-tolerant
+            for time-varying sets).
+        set_index: ``(total,)`` — which input set each pooled row
+            (row of ``similarity_matrix``) came from.
+    """
+
+    labels: list
+    consensus: np.ndarray
+    membership: np.ndarray
+    similarity_matrix: np.ndarray
+    set_index: np.ndarray
+
+    @property
+    def n_clusters(self) -> int:
+        return self.membership.shape[0]
+
+    @property
+    def coverage(self) -> np.ndarray:
+        """Fraction of input sets represented in each cluster."""
+        return (self.membership > 0).mean(axis=1)
+
+    @property
+    def shared(self) -> np.ndarray:
+        """Indices of clusters with a member from *every* input set."""
+        return np.flatnonzero((self.membership > 0).all(axis=1))
+
+
+def _shift_pattern(p: np.ndarray, sh: int) -> np.ndarray:
+    """Delay a ``(D, L)`` pattern by ``sh`` lags with zero fill."""
+    out = np.zeros_like(p)
+    d = p.shape[0]
+    if sh >= 0:
+        out[sh:] = p[: d - sh]
+    else:
+        out[: d + sh] = p[-sh:]
+    return out
+
+
+def cluster_synergies(
+    sets,
+    n_clusters: Optional[int] = None,
+    max_shift: Optional[int] = None,
+) -> SynergyClusters:
+    """Cluster synergy sets from many subjects/conditions at once.
+
+    The N-set generalization of :func:`match_synergies`, and the
+    standard group-level analysis of the synergy literature (e.g.
+    Cheung et al. 2005's shared-vs-specific synergies;
+    Torres-Oviedo & Ting 2007's hierarchical clustering of
+    cosine-similar muscle weightings): pool every component from every
+    set, run average-linkage hierarchical clustering on cosine
+    distance, and report which clusters are *shared* across all sets
+    (``.shared`` / ``.coverage``), which are subject-specific, and the
+    unit-norm consensus synergy of each cluster.
+
+    Beyond-reference capability: the reference compares synergy sets
+    by eye (notebook plots only).
+
+    Args:
+        sets: sequence (>= 2) of synergy sets — all ``(k_i, L)``
+            spatial components (arrays or DataFrames), or all
+            ``(K_i, D, L)`` time-varying stacks with equal ``(D, L)``.
+        n_clusters: number of clusters to cut the dendrogram at.
+            Defaults to the (rounded) mean set size — the expected
+            number of distinct synergies when the sets mostly share
+            them.  Hierarchical cutting can produce fewer non-empty
+            clusters; the result reports the realized count.
+        max_shift: time-varying sets only — lag tolerance of the
+            shift-invariant cosine (defaults to ``D // 2``, the
+            bootstrap layer's rule).
+
+    Returns:
+        :class:`SynergyClusters`.
+    """
+    arrays = [np.asarray(s, dtype=float) for s in sets]
+    if len(arrays) < 2:
+        raise ValueError("need at least two synergy sets to cluster")
+    ndim = arrays[0].ndim
+    if ndim not in (2, 3) or any(a.ndim != ndim for a in arrays):
+        raise ValueError(
+            "expected all (k, L) spatial sets or all (K, D, L) "
+            f"time-varying sets, got shapes {[a.shape for a in arrays]}"
+        )
+    trailing = arrays[0].shape[1:]
+    if any(a.shape[1:] != trailing for a in arrays):
+        raise ValueError(
+            f"synergy shapes differ: {[a.shape[1:] for a in arrays]}"
+        )
+    if ndim == 2 and max_shift is not None:
+        raise ValueError(
+            "max_shift applies to (K, D, L) time-varying sets only"
+        )
+
+    pooled = np.concatenate(arrays, axis=0)
+    set_index = np.concatenate(
+        [np.full(a.shape[0], j) for j, a in enumerate(arrays)]
+    )
+    total = pooled.shape[0]
+    if n_clusters is None:
+        n_clusters = max(1, round(np.mean([a.shape[0] for a in arrays])))
+    n_clusters = int(n_clusters)
+    if not 1 <= n_clusters <= total:
+        raise ValueError(
+            f"n_clusters={n_clusters} out of range for {total} pooled "
+            "components"
+        )
+
+    if ndim == 2:
+        norms = np.linalg.norm(pooled, axis=1, keepdims=True)
+        unit = pooled / np.where(norms == 0, 1.0, norms)
+        sim = np.clip(unit @ unit.T, -1.0, 1.0)
+    else:
+        if max_shift is None:
+            max_shift = trailing[0] // 2
+        sim = np.eye(total)
+        for i in range(total):
+            for j in range(i + 1, total):
+                sim[i, j] = sim[j, i] = _shifted_cosine(
+                    pooled[i], pooled[j], max_shift
+                )
+
+    from scipy.cluster.hierarchy import fcluster, linkage
+    from scipy.spatial.distance import squareform
+
+    dist = np.maximum(1.0 - sim, 0.0)
+    np.fill_diagonal(dist, 0.0)
+    raw = fcluster(
+        linkage(squareform(dist, checks=False), method="average"),
+        t=n_clusters,
+        criterion="maxclust",
+    )
+    # relabel 0-based in order of first appearance (fcluster ids are
+    # arbitrary), so labels are deterministic in the pooled order
+    remap: dict = {}
+    labels_flat = np.array([remap.setdefault(r, len(remap)) for r in raw])
+    n_real = len(remap)
+
+    n_sets = len(arrays)
+    membership = np.zeros((n_real, n_sets), dtype=int)
+    np.add.at(membership, (labels_flat, set_index), 1)
+
+    consensus = np.zeros((n_real,) + trailing)
+    for c in range(n_real):
+        members = np.flatnonzero(labels_flat == c)
+        if ndim == 2:
+            mean = unit[members].mean(axis=0)
+        else:
+            # lag-align members to the cluster medoid (the member most
+            # similar to the rest) before averaging, else the model's
+            # time-shift indeterminacy smears the consensus
+            block = sim[np.ix_(members, members)]
+            medoid = pooled[members[int(np.argmax(block.sum(axis=1)))]]
+            aligned = []
+            for m in members:
+                _, sh = _best_shift(medoid, pooled[m], max_shift)
+                shifted = _shift_pattern(pooled[m], sh)
+                norm = np.linalg.norm(shifted)
+                aligned.append(shifted / (norm if norm else 1.0))
+            mean = np.mean(aligned, axis=0)
+        norm = np.linalg.norm(mean)
+        consensus[c] = mean / (norm if norm else 1.0)
+
+    sizes = [a.shape[0] for a in arrays]
+    splits = np.cumsum(sizes)[:-1]
+    return SynergyClusters(
+        labels=[lab for lab in np.split(labels_flat, splits)],
+        consensus=consensus,
+        membership=membership,
+        similarity_matrix=sim,
+        set_index=set_index,
     )

@@ -150,6 +150,92 @@ def plot_time_varying_synergies(
     return fig
 
 
+def plot_synergy_clusters(
+    clusters,
+    channel_names: Optional[Sequence] = None,
+    set_names: Optional[Sequence] = None,
+    show: bool = True,
+):
+    """Visualize a :class:`~...models.stability.SynergyClusters`.
+
+    Beyond-reference companion to :func:`synergy_heatmap` for the
+    group-level analysis: the left side shows each cluster's unit-norm
+    consensus synergy (a channel heatmap for spatial sets, one
+    lags x muscles heatmap per cluster for time-varying sets), the
+    right side the clusters x sets membership counts with each
+    cluster's coverage — shared synergies read as fully filled rows.
+
+    Args:
+        clusters: output of ``cluster_synergies`` (or
+            ``DatasetResult.cluster_subjects``).
+        channel_names: muscle labels for the consensus heatmap columns.
+        set_names: labels of the input sets (e.g. subject ids) for the
+            membership columns.
+        show: as in :func:`plot_signal` — show and return None, or
+            return the figure for saving/testing.
+    """
+    import matplotlib.pyplot as plt
+    import seaborn as sns
+
+    consensus = np.asarray(clusters.consensus)
+    membership = np.asarray(clusters.membership)
+    k, n_sets = membership.shape
+    if set_names is None:
+        set_names = [f"set{j}" for j in range(n_sets)]
+    row_labels = [
+        f"c{i} ({cov * 100:.0f}%)"
+        for i, cov in enumerate(clusters.coverage)
+    ]
+
+    if consensus.ndim == 2:
+        fig, axes = plt.subplots(
+            1, 2, figsize=(11, max(0.6 * k + 1.8, 3)),
+            gridspec_kw={"width_ratios": [1.6, 1]},
+        )
+        sns.heatmap(
+            consensus, ax=axes[0], annot=True, fmt=".2f",
+            xticklabels=list(channel_names)
+            if channel_names is not None
+            else "auto",
+            yticklabels=row_labels,
+        )
+        axes[0].set_title("consensus synergies")
+        member_ax = axes[1]
+    else:
+        fig = plt.figure(figsize=(11, max(2.2 * k, 3)))
+        gs = fig.add_gridspec(k, 2, width_ratios=[1.6, 1])
+        for i in range(k):
+            ax = fig.add_subplot(gs[i, 0])
+            sns.heatmap(
+                consensus[i].T, ax=ax, cbar=False, xticklabels=False,
+                yticklabels=list(channel_names)
+                if channel_names is not None
+                else "auto",
+            )
+            ax.set_ylabel(row_labels[i])
+            ax.set_xlabel("lag (samples)" if i == k - 1 else "")
+        member_ax = fig.add_subplot(gs[:, 1])
+
+    sns.heatmap(
+        membership, ax=member_ax, annot=True, fmt="d",
+        xticklabels=list(set_names), yticklabels=row_labels,
+        cbar=False,
+    )
+    member_ax.set_title("membership (components per set)")
+
+    n_shared = len(clusters.shared)
+    fig.suptitle(
+        f"Synergy clusters: {n_shared}/{k} shared across all "
+        f"{n_sets} sets"
+    )
+    fig.tight_layout()
+
+    if show:  # pragma: no cover - interactive path
+        plt.show()
+        return None
+    return fig
+
+
 def plot_space_by_time(
     result,
     sampling_frequency: Optional[int] = None,

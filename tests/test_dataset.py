@@ -318,6 +318,17 @@ class TestSubjectHierarchy:
         with pytest.raises(KeyError):
             result.subject_components(2, "nobody")
 
+    def test_cluster_subjects_structure(self, result):
+        clusters = result.cluster_subjects(2)
+        assert clusters.n_clusters == 2  # default: mean set size
+        assert [len(l) for l in clusters.labels] == [2, 2, 2]
+        assert clusters.consensus.shape == (2, 6)
+        assert clusters.membership.shape == (2, 3)
+        assert clusters.membership.sum() == 6
+        np.testing.assert_allclose(
+            np.linalg.norm(clusters.consensus, axis=1), 1.0, rtol=1e-12
+        )
+
     def test_explicit_subjects_argument(self):
         trials = _trials(b=4)
         res = analyze_dataset(
@@ -361,6 +372,43 @@ def test_min_rank_reaching_unordered_sweep():
         vaf_per_channel=None, n_iter=None, converged=None,
     )
     assert res.min_rank_reaching(0.9).tolist() == [2]
+
+
+def test_cluster_subjects_recovers_shared_synergies():
+    from muscle_synergies_tpu.dataset import DatasetResult
+
+    rng = np.random.default_rng(7)
+    base = np.eye(2, 6) + 0.05 * rng.random((2, 6))
+    # 4 trials, 2 subjects, every trial a permuted/rescaled copy of the
+    # same two synergies
+    h = np.stack([
+        base * 1.0,
+        base[::-1] * 2.0,
+        base * 0.7,
+        base[::-1] * 1.3,
+    ])[None]  # (R=1, B=4, k_max=2, L=6)
+    res = DatasetResult(
+        ranks=(2,), w=None, h=h,
+        vaf_overall=np.full((1, 4), 0.95), vaf_per_channel=None,
+        n_iter=None, converged=None,
+        channel_names=[f"M{j}" for j in range(6)],
+        subjects=["a", "a", "b", "b"],
+    )
+    clusters = res.cluster_subjects(2)
+    assert clusters.n_clusters == 2
+    np.testing.assert_array_equal(clusters.membership, 1)
+    assert list(clusters.shared) == [0, 1]
+    unit = base / np.linalg.norm(base, axis=1, keepdims=True)
+    best = (unit @ clusters.consensus.T).max(axis=1)
+    assert (best > 0.999).all()
+    # requires subject labels
+    flat = DatasetResult(
+        ranks=(2,), w=None, h=h,
+        vaf_overall=np.full((1, 4), 0.95), vaf_per_channel=None,
+        n_iter=None, converged=None,
+    )
+    with pytest.raises(ValueError, match="subject labels"):
+        flat.cluster_subjects(2)
 
 
 def test_analyze_dataset_inner_iter():

@@ -424,3 +424,164 @@ class TestMatchSynergies:
             match_synergies(
                 rng.random((2, 5)), rng.random((2, 5)), max_shift=2
             )
+
+
+class TestClusterSynergies:
+    """Group-level N-set clustering (cluster_synergies)."""
+
+    @staticmethod
+    def _base(rng, k=4, n=8, spread=0.05):
+        # near-orthogonal nonnegative patterns: one dominant muscle each
+        return np.eye(k, n) + spread * rng.random((k, n))
+
+    def test_shared_synergies_recovered(self):
+        from muscle_synergies_tpu.models import cluster_synergies
+
+        rng = np.random.default_rng(0)
+        base = self._base(rng)
+        sets = []
+        for perm in ([2, 0, 3, 1], [1, 3, 0, 2], [0, 1, 2, 3]):
+            noisy = base[perm] * rng.uniform(0.5, 3.0, (4, 1))
+            noisy += 0.01 * rng.random(noisy.shape)
+            sets.append(noisy)
+        res = cluster_synergies(sets)
+        assert res.n_clusters == 4
+        np.testing.assert_array_equal(res.coverage, 1.0)
+        assert list(res.shared) == [0, 1, 2, 3]
+        # exactly one component per set per cluster
+        np.testing.assert_array_equal(res.membership, 1)
+        # each consensus is unit-norm and matches one base synergy
+        np.testing.assert_allclose(
+            np.linalg.norm(res.consensus, axis=1), 1.0, rtol=1e-12
+        )
+        unit = base / np.linalg.norm(base, axis=1, keepdims=True)
+        best = (unit @ res.consensus.T).max(axis=1)
+        assert (best > 0.99).all()
+
+    def test_subject_specific_synergy(self):
+        from muscle_synergies_tpu.models import cluster_synergies
+
+        rng = np.random.default_rng(1)
+        base = self._base(rng, k=4)
+        shared = base[:3]
+        sets = [shared, shared[::-1], np.vstack([shared, base[3:]])]
+        res = cluster_synergies(sets, n_clusters=4)
+        assert res.n_clusters == 4
+        assert len(res.shared) == 3
+        specific = [c for c in range(4) if c not in res.shared]
+        assert len(specific) == 1
+        np.testing.assert_array_equal(
+            res.membership[specific[0]], [0, 0, 1]
+        )
+        assert res.coverage[specific[0]] == pytest.approx(1 / 3)
+
+    def test_default_n_clusters_is_mean_set_size(self):
+        from muscle_synergies_tpu.models import cluster_synergies
+
+        rng = np.random.default_rng(2)
+        base = self._base(rng, k=3)
+        res = cluster_synergies([base, base, base])
+        assert res.n_clusters == 3
+
+    def test_labels_align_with_sets(self):
+        from muscle_synergies_tpu.models import cluster_synergies
+
+        rng = np.random.default_rng(3)
+        base = self._base(rng, k=3)
+        res = cluster_synergies([base[:2], base])
+        assert [len(l) for l in res.labels] == [2, 3]
+        # set 0's components cluster with set 1's first two
+        assert list(res.labels[0]) == list(res.labels[1][:2])
+        np.testing.assert_array_equal(
+            res.set_index, [0, 0, 1, 1, 1]
+        )
+
+    def test_time_varying_lag_alignment(self):
+        from muscle_synergies_tpu.models import cluster_synergies
+        from muscle_synergies_tpu.models.stability import _shifted_cosine
+
+        rng = np.random.default_rng(4)
+        s = rng.random((2, 10, 6))
+        s[0, :, :3] *= 10.0  # make the two patterns clearly distinct
+        s[1, :, 3:] *= 10.0
+        shifted = np.roll(s, 2, axis=1)
+        shifted[:, :2, :] = 0.0
+        res = cluster_synergies([s, shifted])
+        assert res.n_clusters == 2
+        np.testing.assert_array_equal(res.coverage, 1.0)
+        np.testing.assert_allclose(
+            np.linalg.norm(res.consensus.reshape(2, -1), axis=1),
+            1.0,
+            rtol=1e-12,
+        )
+        # consensus recovers each original pattern up to a lag shift;
+        # the causal roll destroyed 2 of 10 lags of the second copy, so
+        # the member average can't match the intact original exactly
+        for i in range(2):
+            sims = [
+                _shifted_cosine(s[i], res.consensus[c], 5)
+                for c in range(2)
+            ]
+            assert max(sims) > 0.95
+            # and the two distinct patterns land in different clusters
+            assert min(sims) < 0.5
+
+    def test_dataframe_input(self):
+        import pandas as pd
+
+        from muscle_synergies_tpu.models import cluster_synergies
+
+        rng = np.random.default_rng(5)
+        base = self._base(rng, k=2)
+        res = cluster_synergies(
+            [pd.DataFrame(base), pd.DataFrame(base[::-1])]
+        )
+        assert res.n_clusters == 2
+        np.testing.assert_array_equal(res.membership, 1)
+
+    def test_validation(self):
+        from muscle_synergies_tpu.models import cluster_synergies
+
+        rng = np.random.default_rng(6)
+        h = rng.random((2, 5))
+        with pytest.raises(ValueError, match="at least two"):
+            cluster_synergies([h])
+        with pytest.raises(ValueError, match="expected all"):
+            cluster_synergies([h, rng.random((2, 4, 3))])
+        with pytest.raises(ValueError, match="shapes differ"):
+            cluster_synergies([h, rng.random((2, 6))])
+        with pytest.raises(ValueError, match="time-varying sets only"):
+            cluster_synergies([h, h], max_shift=2)
+        with pytest.raises(ValueError, match="out of range"):
+            cluster_synergies([h, h], n_clusters=5)
+        with pytest.raises(ValueError, match="out of range"):
+            cluster_synergies([h, h], n_clusters=0)
+
+    def test_plot_synergy_clusters(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from muscle_synergies_tpu.models import cluster_synergies
+        from muscle_synergies_tpu.viz import plot_synergy_clusters
+
+        rng = np.random.default_rng(8)
+        base = self._base(rng, k=3)
+        res = cluster_synergies([base, base[::-1]])
+        fig = plot_synergy_clusters(
+            res,
+            channel_names=[f"M{j}" for j in range(8)],
+            set_names=["s1", "s2"],
+            show=False,
+        )
+        assert len(fig.axes) >= 2
+        plt.close(fig)
+
+        s = rng.random((2, 6, 4))
+        s[0] *= 10.0
+        tv = cluster_synergies([s, s])
+        fig = plot_synergy_clusters(tv, show=False)
+        # one pattern axis per cluster + the membership axis
+        assert len(fig.axes) == tv.n_clusters + 1
+        plt.close(fig)
