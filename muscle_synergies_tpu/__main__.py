@@ -245,6 +245,13 @@ def _build_parser():
              "--temporal-modules/--spatial-modules models (all "
              "restarts join one batched solve; default 4)",
     )
+    p_ds.add_argument(
+        "--cluster-subjects", type=int, metavar="RANK", default=None,
+        help="after the rank sweep, cluster the per-subject averaged "
+             "components at RANK across subjects (group-level "
+             "shared-vs-specific synergies); requires --subjects with "
+             "at least two distinct labels and RANK inside --ranks",
+    )
     p_ds.add_argument("--output", "-o", default=None)
     return parser
 
@@ -585,6 +592,17 @@ def _cmd_analyze_dataset(args) -> int:
                 f"--subjects gives {len(subjects)} labels for "
                 f"{len(args.csvs)} captures"
             )
+    if args.cluster_subjects is not None:
+        if chosen:
+            raise SystemExit(
+                "--cluster-subjects applies to the plain NMF rank "
+                "sweep only"
+            )
+        if subjects is None or len(dict.fromkeys(subjects)) < 2:
+            raise SystemExit(
+                "--cluster-subjects requires --subjects with at least "
+                "two distinct labels"
+            )
 
     captures = [_load(p) for p in args.csvs]
     fs = captures[0].emg.sampling_frequency
@@ -606,6 +624,14 @@ def _cmd_analyze_dataset(args) -> int:
         # own flags and reject --ranks up front
         lo, hi = args.ranks
         ranks = tuple(range(lo, (hi if hi is not None else lo) + 1))
+        if (
+            args.cluster_subjects is not None
+            and args.cluster_subjects not in ranks
+        ):
+            raise SystemExit(
+                f"--cluster-subjects {args.cluster_subjects} is outside "
+                f"the swept ranks {list(ranks)}"
+            )
     try:
         beta_loss = float(args.beta_loss)
     except ValueError:
@@ -673,6 +699,18 @@ def _cmd_analyze_dataset(args) -> int:
         report["subject_mean_vaf"] = {
             subj: {str(k): float(v) for k, v in means.loc[subj].items()}
             for subj in dict.fromkeys(subjects)
+        }
+    if args.cluster_subjects is not None:
+        clusters = res.cluster_subjects(args.cluster_subjects)
+        report["synergy_clusters"] = {
+            "rank": args.cluster_subjects,
+            "subjects": list(dict.fromkeys(subjects)),
+            "n_clusters": clusters.n_clusters,
+            "shared": [int(c) for c in clusters.shared],
+            "coverage": [float(c) for c in clusters.coverage],
+            # membership[cluster][subject]: component counts
+            "membership": clusters.membership.tolist(),
+            "consensus": np.asarray(clusters.consensus).tolist(),
         }
 
     text = json.dumps(report, indent=2)

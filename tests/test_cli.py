@@ -95,6 +95,55 @@ def test_analyze_dataset_groups_subjects(capture_csv, tmp_path):
     assert len(report["min_rank_reaching_0.9"]) == 2
 
 
+def test_analyze_dataset_cluster_subjects(capture_csv, tmp_path):
+    out = tmp_path / "dataset.json"
+    result = _run([
+        "analyze-dataset", capture_csv, capture_csv,
+        "--ranks", "1:2", "--rms", "0.5", "--max-iter", "300",
+        "--tol", "1e-5", "--subjects", "s1,s2",
+        "--cluster-subjects", "2", "-o", str(out),
+    ])
+    assert result.returncode == 0, result.stderr[-2000:]
+    report = json.loads(out.read_text())
+    section = report["synergy_clusters"]
+    assert section["rank"] == 2
+    assert section["subjects"] == ["s1", "s2"]
+    # identical captures: every cluster is shared by both subjects
+    assert section["n_clusters"] == 2
+    assert section["shared"] == [0, 1]
+    assert section["coverage"] == [1.0, 1.0]
+    assert len(section["membership"]) == 2
+    assert all(len(row) == 2 for row in section["membership"])
+    assert len(section["consensus"]) == 2
+
+
+def test_analyze_dataset_cluster_subjects_validation(capture_csv):
+    # needs --subjects with two distinct labels
+    r = _run([
+        "analyze-dataset", capture_csv, capture_csv, "--ranks", "2",
+        "--rms", "0.5", "--cluster-subjects", "2",
+    ])
+    assert r.returncode != 0 and "two distinct" in r.stderr
+    r = _run([
+        "analyze-dataset", capture_csv, capture_csv, "--ranks", "2",
+        "--rms", "0.5", "--subjects", "a,a", "--cluster-subjects", "2",
+    ])
+    assert r.returncode != 0 and "two distinct" in r.stderr
+    # rank must be inside the sweep
+    r = _run([
+        "analyze-dataset", capture_csv, capture_csv, "--ranks", "1:2",
+        "--rms", "0.5", "--subjects", "a,b", "--cluster-subjects", "3",
+    ])
+    assert r.returncode != 0 and "outside the swept ranks" in r.stderr
+    # plain rank sweep only
+    r = _run([
+        "analyze-dataset", capture_csv, capture_csv,
+        "--space-by-time", "2:2", "--rms", "0.5",
+        "--subjects", "a,b", "--cluster-subjects", "2",
+    ])
+    assert r.returncode != 0 and "plain NMF rank sweep" in r.stderr
+
+
 def test_analyze_dataset_rejects_mismatched_subjects(capture_csv):
     result = _run([
         "analyze-dataset", capture_csv, "--subjects", "a,b",
