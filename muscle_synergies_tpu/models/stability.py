@@ -105,11 +105,18 @@ def bootstrap_synergies(
     init: Optional[str] = None,
     max_iter: int = 500,
     tol: float = 1e-6,
+    mesh=None,
 ) -> BootstrapResult:
     """Bootstrap the time axis and measure component stability.
 
     All resamples factorize in one vmapped solver call; only the
-    k x k component matching runs on host.
+    k x k component matching runs on host.  With ``mesh`` (a
+    ``(data, time)`` mesh from :func:`~...parallel.make_mesh`) the
+    resample batch runs through the sharded solver instead — resamples
+    shard over ``data`` (duplicate-padded to divisibility, exact: every
+    fit is independent), samples over ``time``; an indivisible sample
+    count falls back to the local batch with a warning, as
+    ``analyze_dataset`` does.
     """
     from .batch import fit_mu_batch, init_batch
 
@@ -127,8 +134,54 @@ def bootstrap_synergies(
     idx = rng.integers(0, n, size=(n_boot, n))
     xb = x[jnp.asarray(idx)]  # (n_boot, N, L)
     w0b, h0b = init_batch(xb, n_components, init=init, seed=seed)
-    states = fit_mu_batch(xb, w0b, h0b, max_iter=max_iter, tol=tol)
-    hs = np.asarray(states.h)
+
+    if mesh is not None:
+        from ..dataset import _usable_mesh
+
+        mesh = _usable_mesh(mesh, "bootstrap_synergies")
+    mesh_divides = mesh is not None and n % mesh.shape.get("time", 1) == 0
+    if mesh is not None and not mesh_divides:
+        import warnings
+
+        warnings.warn(
+            f"bootstrap_synergies: sample count {n} does not divide "
+            f"over the mesh's {mesh.shape.get('time', 1)}-way time "
+            "axis; falling back to the local batched solver.",
+            stacklevel=2,
+        )
+    if mesh_divides:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS, TIME_AXIS
+        from ..parallel.nmf import sharded_fit_mu
+
+        pad = (-n_boot) % mesh.shape[DATA_AXIS]
+        if pad:
+            xb = jnp.concatenate(
+                [xb, jnp.repeat(xb[:1], pad, axis=0)], axis=0
+            )
+            w0b = jnp.concatenate(
+                [w0b, jnp.repeat(w0b[:1], pad, axis=0)], axis=0
+            )
+            h0b = jnp.concatenate(
+                [h0b, jnp.repeat(h0b[:1], pad, axis=0)], axis=0
+            )
+        xb = jax.device_put(
+            xb, NamedSharding(mesh, P(DATA_AXIS, TIME_AXIS, None))
+        )
+        w0b = jax.device_put(
+            w0b, NamedSharding(mesh, P(DATA_AXIS, TIME_AXIS, None))
+        )
+        h0b = jax.device_put(
+            h0b, NamedSharding(mesh, P(DATA_AXIS, None, None))
+        )
+        states = sharded_fit_mu(
+            xb, w0b, h0b, mesh, max_iter=max_iter, tol=tol
+        )
+        hs = np.asarray(states.h)[:n_boot]
+    else:
+        states = fit_mu_batch(xb, w0b, h0b, max_iter=max_iter, tol=tol)
+        hs = np.asarray(states.h)
 
     sims = np.stack([_match_components(h_ref, hs[b]) for b in range(n_boot)])
     return BootstrapResult(reference_components=h_ref, similarities=sims)

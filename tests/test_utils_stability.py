@@ -585,3 +585,48 @@ class TestClusterSynergies:
         # one pattern axis per cluster + the membership axis
         assert len(fig.axes) == tv.n_clusters + 1
         plt.close(fig)
+
+
+class TestMeshedBootstrap:
+    """bootstrap_synergies(mesh=): resamples shard over the data axis."""
+
+    def test_meshed_matches_local(self):
+        from muscle_synergies_tpu.parallel import make_mesh
+
+        df = _emg_df(n=240, l=6, k=2)  # 240 divides the 2-way time axis
+        local = bootstrap_synergies(
+            df.to_numpy(), 2, n_boot=6, max_iter=200, tol=1e-6
+        )
+        meshed = bootstrap_synergies(
+            df.to_numpy(), 2, n_boot=6, max_iter=200, tol=1e-6,
+            mesh=make_mesh((4, 2)),  # n_boot=6 pads to 8
+        )
+        np.testing.assert_allclose(
+            meshed.reference_components, local.reference_components
+        )
+        np.testing.assert_allclose(
+            meshed.similarities, local.similarities, atol=1e-9
+        )
+
+    def test_indivisible_time_falls_back(self):
+        from muscle_synergies_tpu.parallel import make_mesh
+
+        df = _emg_df(n=241, l=6, k=2)
+        with pytest.warns(UserWarning, match="time"):
+            res = bootstrap_synergies(
+                df.to_numpy(), 2, n_boot=4, max_iter=100,
+                mesh=make_mesh((4, 2)),
+            )
+        assert res.similarities.shape == (4, 2)
+
+    def test_wrong_axes_fall_back(self):
+        from muscle_synergies_tpu.parallel import make_mesh
+        from muscle_synergies_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        df = _emg_df(n=240, l=6, k=2)
+        with pytest.warns(UserWarning, match="lacks"):
+            res = bootstrap_synergies(
+                df.to_numpy(), 2, n_boot=3, max_iter=100,
+                mesh=make_mesh((8, 1), axis_names=(DATA_AXIS, MODEL_AXIS)),
+            )
+        assert res.similarities.shape == (3, 2)
