@@ -435,6 +435,7 @@ def bootstrap_time_varying_synergies(
     max_iter: int = 300,
     tol: float = 1e-5,
     match_max_shift: Optional[int] = None,
+    mesh=None,
 ) -> TimeVaryingBootstrapResult:
     """Block-bootstrap the time axis and score synergy stability.
 
@@ -443,7 +444,11 @@ def bootstrap_time_varying_synergies(
     windows survive the resampling, all refits run as ONE batched
     device solve, and matching tolerates the model's time-shift
     indeterminacy (``match_max_shift`` lags each way, default
-    ``n_lags // 2``).
+    ``n_lags // 2``).  With ``mesh`` the resample batch runs through
+    :func:`~muscle_synergies_tpu.parallel.sharded_fit_cnmf` — resamples
+    shard over ``data`` (duplicate-padded, exact), samples over
+    ``time`` with lag-halo exchanges; an indivisible sample count or a
+    halo wider than one time shard falls back locally with a warning.
     """
     from .cnmf import fit_cnmf, fit_cnmf_batch, init_cnmf, normalize_synergies
 
@@ -469,9 +474,62 @@ def bootstrap_time_varying_synergies(
     idx = _block_bootstrap_indices(n, block_len, n_boot, rng)
     xb = x[jnp.asarray(idx)]  # (n_boot, N, L)
     c0b, s0b = init_cnmf(np.asarray(xb), n_synergies, n_lags, seed=seed)
-    states = fit_cnmf_batch(
-        xb, jnp.asarray(c0b), jnp.asarray(s0b), max_iter=max_iter, tol=tol
+    c0b, s0b = jnp.asarray(c0b), jnp.asarray(s0b)
+
+    if mesh is not None:
+        from ..dataset import _usable_mesh
+
+        mesh = _usable_mesh(mesh, "bootstrap_time_varying_synergies")
+    n_time = mesh.shape.get("time", 1) if mesh is not None else 1
+    mesh_divides = (
+        mesh is not None
+        and n % n_time == 0
+        and n_lags - 1 <= n // n_time
     )
+    if mesh is not None and not mesh_divides:
+        import warnings
+
+        warnings.warn(
+            f"bootstrap_time_varying_synergies: sample count {n} must "
+            f"divide over the mesh's {n_time}-way time axis with one "
+            f"shard covering the lag halo ({n_lags - 1}); falling back "
+            "to the local batched solver.",
+            stacklevel=2,
+        )
+    if mesh_divides:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.cnmf import sharded_fit_cnmf
+        from ..parallel.mesh import DATA_AXIS, TIME_AXIS
+
+        pad = (-n_boot) % mesh.shape[DATA_AXIS]
+        if pad:
+            xb = jnp.concatenate(
+                [xb, jnp.repeat(xb[:1], pad, axis=0)], axis=0
+            )
+            c0b = jnp.concatenate(
+                [c0b, jnp.repeat(c0b[:1], pad, axis=0)], axis=0
+            )
+            s0b = jnp.concatenate(
+                [s0b, jnp.repeat(s0b[:1], pad, axis=0)], axis=0
+            )
+        xb = jax.device_put(
+            xb, NamedSharding(mesh, P(DATA_AXIS, TIME_AXIS, None))
+        )
+        c0b = jax.device_put(
+            c0b, NamedSharding(mesh, P(DATA_AXIS, TIME_AXIS, None))
+        )
+        s0b = jax.device_put(
+            s0b, NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+        )
+        states = sharded_fit_cnmf(
+            xb, c0b, s0b, mesh, max_iter=max_iter, tol=tol
+        )
+        states = jax.tree.map(lambda a: a[:n_boot], states)
+    else:
+        states = fit_cnmf_batch(
+            xb, c0b, s0b, max_iter=max_iter, tol=tol
+        )
     _, sb = normalize_synergies(states.c, states.s)
     sb = np.asarray(sb)
 

@@ -630,3 +630,39 @@ class TestMeshedBootstrap:
                 mesh=make_mesh((8, 1), axis_names=(DATA_AXIS, MODEL_AXIS)),
             )
         assert res.similarities.shape == (3, 2)
+
+    def test_meshed_convolutive_matches_local(self):
+        from muscle_synergies_tpu.models import (
+            bootstrap_time_varying_synergies,
+        )
+        from muscle_synergies_tpu.parallel import make_mesh
+
+        x = _convolutive_data(t=240)  # 240 divides the 2-way time axis
+        local = bootstrap_time_varying_synergies(
+            x, 2, 8, n_boot=5, max_iter=80, tol=1e-5
+        )
+        meshed = bootstrap_time_varying_synergies(
+            x, 2, 8, n_boot=5, max_iter=80, tol=1e-5,
+            mesh=make_mesh((4, 2)),  # n_boot=5 pads to 8
+        )
+        np.testing.assert_allclose(
+            meshed.reference_synergies, local.reference_synergies
+        )
+        np.testing.assert_allclose(
+            meshed.similarities, local.similarities, atol=1e-9
+        )
+
+    def test_convolutive_halo_falls_back(self):
+        from muscle_synergies_tpu.models import (
+            bootstrap_time_varying_synergies,
+        )
+        from muscle_synergies_tpu.parallel import make_mesh
+
+        x = _convolutive_data(t=240)
+        # 8-way time axis: shard = 30 < fine, but lags=40 halo > shard
+        with pytest.warns(UserWarning, match="lag halo"):
+            res = bootstrap_time_varying_synergies(
+                x, 2, 40, n_boot=3, max_iter=40,
+                mesh=make_mesh((1, 8)),
+            )
+        assert res.similarities.shape == (3, 2)
