@@ -703,6 +703,7 @@ def bootstrap_space_by_time(
     seed: int = 0,
     max_iter: int = 400,
     tol: float = 1e-6,
+    mesh=None,
 ):
     """Trial-axis bootstrap stability of the shared NM3F modules.
 
@@ -712,6 +713,11 @@ def bootstrap_space_by_time(
     right resampling here: refit on ``n_boot`` resampled TRIAL sets —
     as one vmapped batch over resamples — and score each reference
     module's best-assignment cosine similarity across refits.
+
+    With ``mesh`` the RESAMPLE axis shards over every device of the
+    mesh (both axes together — each refit is a whole independent NM3F
+    problem, so unlike the solvers there is no collective to place and
+    the boot axis is the only scale axis; duplicate-padded, exact).
 
     Returns:
         ``(temporal BootstrapResult, spatial BootstrapResult)`` — the
@@ -742,9 +748,41 @@ def bootstrap_space_by_time(
     w0b = jnp.asarray(np.stack([i[0] for i in inits]))
     a0b = jnp.asarray(np.stack([i[1] for i in inits]))
     s0b = jnp.asarray(np.stack([i[2] for i in inits]))
+
+    if mesh is not None:
+        from ..dataset import _usable_mesh
+
+        mesh = _usable_mesh(mesh, "bootstrap_space_by_time")
+    n_real = n_boot
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS, TIME_AXIS
+
+        n_dev = mesh.shape[DATA_AXIS] * mesh.shape[TIME_AXIS]
+        pad = (-n_boot) % n_dev
+        if pad:
+            xb, w0b, a0b, s0b = (
+                jnp.concatenate(
+                    [arr, jnp.repeat(arr[:1], pad, axis=0)], axis=0
+                )
+                for arr in (xb, w0b, a0b, s0b)
+            )
+        boot_axes = (DATA_AXIS, TIME_AXIS)
+        xb, w0b, a0b, s0b = (
+            jax.device_put(
+                arr,
+                NamedSharding(
+                    mesh, P(boot_axes, *([None] * (arr.ndim - 1)))
+                ),
+            )
+            for arr in (xb, w0b, a0b, s0b)
+        )
     states = jax.vmap(
         lambda x, w, a, s: fit_nm3f(x, w, a, s, max_iter=max_iter, tol=tol)
     )(xb, w0b, a0b, s0b)
+    if mesh is not None:
+        states = jax.tree.map(lambda a: a[:n_real], states)
     wn, _, sn = jax.vmap(normalize_modules)(states.w, states.a, states.s)
     wn = np.swapaxes(np.asarray(wn), 1, 2)  # (n_boot, P, T)
     sn = np.asarray(sn)

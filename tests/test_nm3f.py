@@ -370,6 +370,41 @@ class TestNM3FStability:
         assert np.all(boot_w.mean > 0.8)
         assert np.all(boot_s.mean > 0.8)
 
+    def test_meshed_bootstrap_matches_local(self):
+        from muscle_synergies_tpu.models import bootstrap_space_by_time
+        from muscle_synergies_tpu.parallel import make_mesh
+
+        xs, _, _, _ = synthetic(b=8)
+        local_w, local_s = bootstrap_space_by_time(
+            xs, 3, 2, n_boot=5, max_iter=150, tol=1e-7, seed=0
+        )
+        meshed_w, meshed_s = bootstrap_space_by_time(
+            xs, 3, 2, n_boot=5, max_iter=150, tol=1e-7, seed=0,
+            mesh=make_mesh((4, 2)),  # n_boot=5 pads to 8 devices
+        )
+        np.testing.assert_allclose(
+            meshed_w.reference_components, local_w.reference_components
+        )
+        np.testing.assert_allclose(
+            meshed_w.similarities, local_w.similarities, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            meshed_s.similarities, local_s.similarities, atol=1e-9
+        )
+
+    def test_meshed_bootstrap_wrong_axes_fall_back(self):
+        from muscle_synergies_tpu.models import bootstrap_space_by_time
+        from muscle_synergies_tpu.parallel import make_mesh
+        from muscle_synergies_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        xs, _, _, _ = synthetic(b=6)
+        with pytest.warns(UserWarning, match="lacks"):
+            boot_w, _ = bootstrap_space_by_time(
+                xs, 2, 2, n_boot=3, max_iter=60,
+                mesh=make_mesh((8, 1), axis_names=(DATA_AXIS, MODEL_AXIS)),
+            )
+        assert boot_w.similarities.shape == (3, 2)
+
 
 class TestTransform:
     def test_modules_frozen_and_coefficients_recovered(self):
