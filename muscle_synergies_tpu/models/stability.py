@@ -695,6 +695,51 @@ def cv_time_varying_rank_selection(
 # space-by-time (NM3F) stability and module-count selection
 # ---------------------------------------------------------------------------
 
+def _shard_boot_axis(mesh, caller: str, *arrays):
+    """Shard each array's leading (resample) axis over every mesh device.
+
+    The meshed path of the vmapped whole-fit bootstraps: each resample
+    is an independent problem, so the boot axis shards over BOTH mesh
+    axes together (no collective to place) with duplicate padding to
+    divisibility — exact, the padded fits are dropped.
+
+    Returns ``(arrays, n_real, sharded)``; ``sharded`` is False when
+    the mesh is unusable (warned) or ``None``, in which case the
+    arrays come back untouched.
+    """
+    if mesh is not None:
+        from ..dataset import _usable_mesh
+
+        mesh = _usable_mesh(mesh, caller)
+    n_real = arrays[0].shape[0]
+    if mesh is None:
+        return arrays, n_real, False
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, TIME_AXIS
+
+    n_dev = mesh.shape[DATA_AXIS] * mesh.shape[TIME_AXIS]
+    pad = (-n_real) % n_dev
+    if pad:
+        arrays = tuple(
+            jnp.concatenate(
+                [arr, jnp.repeat(arr[:1], pad, axis=0)], axis=0
+            )
+            for arr in arrays
+        )
+    arrays = tuple(
+        jax.device_put(
+            arr,
+            NamedSharding(
+                mesh, P((DATA_AXIS, TIME_AXIS), *([None] * (arr.ndim - 1)))
+            ),
+        )
+        for arr in arrays
+    )
+    return arrays, n_real, True
+
+
 def bootstrap_space_by_time(
     xs,
     n_temporal: int,
@@ -749,39 +794,13 @@ def bootstrap_space_by_time(
     a0b = jnp.asarray(np.stack([i[1] for i in inits]))
     s0b = jnp.asarray(np.stack([i[2] for i in inits]))
 
-    if mesh is not None:
-        from ..dataset import _usable_mesh
-
-        mesh = _usable_mesh(mesh, "bootstrap_space_by_time")
-    n_real = n_boot
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from ..parallel.mesh import DATA_AXIS, TIME_AXIS
-
-        n_dev = mesh.shape[DATA_AXIS] * mesh.shape[TIME_AXIS]
-        pad = (-n_boot) % n_dev
-        if pad:
-            xb, w0b, a0b, s0b = (
-                jnp.concatenate(
-                    [arr, jnp.repeat(arr[:1], pad, axis=0)], axis=0
-                )
-                for arr in (xb, w0b, a0b, s0b)
-            )
-        boot_axes = (DATA_AXIS, TIME_AXIS)
-        xb, w0b, a0b, s0b = (
-            jax.device_put(
-                arr,
-                NamedSharding(
-                    mesh, P(boot_axes, *([None] * (arr.ndim - 1)))
-                ),
-            )
-            for arr in (xb, w0b, a0b, s0b)
-        )
+    (xb, w0b, a0b, s0b), n_real, sharded = _shard_boot_axis(
+        mesh, "bootstrap_space_by_time", xb, w0b, a0b, s0b
+    )
     states = jax.vmap(
         lambda x, w, a, s: fit_nm3f(x, w, a, s, max_iter=max_iter, tol=tol)
     )(xb, w0b, a0b, s0b)
-    if mesh is not None:
+    if sharded:
         states = jax.tree.map(lambda a: a[:n_real], states)
     wn, _, sn = jax.vmap(normalize_modules)(states.w, states.a, states.s)
     wn = np.swapaxes(np.asarray(wn), 1, 2)  # (n_boot, P, T)
@@ -1221,13 +1240,14 @@ def cv_shared_spatial_selection(
 
 def _bootstrap_shared_factor(
     xs, k: int, temporal: bool, n_boot: int, seed: int,
-    max_iter: int, tol: float,
+    max_iter: int, tol: float, mesh=None,
 ) -> BootstrapResult:
     """Trial-axis bootstrap core shared by the tMod/sMod wrappers.
 
     Same resampling argument as :func:`bootstrap_space_by_time`
     (trials are exchangeable under shared modules); fits run with one
-    side frozen at identity, vmapped over resamples.
+    side frozen at identity, vmapped over resamples (the resample axis
+    shards over every mesh device with ``mesh``, exactly as there).
     """
     xs = np.asarray(xs, dtype=float)
     b, t, l = xs.shape
@@ -1272,12 +1292,22 @@ def _bootstrap_shared_factor(
     w0b = jnp.asarray(np.stack([i[0] for i in inits]))
     a0b = jnp.asarray(np.stack([i[1] for i in inits]))
     s0b = jnp.asarray(np.stack([i[2] for i in inits]))
+    caller = (
+        "bootstrap_temporal_synergies"
+        if temporal
+        else "bootstrap_shared_spatial_synergies"
+    )
+    (xb, w0b, a0b, s0b), n_real, sharded = _shard_boot_axis(
+        mesh, caller, xb, w0b, a0b, s0b
+    )
     states = jax.vmap(
         lambda x, w, a, s: fit_nm3f(
             x, w, a, s, max_iter=max_iter, tol=tol,
             update_w=temporal, update_s=not temporal,
         )
     )(xb, w0b, a0b, s0b)
+    if sharded:
+        states = jax.tree.map(lambda a: a[:n_real], states)
     mods = np.asarray(
         jax.vmap(normalize_free)(states.w, states.a, states.s)
     )
@@ -1294,6 +1324,7 @@ def bootstrap_temporal_synergies(
     seed: int = 0,
     max_iter: int = 400,
     tol: float = 1e-6,
+    mesh=None,
 ) -> BootstrapResult:
     """Trial-axis bootstrap stability of the shared-temporal model.
 
@@ -1304,7 +1335,7 @@ def bootstrap_temporal_synergies(
     modules of the full fit.
     """
     return _bootstrap_shared_factor(
-        xs, n_temporal, True, n_boot, seed, max_iter, tol
+        xs, n_temporal, True, n_boot, seed, max_iter, tol, mesh=mesh
     )
 
 
@@ -1315,6 +1346,7 @@ def bootstrap_shared_spatial_synergies(
     seed: int = 0,
     max_iter: int = 400,
     tol: float = 1e-6,
+    mesh=None,
 ) -> BootstrapResult:
     """Trial-axis bootstrap stability of the shared-spatial model.
 
@@ -1323,7 +1355,7 @@ def bootstrap_shared_spatial_synergies(
     unit-norm ``(Q, L)`` spatial modules of the full fit.
     """
     return _bootstrap_shared_factor(
-        xs, n_spatial, False, n_boot, seed, max_iter, tol
+        xs, n_spatial, False, n_boot, seed, max_iter, tol, mesh=mesh
     )
 
 

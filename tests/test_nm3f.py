@@ -735,6 +735,31 @@ class TestSharedFactorBootstrap:
         assert boot.reference_components.shape == (q, l)
         assert np.all(boot.mean > 0.8)
 
+    def test_meshed_shared_factor_matches_local(self):
+        from muscle_synergies_tpu.models import (
+            bootstrap_shared_spatial_synergies,
+            bootstrap_temporal_synergies,
+        )
+        from muscle_synergies_tpu.parallel import make_mesh
+
+        xs, _, _, _ = synthetic(b=8)
+        mesh = make_mesh((4, 2))
+        for fn in (
+            bootstrap_temporal_synergies,
+            bootstrap_shared_spatial_synergies,
+        ):
+            local = fn(xs, 2, n_boot=5, max_iter=120, tol=1e-7, seed=0)
+            meshed = fn(
+                xs, 2, n_boot=5, max_iter=120, tol=1e-7, seed=0,
+                mesh=mesh,
+            )
+            np.testing.assert_allclose(
+                meshed.reference_components, local.reference_components
+            )
+            np.testing.assert_allclose(
+                meshed.similarities, local.similarities, atol=1e-9
+            )
+
     def test_module_count_validation(self):
         from muscle_synergies_tpu.models import (
             bootstrap_temporal_synergies,
