@@ -289,11 +289,14 @@ def cv_rank_selection(
     init: Optional[str] = None,
     max_iter: int = 500,
     tol: float = 1e-6,
+    mesh=None,
 ) -> CVResult:
     """Wold-style CV: mask random entries, score their reconstruction.
 
     For every (repeat, rank) pair a masked MU fit runs; all pairs are
     batched into one vmapped solve (ranks zero-padded to the maximum).
+    With ``mesh`` the (repeat, rank) grid axis shards over every mesh
+    device (each masked fit is independent; duplicate-padded, exact).
     """
     x = jnp.asarray(np.asarray(x, dtype=float))
     n, l = x.shape
@@ -313,11 +316,17 @@ def cv_rank_selection(
             w0s.append(w0p)
             h0s.append(h0p)
 
+    (gx, gm, gw, gh), n_real, sharded = _shard_boot_axis(
+        mesh, "cv_rank_selection",
+        jnp.stack(xs), jnp.stack(ms), jnp.stack(w0s), jnp.stack(h0s),
+    )
     fits = jax.vmap(
         lambda xi, mi, wi, hi: fit_mu_masked(
             xi, mi, wi, hi, max_iter=max_iter, tol=tol
         )
-    )(jnp.stack(xs), jnp.stack(ms), jnp.stack(w0s), jnp.stack(h0s))
+    )(gx, gm, gw, gh)
+    if sharded:
+        fits = jax.tree.map(lambda a: a[:n_real], fits)
 
     heldout = []
     x_np = np.asarray(x)
@@ -634,6 +643,7 @@ def cv_time_varying_rank_selection(
     seed: int = 0,
     max_iter: int = 300,
     tol: float = 1e-5,
+    mesh=None,
 ) -> CVResult:
     """Wold-style CV for the convolutive model's synergy count.
 
@@ -642,7 +652,8 @@ def cv_time_varying_rank_selection(
     counts zero-padded to the maximum (padded synergies and their
     activation columns start at zero, so every MU numerator touching
     them is identically zero and they stay zero) — and score each
-    rank's held-out reconstruction error.
+    rank's held-out reconstruction error.  With ``mesh`` the
+    (repeat, rank) grid axis shards over every mesh device.
     """
     from .cnmf import cnmf_reconstruct, init_cnmf
 
@@ -669,11 +680,17 @@ def cv_time_varying_rank_selection(
             c0s.append(jnp.asarray(c0p))
             s0s.append(jnp.asarray(s0p))
 
+    (gx, gm, gc, gs), n_real, sharded = _shard_boot_axis(
+        mesh, "cv_time_varying_rank_selection",
+        jnp.stack(xs), jnp.stack(ms), jnp.stack(c0s), jnp.stack(s0s),
+    )
     fits = jax.vmap(
         lambda xi, mi, ci, si: fit_cnmf_masked(
             xi, mi, ci, si, max_iter=max_iter, tol=tol
         )
-    )(jnp.stack(xs), jnp.stack(ms), jnp.stack(c0s), jnp.stack(s0s))
+    )(gx, gm, gc, gs)
+    if sharded:
+        fits = jax.tree.map(lambda a: a[:n_real], fits)
 
     heldout = []
     x_np = np.asarray(x)
@@ -948,6 +965,7 @@ def cv_space_by_time_selection(
     seed: int = 0,
     max_iter: int = 400,
     tol: float = 1e-6,
+    mesh=None,
 ) -> SpaceByTimeCVResult:
     """Wold-style CV over ``(n_temporal, n_spatial)`` candidates.
 
@@ -957,7 +975,8 @@ def cv_space_by_time_selection(
     grid maxima (padded modules and their coefficient rows/columns
     start at zero, so every MU numerator touching them is identically
     zero and they stay zero) — and score each candidate's held-out
-    reconstruction error.
+    reconstruction error.  With ``mesh`` the (repeat, pair) grid axis
+    shards over every mesh device.
     """
     from .nm3f import init_nm3f
 
@@ -989,14 +1008,18 @@ def cv_space_by_time_selection(
             a0s.append(jnp.asarray(a0p))
             s0s.append(jnp.asarray(s0p))
 
+    (gx, gm, gw, ga, gs), n_real, sharded = _shard_boot_axis(
+        mesh, "cv_space_by_time_selection",
+        jnp.stack(xs_list), jnp.stack(ms), jnp.stack(w0s),
+        jnp.stack(a0s), jnp.stack(s0s),
+    )
     fits = jax.vmap(
         lambda xi, mi, wi, ai, si: fit_nm3f_masked(
             xi, mi, wi, ai, si, max_iter=max_iter, tol=tol
         )
-    )(
-        jnp.stack(xs_list), jnp.stack(ms), jnp.stack(w0s),
-        jnp.stack(a0s), jnp.stack(s0s),
-    )
+    )(gx, gm, gw, ga, gs)
+    if sharded:
+        fits = jax.tree.map(lambda a: a[:n_real], fits)
 
     from .nm3f import nm3f_reconstruct
 
@@ -1120,6 +1143,7 @@ def _cv_shared_factor_selection(
     seed: int,
     max_iter: int,
     tol: float,
+    mesh=None,
 ) -> CVResult:
     """Wold-style CV core shared by the tMod/sMod selectors.
 
@@ -1127,7 +1151,8 @@ def _cv_shared_factor_selection(
     grid with the free side zero-padded to the grid maximum (padded
     modules start at zero, so every masked MU numerator touching them
     is identically zero and they stay zero) and the other side frozen
-    at identity.
+    at identity.  With ``mesh`` the grid axis shards over every mesh
+    device.
     """
     xs = jnp.asarray(np.asarray(xs, dtype=float))
     b, t, l = xs.shape
@@ -1168,15 +1193,22 @@ def _cv_shared_factor_selection(
             a0s.append(jnp.asarray(a0))
             s0s.append(jnp.asarray(s0))
 
+    caller = (
+        "cv_temporal_selection" if temporal else "cv_shared_spatial_selection"
+    )
+    (gx, gm, gw, ga, gs), n_real, sharded = _shard_boot_axis(
+        mesh, caller,
+        jnp.stack(xs_list), jnp.stack(ms), jnp.stack(w0s),
+        jnp.stack(a0s), jnp.stack(s0s),
+    )
     fits = jax.vmap(
         lambda xi, mi, wi, ai, si: fit_nm3f_masked(
             xi, mi, wi, ai, si, max_iter=max_iter, tol=tol,
             update_w=temporal, update_s=not temporal,
         )
-    )(
-        jnp.stack(xs_list), jnp.stack(ms), jnp.stack(w0s),
-        jnp.stack(a0s), jnp.stack(s0s),
-    )
+    )(gx, gm, gw, ga, gs)
+    if sharded:
+        fits = jax.tree.map(lambda a: a[:n_real], fits)
 
     from .nm3f import nm3f_reconstruct
 
@@ -1201,6 +1233,7 @@ def cv_temporal_selection(
     seed: int = 0,
     max_iter: int = 400,
     tol: float = 1e-6,
+    mesh=None,
 ) -> CVResult:
     """Held-out module-count selection for the shared-temporal model.
 
@@ -1213,7 +1246,7 @@ def cv_temporal_selection(
     """
     return _cv_shared_factor_selection(
         xs, candidates, True, holdout_fraction, n_repeats, seed,
-        max_iter, tol,
+        max_iter, tol, mesh=mesh,
     )
 
 
@@ -1225,6 +1258,7 @@ def cv_shared_spatial_selection(
     seed: int = 0,
     max_iter: int = 400,
     tol: float = 1e-6,
+    mesh=None,
 ) -> CVResult:
     """Held-out module-count selection for the shared-spatial model.
 
@@ -1234,7 +1268,7 @@ def cv_shared_spatial_selection(
     """
     return _cv_shared_factor_selection(
         xs, candidates, False, holdout_fraction, n_repeats, seed,
-        max_iter, tol,
+        max_iter, tol, mesh=mesh,
     )
 
 

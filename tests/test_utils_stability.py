@@ -666,3 +666,78 @@ class TestMeshedBootstrap:
                 mesh=make_mesh((1, 8)),
             )
         assert res.similarities.shape == (3, 2)
+
+
+class TestMeshedCV:
+    """CV selections: the (repeat, candidate) grid shards over the mesh."""
+
+    def test_cv_rank_selection_meshed_matches_local(self):
+        from muscle_synergies_tpu.parallel import make_mesh
+
+        df = _emg_df(n=160, l=6, k=2)
+        kwargs = dict(
+            ranks=(1, 2, 3), n_repeats=2, max_iter=150, tol=1e-6, seed=0
+        )
+        local = cv_rank_selection(df.to_numpy(), **kwargs)
+        meshed = cv_rank_selection(
+            df.to_numpy(), mesh=make_mesh((4, 2)), **kwargs
+        )  # 6 fits pad to 8 devices
+        np.testing.assert_allclose(
+            meshed.test_error, local.test_error, atol=1e-12
+        )
+        assert meshed.best_rank == local.best_rank
+
+    def test_cv_time_varying_meshed_matches_local(self):
+        from muscle_synergies_tpu.models import (
+            cv_time_varying_rank_selection,
+        )
+        from muscle_synergies_tpu.parallel import make_mesh
+
+        x = _convolutive_data(t=120)
+        kwargs = dict(
+            ranks=(1, 2), n_lags=6, n_repeats=2, max_iter=60, seed=0
+        )
+        local = cv_time_varying_rank_selection(x, **kwargs)
+        meshed = cv_time_varying_rank_selection(
+            x, mesh=make_mesh((4, 2)), **kwargs
+        )
+        np.testing.assert_allclose(
+            meshed.test_error, local.test_error, atol=1e-12
+        )
+
+    def test_cv_space_by_time_meshed_matches_local(self):
+        from muscle_synergies_tpu.models import cv_space_by_time_selection
+        from muscle_synergies_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(3)
+        xs = np.abs(rng.standard_normal((5, 40, 5)))
+        kwargs = dict(
+            pairs=[(1, 1), (2, 2)], n_repeats=2, max_iter=80, seed=0
+        )
+        local = cv_space_by_time_selection(xs, **kwargs)
+        meshed = cv_space_by_time_selection(
+            xs, mesh=make_mesh((4, 2)), **kwargs
+        )
+        np.testing.assert_allclose(
+            meshed.test_error, local.test_error, atol=1e-12
+        )
+
+    def test_cv_shared_factor_meshed_matches_local(self):
+        from muscle_synergies_tpu.models import (
+            cv_shared_spatial_selection,
+            cv_temporal_selection,
+        )
+        from muscle_synergies_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(4)
+        xs = np.abs(rng.standard_normal((5, 30, 5)))
+        mesh = make_mesh((4, 2))
+        for fn in (cv_temporal_selection, cv_shared_spatial_selection):
+            kwargs = dict(
+                candidates=(1, 2), n_repeats=2, max_iter=60, seed=0
+            )
+            local = fn(xs, **kwargs)
+            meshed = fn(xs, mesh=mesh, **kwargs)
+            np.testing.assert_allclose(
+                meshed.test_error, local.test_error, atol=1e-12
+            )
