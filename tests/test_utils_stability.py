@@ -741,3 +741,44 @@ class TestMeshedCV:
             np.testing.assert_allclose(
                 meshed.test_error, local.test_error, atol=1e-12
             )
+
+
+class TestClusterSynergiesProperties:
+    """Hypothesis invariances of the group-level clustering."""
+
+    def test_scale_and_set_order_invariance(self):
+        from hypothesis import given, settings, strategies as st
+
+        from muscle_synergies_tpu.models import cluster_synergies
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            seed=st.integers(0, 10_000),
+            k=st.integers(2, 4),
+            n_sets=st.integers(2, 4),
+            scale=st.floats(0.1, 10.0),
+        )
+        def run(seed, k, n_sets, scale):
+            rng = np.random.default_rng(seed)
+            base = np.eye(k, 8) + 0.05 * rng.random((k, 8))
+            sets = [
+                base[rng.permutation(k)] * rng.uniform(0.5, 2.0, (k, 1))
+                for _ in range(n_sets)
+            ]
+            ref = cluster_synergies(sets)
+            # per-component positive rescaling never changes clusters
+            scaled = cluster_synergies([s * scale for s in sets])
+            np.testing.assert_array_equal(
+                ref.membership, scaled.membership
+            )
+            for a, b in zip(ref.labels, scaled.labels):
+                np.testing.assert_array_equal(a, b)
+            # reversing the set order permutes columns of membership
+            rev = cluster_synergies(sets[::-1])
+            assert sorted(map(tuple, ref.membership.T)) == sorted(
+                map(tuple, rev.membership.T)
+            )
+            # every pooled component is in exactly one cluster
+            assert ref.membership.sum() == k * n_sets
+
+        run()
