@@ -80,10 +80,12 @@ def synthesize_gait_emg(
     idiosyncratic = _smooth_nonneg(
         rng.standard_normal((n_samples, len(GAIT_MUSCLES))), sigma=400.0
     )
+    # short captures can leave a channel's smoothed noise entirely
+    # clamped to zero; skip rescaling those instead of dividing 0/0
+    idio_std = idiosyncratic.std(axis=0, keepdims=True)
+    idio_std[idio_std == 0] = 1.0
     idiosyncratic = (
-        idiosyncratic
-        / idiosyncratic.std(axis=0, keepdims=True)
-        * envelope.std(axis=0, keepdims=True)
+        idiosyncratic / idio_std * envelope.std(axis=0, keepdims=True)
     )
     envelope = envelope + unique_weight * idiosyncratic
 
