@@ -147,6 +147,12 @@ def cnmf_block_b(b: int) -> Optional[int]:
     scoped VMEM at realistic lag depths (block 256 fails remote
     compile; see the kernel docstring).  Anything else must take the
     XLA path.
+
+    Every admitted shape is validated against float64 host references
+    on a real v5e (``scripts/validate_cnmf_tpu.py``, 2026-08-19,
+    artifact ``BENCH_CNMF_TILES.json``): whole-batch tiles at 4, 8 and
+    100 lanes and the multi-tile ``block_b=128`` grid at batch 256 all
+    compile and land ~1e-6 max relative error.
     """
     if b % 128 == 0:
         return 128
@@ -161,6 +167,10 @@ def resolve_cnmf_impl(impl: str, batch: int) -> str:
     The single home of the selection rule: the fused kernel wins only
     on TPU, only when the batch has a legal tile (:func:`cnmf_block_b`)
     that fills a reasonable fraction of the 128-wide lane dimension.
+    The ``>= 8``-lane floor is a throughput heuristic (a 4-lane tile
+    leaves 97% of the VPU lanes idle), not a legality bound — sub-8
+    whole-batch tiles are chip-validated correct (see
+    :func:`cnmf_block_b`) and remain reachable via ``impl="pallas"``.
     """
     if impl != "auto":
         if impl not in {"xla", "pallas"}:
