@@ -63,8 +63,12 @@ class PipelineConfig:
         solver_impl: batched-solver implementation for dataset-scale
             runs — ``"xla"`` (any backend), ``"pallas"`` (the fused
             VMEM kernels, TPU only; every solver and beta) or
-            ``"auto"`` (pallas on TPU when the fit grid packs lanes
-            reasonably, xla elsewhere).
+            ``"auto"`` (the default: pallas on TPU when the fit grid
+            packs lanes reasonably, xla elsewhere — on a v5e the
+            fused fits are ~7x faster AND their f32 stopping
+            statistics track the float64 reference to gap 0 where the
+            XLA path's bf16 MXU rounding drifts it tens of
+            checkpoints; see BENCH_CHECK.json / BENCH_FIT.json).
         inner_iter: accelerated-MU inner repetitions per outer
             iteration (1 = sklearn-exact plain MU).
     """
@@ -81,7 +85,7 @@ class PipelineConfig:
     beta_loss: str = "frobenius"
     max_iter: int = 100_000
     tol: float = 1e-6
-    solver_impl: str = "xla"
+    solver_impl: str = "auto"
     inner_iter: int = 1
 
     # -- execution ---------------------------------------------------------
