@@ -221,16 +221,16 @@ def vaf(
         a 1-row DataFrame: column ``"All signals"`` holds the overall
         VAF and each remaining column the per-muscle VAF.
     """
-    x = original_df.to_numpy()
+    import jax.numpy as jnp
+
+    x = jnp.asarray(original_df.to_numpy())
     if reconstructed_signal is None:
-        reconstructed_signal = np.asarray(transformed_signal) @ np.asarray(
+        reconstructed_signal = jnp.asarray(transformed_signal) @ jnp.asarray(
             components
         )
-    err = x - np.asarray(reconstructed_signal)
-    overall = 1.0 - (err**2).sum() / (x**2).sum()
-    per_col = 1.0 - (err**2).sum(axis=0) / (x**2).sum(axis=0)
+    overall, per_col = _emg.vaf(x, jnp.asarray(reconstructed_signal))
     labels = ["All signals"] + original_df.columns.tolist()
-    values = [overall] + list(np.ravel(per_col))
+    values = [float(overall)] + list(np.ravel(np.asarray(per_col)))
     return pandas.DataFrame({lbl: [val] for lbl, val in zip(labels, values)})
 
 

@@ -276,3 +276,21 @@ def fft_spectrum(x: jnp.ndarray, sampling_frequency: float):
     positive = freqs > 0
     spectrum = jnp.abs(jnp.fft.fft(x, axis=0)[positive])
     return freqs[positive], spectrum
+
+
+@jax.jit
+def vaf(x: jnp.ndarray, reconstruction: jnp.ndarray):
+    """Variance accounted for by ``reconstruction`` of ``x``.
+
+    ``VAF = 1 - ||x - x_r||^2 / ||x||^2`` (Frobenius), computed on
+    device (reference analysis.py:612-652 computes the same statistic
+    on host numpy).
+
+    Returns:
+        ``(overall, per_channel)`` — a scalar and a ``(L,)`` vector
+        for an ``(N, L)`` signal.
+    """
+    err = x - reconstruction
+    overall = 1.0 - jnp.sum(err * err) / jnp.sum(x * x)
+    per_channel = 1.0 - jnp.sum(err * err, axis=0) / jnp.sum(x * x, axis=0)
+    return overall, per_channel

@@ -65,7 +65,8 @@ class PipelineConfig:
             VMEM kernels, TPU only; every solver and beta) or
             ``"auto"`` (the default: pallas on TPU when the fit grid
             packs lanes reasonably, xla elsewhere — on a v5e the
-            fused fits are ~7x faster AND their f32 stopping
+            fused fits are up to ~7.7x faster (CD; 1.8-2.6x for
+            MU/KL/IS per BENCH_FIT.json) AND their f32 stopping
             statistics track the float64 reference to gap 0 where the
             XLA path's bf16 MXU rounding drifts it tens of
             checkpoints; see BENCH_CHECK.json / BENCH_FIT.json).

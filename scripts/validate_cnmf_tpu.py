@@ -20,20 +20,29 @@ Run on the real chip (ambient axon env)::
 
     python scripts/validate_cnmf_tpu.py
 
-Exit status 0 iff every case passes (a remote *compile* failure for a
-small whole-batch tile counts as a documented-illegal case, reported
-as ``compile_error`` — that outcome should gate widening the auto
-rule, not fail CI).
+Exit status 0 iff every case passes, with one asymmetry by design:
+
+* a remote *compile* failure for a sub-8-lane whole-batch tile counts
+  as a documented-illegal case (reported as ``compile_error``) — the
+  ``auto`` rule already refuses those shapes, so the outcome should
+  gate widening the rule, not fail CI;
+* a *numerics* failure gates at EVERY batch size, including b < 8:
+  explicit ``impl="pallas"`` is user-reachable there (only ``auto``
+  applies the >=8 lane-occupancy floor), so a tile that compiles but
+  computes wrong answers is a shipped bug regardless of the floor.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from bench import _cnmf_reference_f64  # noqa: E402
 
@@ -90,7 +99,7 @@ def main():
         row = _case(b)
         print(json.dumps(row), flush=True)
         if row["status"] == "numerics_fail":
-            ok = False
+            ok = False  # impl="pallas" is user-reachable at any b
         if row["status"] == "compile_error" and b >= 8:
             ok = False  # >=8-lane tiles are the shipped envelope
     sys.exit(0 if ok else 1)

@@ -185,6 +185,14 @@ class TestVAF:
         expected_overall = 1 - (err**2).sum() / (x.to_numpy() ** 2).sum()
         np.testing.assert_allclose(out["All signals"].iloc[0], expected_overall)
         assert list(out.columns) == ["All signals", "VL", "RF", "BF", "ST"]
+        # Per-column parity vs the host-numpy float64 oracle: the
+        # device-backed ops.emg.vaf path must agree bit-for-bit at x64.
+        expected_per = 1 - (err**2).sum(axis=0) / (x.to_numpy() ** 2).sum(
+            axis=0
+        )
+        np.testing.assert_allclose(
+            out.to_numpy()[0, 1:], np.asarray(expected_per)
+        )
 
 
 class TestViz:
