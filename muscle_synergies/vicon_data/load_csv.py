@@ -12,17 +12,31 @@ push-style adapters over the same shared row store: ``Reader.feed_row``
 appends rows, ``Builder.build`` hands them to the bulk parser.  The
 observable contract — feed every row, call ``build()``, get the same
 data ``load_vicon_file`` produces, with 1-based line numbers in
-errors — is identical.
+errors — is identical, including the reference's *feed-time* error
+semantics: the reference's state machine raises at the offending row
+(reference reader.py:56-63, wrapped with the line number in
+load_csv.py:128-134), so ``feed_row`` here validates the section
+grammar incrementally and raises a :class:`ViconCSVError` naming the
+offending 1-based line as soon as it is fed, while the heavy numeric
+decode still happens in one bulk pass at ``build()``.
 """
 
 from __future__ import annotations
 
 import csv
 from dataclasses import dataclass, field
+from enum import Enum, auto
 from typing import Iterator, List, Optional
 
 from muscle_synergies_tpu.data import ViconNexusData
-from muscle_synergies_tpu.io.vicon import Row, load_vicon_lines
+from muscle_synergies_tpu.io.vicon import (
+    Row,
+    ViconCSVError,
+    _err,
+    _parse_header_line,
+    _prune_trailing,
+    load_vicon_lines,
+)
 
 __all__ = (
     "csv_row_stream",
@@ -49,19 +63,115 @@ class Aggregator:
     rows: List[Row] = field(default_factory=list)
 
 
+class _LineKind(Enum):
+    """Which grammar line the Reader expects next (reference
+    definitions.py ``ViconCSVLines`` vocabulary)."""
+
+    SECTION_TYPE = auto()
+    SAMPLING_FREQ = auto()
+    DEVICE_NAMES = auto()
+    COORDINATES = auto()
+    UNITS = auto()
+    DATA = auto()
+    DONE = auto()
+
+
+_SECTION_WORDS = ("Devices", "Trajectories")
+
+
 class Reader:
-    """Push-style row consumer (reference reader.py:30-63 contract)."""
+    """Push-style row consumer (reference reader.py:30-63 contract).
+
+    Tracks the section grammar incrementally so malformed rows raise a
+    :class:`ViconCSVError` *as they are fed*, matching the reference
+    state machine's feed-time behavior (reference reader.py:250-330
+    section/frequency states, :904-951 per-cell float validation of
+    data rows).  Messages reuse the bulk parser's wording and 1-based
+    line numbers so the push and bulk paths report identically.
+    """
 
     def __init__(self, aggregator: Optional[Aggregator] = None):
         self._aggregator = aggregator if aggregator is not None else Aggregator()
+        self._lineno = 0
+        self._kind = _LineKind.SECTION_TYPE
+        self._section = 0  # 0 = Devices, 1 = Trajectories
+        self._num_cols = 0
 
     @property
     def aggregator(self) -> Aggregator:
         return self._aggregator
 
     def feed_row(self, row: Row) -> None:
-        """Accept one CSV row (a list of cell strings)."""
+        """Accept one CSV row (a list of cell strings).
+
+        Raises:
+            ViconCSVError: if the row breaks the section grammar —
+                the error names this row's 1-based line number.
+        """
+        self._lineno += 1
+        self._validate(list(row))
         self._aggregator.rows.append(list(row))
+
+    def _validate(self, row: List[str]) -> None:
+        pruned = _prune_trailing(row)
+        if self._kind is _LineKind.SECTION_TYPE:
+            if not pruned:
+                return  # extra separator blank: legal between sections
+            expected = _SECTION_WORDS[self._section]
+            if pruned != [expected]:
+                raise _err(
+                    self._lineno,
+                    f"expected section type line containing only "
+                    f"{expected!r}, got {pruned!r}",
+                )
+            self._kind = _LineKind.SAMPLING_FREQ
+        elif self._kind is _LineKind.SAMPLING_FREQ:
+            if len(pruned) != 1:
+                raise _err(
+                    self._lineno,
+                    "sampling frequency line should contain a single value",
+                )
+            try:
+                int(pruned[0])
+            except ValueError as exc:
+                raise _err(
+                    self._lineno, f"invalid sampling frequency: {exc}"
+                ) from exc
+            self._kind = _LineKind.DEVICE_NAMES
+        elif self._kind is _LineKind.DEVICE_NAMES:
+            _parse_header_line(pruned, self._lineno)
+            self._kind = _LineKind.COORDINATES
+        elif self._kind is _LineKind.COORDINATES:
+            self._num_cols = len(pruned)
+            self._kind = _LineKind.UNITS
+        elif self._kind is _LineKind.UNITS:
+            self._kind = _LineKind.DATA
+        elif self._kind is _LineKind.DATA:
+            if not pruned:  # blank row: the section separator
+                self._section += 1
+                self._kind = (
+                    _LineKind.SECTION_TYPE
+                    if self._section < len(_SECTION_WORDS)
+                    else _LineKind.DONE
+                )
+                return
+            # Per-cell float validation of the columns the decoder
+            # will read (cells beyond num_cols are export padding and
+            # ignored, matching the bulk contract and the reference's
+            # DataState truncation).
+            for j, cell in enumerate(row[: self._num_cols]):
+                cell = cell.strip()
+                if not cell:
+                    continue  # empty cell -> NaN downstream
+                try:
+                    float(cell)
+                except ValueError as exc:
+                    raise _err(
+                        self._lineno,
+                        f"invalid data value {cell!r} in column {j}",
+                    ) from exc
+        # _LineKind.DONE: trailing rows after the last section are left
+        # to the bulk parser's judgement at build() time.
 
 
 class Builder:

@@ -249,3 +249,113 @@ def test_analysis_module_path_twin():
         "SynergyRunResult",
     ):
         assert hasattr(mod, name), name
+
+
+class TestFeedTimeErrors:
+    """Reader.feed_row raises AT the offending row, like the reference.
+
+    The reference's state machine raises inside feed_row (reference
+    reader.py:56-63) and load_vicon_file wraps with the 1-based line
+    number (reference load_csv.py:128-134); the push adapter must not
+    defer those errors to build().
+    """
+
+    @staticmethod
+    def _feed_until_error(lines):
+        import csv as _csv
+
+        from muscle_synergies.vicon_data import load_csv as lc
+        from muscle_synergies_tpu.io.vicon import ViconCSVError
+
+        run = lc.create_loading_run()
+        for i, row in enumerate(_csv.reader(lines), start=1):
+            try:
+                run.reader.feed_row(row)
+            except ViconCSVError as exc:
+                return i, str(exc)
+        return None, None
+
+    def test_bad_section_word_raises_at_line_1(self):
+        from tests.test_ingest import GOLDEN_CSV
+
+        lines = GOLDEN_CSV.splitlines()
+        lines[0] = lines[0].replace("Devices", "Gadgets")
+        at, msg = self._feed_until_error(lines)
+        assert at == 1
+        assert "line 1" in msg and "Devices" in msg
+
+    def test_bad_sampling_freq_raises_at_line_2(self):
+        from tests.test_ingest import GOLDEN_CSV
+
+        lines = GOLDEN_CSV.splitlines()
+        lines[1] = lines[1].replace("300", "three hundred")
+        at, msg = self._feed_until_error(lines)
+        assert at == 2
+        assert "line 2" in msg and "sampling frequency" in msg
+
+    def test_bad_data_cell_raises_at_its_line(self):
+        from tests.test_ingest import GOLDEN_CSV
+
+        lines = GOLDEN_CSV.splitlines()
+        # line 7 (1-based) is the second data row of the Devices section
+        lines[6] = lines[6].replace("1.5", "oops")
+        at, msg = self._feed_until_error(lines)
+        assert at == 7
+        assert "line 7" in msg and "oops" in msg
+
+    def test_trajectories_section_word_enforced(self):
+        from tests.test_ingest import GOLDEN_CSV
+
+        lines = GOLDEN_CSV.splitlines()
+        traj_line = lines.index(
+            next(l for l in lines if l.startswith("Trajectories"))
+        )
+        lines[traj_line] = lines[traj_line].replace(
+            "Trajectories", "Devices"
+        )
+        at, msg = self._feed_until_error(lines)
+        assert at == traj_line + 1
+        assert f"line {traj_line + 1}" in msg and "Trajectories" in msg
+
+    def test_malformed_devices_header_raises_at_line_3(self):
+        from tests.test_ingest import GOLDEN_CSV
+
+        lines = GOLDEN_CSV.splitlines()
+        lines[2] = "NotBlank," + lines[2][1:]
+        at, msg = self._feed_until_error(lines)
+        assert at == 3
+        assert "line 3" in msg
+
+    def test_valid_file_feeds_clean_and_extra_blanks_ok(self, tmp_path):
+        import csv as _csv
+
+        from muscle_synergies.vicon_data import load_csv as lc
+        from tests.test_ingest import GOLDEN_CSV
+
+        lines = GOLDEN_CSV.splitlines()
+        # duplicate the separator blank: legal for the bulk splitter,
+        # must be legal at feed time too
+        sep = lines.index(",,,,,,,,,,,,,,,,,,,,,,,,,")
+        lines.insert(sep, ",,,,,,,,,,,,,,,,,,,,,,,,,")
+        run = lc.create_loading_run()
+        for row in _csv.reader(lines):
+            run.reader.feed_row(row)  # must not raise
+        data = run.builder.build()
+        assert data.emg is not None
+
+    def test_feed_time_matches_bulk_line_number(self, tmp_path):
+        """Push feed-time and bulk build() agree on the reported line."""
+        import pytest
+
+        from muscle_synergies_tpu.io.vicon import (
+            ViconCSVError,
+            load_vicon_lines,
+        )
+        from tests.test_ingest import GOLDEN_CSV
+
+        lines = GOLDEN_CSV.splitlines()
+        lines[0] = lines[0].replace("Devices", "Gadgets")
+        with pytest.raises(ViconCSVError, match="line 1"):
+            load_vicon_lines(lines)
+        at, msg = self._feed_until_error(lines)
+        assert at == 1 and "line 1" in msg
