@@ -309,3 +309,145 @@ class TestRegressionFixes:
         with pytest.raises(ValueError, match="no phase found"):
             transition_indices(left, right, min_phase_size=10,
                                num_segments=2)
+
+
+class TestSegmentPlotterParity:
+    """Reference plotting surface: rectangles, focused xlim, grids.
+
+    Mirrors reference project/segment.py:329-664 — patch extents are
+    asserted on the Agg backend per axes.
+    """
+
+    @pytest.fixture(autouse=True)
+    def _agg(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+
+    def _rects(self, ax):
+        from matplotlib import patches
+
+        return [p for p in ax.patches if isinstance(p, patches.Rectangle)]
+
+    def test_plot_segment_draws_rectangle_with_segment_extent(
+        self, capture, segmenter
+    ):
+        import matplotlib.pyplot as plt
+
+        plotter = SegmentPlotter(capture, segmenter)
+        fig, ax = plotter.plot_segment(1, 1, "BL", show=False)
+        rects = self._rects(ax)
+        assert len(rects) == 1
+        begin, end = plotter._get_times_in_seconds("fp", (1, 1, "BL"))
+        r = rects[0]
+        assert r.get_x() == pytest.approx(begin)
+        assert r.get_width() == pytest.approx(end - begin)
+        # y extent spans the axes' y-limits at draw time
+        y0, y1 = ax.get_ylim()
+        assert r.get_y() <= y0 and r.get_y() + r.get_height() >= y1 - 1e-9
+        plt.close(fig)
+
+    def test_device_first_reference_call_shape(self, capture, segmenter):
+        import matplotlib.pyplot as plt
+
+        plotter = SegmentPlotter(capture, segmenter)
+        fig, ax = plotter.plot_segment(
+            "fp",
+            "Fz",
+            time=(1, 2),
+            rectangle_label="cycle 2",
+            show=False,
+            show_legend=True,
+        )
+        rects = self._rects(ax)
+        assert len(rects) == 1
+        begin, end = plotter._get_times_in_seconds("fp", (1, 2))
+        assert rects[0].get_x() == pytest.approx(begin)
+        assert rects[0].get_width() == pytest.approx(end - begin)
+        labels = [t.get_text() for t in ax.get_legend().get_texts()]
+        assert "cycle 2" in labels
+        plt.close(fig)
+
+    def test_time_none_draws_no_rectangle(self, capture, segmenter):
+        import matplotlib.pyplot as plt
+
+        plotter = SegmentPlotter(capture, segmenter)
+        fig, ax = plotter.plot_segment("fp", "Fz", show=False)
+        assert self._rects(ax) == []
+        plt.close(fig)
+
+    def test_focused_xlim_thirty_pct_margin(self, capture, segmenter):
+        import matplotlib.pyplot as plt
+
+        plotter = SegmentPlotter(capture, segmenter)
+        fig, ax = plotter.plot_segment(
+            "fp", "Fz", time=(2, 1, "BL"), show=False, show_entire=False
+        )
+        t0, t1 = plotter._get_times_in_seconds("fp", 2)  # the trecho
+        margin = (t1 - t0) * 0.3
+        x0, x1 = ax.get_xlim()
+        assert x0 == pytest.approx(t0 - margin)
+        assert x1 == pytest.approx(t1 + margin)
+        plt.close(fig)
+
+    def test_plot_segment_og_rectangle_and_legend(self, capture, segmenter):
+        import matplotlib.pyplot as plt
+
+        plotter = SegmentPlotter(capture, segmenter)
+        fig, ax = plotter.plot_segment_og(
+            "first pass", trecho=1, y_min=-120.0, y_max=0.0, show=False
+        )
+        rects = self._rects(ax)
+        assert len(rects) == 1
+        begin, end = plotter._get_times_in_seconds("fp", (1, None, None))
+        r = rects[0]
+        assert r.get_x() == pytest.approx(begin)
+        assert r.get_width() == pytest.approx(end - begin)
+        assert r.get_y() == pytest.approx(-120.0)
+        assert r.get_height() == pytest.approx(120.0)
+        labels = [t.get_text() for t in ax.get_legend().get_texts()]
+        assert "first pass" in labels
+        plt.close(fig)
+
+    def test_plot_segment_og_focused(self, capture, segmenter):
+        import matplotlib.pyplot as plt
+
+        plotter = SegmentPlotter(capture, segmenter)
+        fig, ax = plotter.plot_segment_og(
+            "pass 2", trecho=2, show=False, show_entire=False
+        )
+        t0, t1 = plotter._get_times_in_seconds("fp", 2)
+        margin = (t1 - t0) * 0.3
+        assert ax.get_xlim() == pytest.approx((t0 - margin, t1 + margin))
+        plt.close(fig)
+
+    def test_grid_one_axes_per_device_each_shaded(self, capture, segmenter):
+        import matplotlib.pyplot as plt
+
+        plotter = SegmentPlotter(capture, segmenter)
+        fig, axes = plotter.plot_segment_grid(
+            "fp", "Fz", time=(1, 1), rectangle_label="c1", show=False
+        )
+        assert len(axes) == 2  # both force plates
+        begin, end = plotter._get_times_in_seconds("fp", (1, 1))
+        for ax in axes:
+            rects = self._rects(ax)
+            assert len(rects) == 1
+            assert rects[0].get_x() == pytest.approx(begin)
+            assert rects[0].get_width() == pytest.approx(end - begin)
+            # each rectangle sized from ITS axes' y-limits
+            y0, y1 = ax.get_ylim()
+            assert rects[0].get_y() == pytest.approx(y0)
+            assert rects[0].get_height() == pytest.approx(y1 - y0)
+        plt.close(fig)
+
+    def test_grid_emg_single_axes(self, capture, segmenter):
+        import matplotlib.pyplot as plt
+
+        plotter = SegmentPlotter(capture, segmenter)
+        fig, axes = plotter.plot_segment_grid(
+            "emg", "E1", time=1, show=False
+        )
+        assert len(axes) == 1
+        assert len(self._rects(axes[0])) == 1
+        plt.close(fig)
