@@ -106,6 +106,7 @@ def bootstrap_synergies(
     max_iter: int = 500,
     tol: float = 1e-6,
     mesh=None,
+    _resample_plan=None,
 ) -> BootstrapResult:
     """Bootstrap the time axis and measure component stability.
 
@@ -130,8 +131,15 @@ def bootstrap_synergies(
     ref = fit_mu(x, w0, h0, max_iter=max_iter, tol=tol)
     h_ref = np.asarray(ref.h)
 
-    rng = np.random.default_rng(seed)
-    idx = rng.integers(0, n, size=(n_boot, n))
+    if _resample_plan is None:
+        rng = np.random.default_rng(seed)
+        idx = rng.integers(0, n, size=(n_boot, n))
+    else:
+        # resume plumbing (models.resume): precomputed index rows for
+        # this chunk; the init here is per-trial-deterministic so no
+        # global row offset is needed
+        idx, _ = _resample_plan
+        n_boot = idx.shape[0]
     xb = x[jnp.asarray(idx)]  # (n_boot, N, L)
     w0b, h0b = init_batch(xb, n_components, init=init, seed=seed)
 
@@ -445,6 +453,7 @@ def bootstrap_time_varying_synergies(
     tol: float = 1e-5,
     match_max_shift: Optional[int] = None,
     mesh=None,
+    _resample_plan=None,
 ) -> TimeVaryingBootstrapResult:
     """Block-bootstrap the time axis and score synergy stability.
 
@@ -479,10 +488,20 @@ def bootstrap_time_varying_synergies(
     _, s_ref = normalize_synergies(ref.c, ref.s)
     s_ref = np.asarray(s_ref)
 
-    rng = np.random.default_rng(seed)
-    idx = _block_bootstrap_indices(n, block_len, n_boot, rng)
+    if _resample_plan is None:
+        rng = np.random.default_rng(seed)
+        idx = _block_bootstrap_indices(n, block_len, n_boot, rng)
+        row0 = 0
+    else:
+        # resume plumbing (models.resume): precomputed block-resample
+        # rows plus the global row offset, so the batched init's
+        # per-row ``seed + b`` seeding matches the unchunked run
+        idx, row0 = _resample_plan
+        n_boot = idx.shape[0]
     xb = x[jnp.asarray(idx)]  # (n_boot, N, L)
-    c0b, s0b = init_cnmf(np.asarray(xb), n_synergies, n_lags, seed=seed)
+    c0b, s0b = init_cnmf(
+        np.asarray(xb), n_synergies, n_lags, seed=seed + row0
+    )
     c0b, s0b = jnp.asarray(c0b), jnp.asarray(s0b)
 
     if mesh is not None:
@@ -766,6 +785,7 @@ def bootstrap_space_by_time(
     max_iter: int = 400,
     tol: float = 1e-6,
     mesh=None,
+    _resample_plan=None,
 ):
     """Trial-axis bootstrap stability of the shared NM3F modules.
 
@@ -800,11 +820,20 @@ def bootstrap_space_by_time(
     w_ref = np.asarray(w_ref).T  # (P, T): components as rows
     s_ref = np.asarray(s_ref)  # (Q, L)
 
-    rng = np.random.default_rng(seed)
-    idx = rng.integers(0, b, size=(n_boot, b))
+    if _resample_plan is None:
+        rng = np.random.default_rng(seed)
+        idx = rng.integers(0, b, size=(n_boot, b))
+        row0 = 0
+    else:
+        # resume plumbing (models.resume): precomputed trial-resample
+        # rows plus the global row offset for the per-row init seeds
+        idx, row0 = _resample_plan
+        n_boot = idx.shape[0]
     xb = jnp.asarray(xs)[jnp.asarray(idx)]  # (n_boot, B, T, L)
     inits = [
-        init_nm3f(xs[idx[r]], n_temporal, n_spatial, seed=seed + 1 + r)
+        init_nm3f(
+            xs[idx[r]], n_temporal, n_spatial, seed=seed + 1 + row0 + r
+        )
         for r in range(n_boot)
     ]
     w0b = jnp.asarray(np.stack([i[0] for i in inits]))
@@ -1274,7 +1303,7 @@ def cv_shared_spatial_selection(
 
 def _bootstrap_shared_factor(
     xs, k: int, temporal: bool, n_boot: int, seed: int,
-    max_iter: int, tol: float, mesh=None,
+    max_iter: int, tol: float, mesh=None, _resample_plan=None,
 ) -> BootstrapResult:
     """Trial-axis bootstrap core shared by the tMod/sMod wrappers.
 
@@ -1320,9 +1349,15 @@ def _bootstrap_shared_factor(
     )
     ref_mods = np.asarray(normalize_free(ref.w, ref.a, ref.s))
 
-    idx = rng.integers(0, b, size=(n_boot, b))
+    if _resample_plan is None:
+        idx = rng.integers(0, b, size=(n_boot, b))
+        row0 = 0
+    else:
+        # resume plumbing (models.resume): precomputed rows + offset
+        idx, row0 = _resample_plan
+        n_boot = idx.shape[0]
     xb = jnp.asarray(xs)[jnp.asarray(idx)]
-    inits = [random_init(xs[idx[r]], r) for r in range(n_boot)]
+    inits = [random_init(xs[idx[r]], row0 + r) for r in range(n_boot)]
     w0b = jnp.asarray(np.stack([i[0] for i in inits]))
     a0b = jnp.asarray(np.stack([i[1] for i in inits]))
     s0b = jnp.asarray(np.stack([i[2] for i in inits]))
@@ -1359,6 +1394,7 @@ def bootstrap_temporal_synergies(
     max_iter: int = 400,
     tol: float = 1e-6,
     mesh=None,
+    _resample_plan=None,
 ) -> BootstrapResult:
     """Trial-axis bootstrap stability of the shared-temporal model.
 
@@ -1369,7 +1405,8 @@ def bootstrap_temporal_synergies(
     modules of the full fit.
     """
     return _bootstrap_shared_factor(
-        xs, n_temporal, True, n_boot, seed, max_iter, tol, mesh=mesh
+        xs, n_temporal, True, n_boot, seed, max_iter, tol, mesh=mesh,
+        _resample_plan=_resample_plan,
     )
 
 
@@ -1381,6 +1418,7 @@ def bootstrap_shared_spatial_synergies(
     max_iter: int = 400,
     tol: float = 1e-6,
     mesh=None,
+    _resample_plan=None,
 ) -> BootstrapResult:
     """Trial-axis bootstrap stability of the shared-spatial model.
 
@@ -1389,7 +1427,8 @@ def bootstrap_shared_spatial_synergies(
     unit-norm ``(Q, L)`` spatial modules of the full fit.
     """
     return _bootstrap_shared_factor(
-        xs, n_spatial, False, n_boot, seed, max_iter, tol, mesh=mesh
+        xs, n_spatial, False, n_boot, seed, max_iter, tol, mesh=mesh,
+        _resample_plan=_resample_plan,
     )
 
 

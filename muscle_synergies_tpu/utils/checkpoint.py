@@ -24,7 +24,11 @@ from typing import Dict, Mapping, Optional, Union
 import numpy as np
 import pandas
 
-__all__ = ["SweepCheckpoint", "find_synergies_checkpointed"]
+__all__ = [
+    "SweepCheckpoint",
+    "GridCheckpoint",
+    "find_synergies_checkpointed",
+]
 
 
 class SweepCheckpoint:
@@ -156,6 +160,120 @@ class SweepCheckpoint:
             "vaf_values": vaf,
             "meta": payload["meta"],
         }
+
+
+class GridCheckpoint:
+    """String-keyed directory store of intermediate sweep results.
+
+    The generalization of :class:`SweepCheckpoint` the long-running
+    jobs need (cNMF/NM3F module-count selection, bootstrap stability,
+    Wold CV — see :mod:`muscle_synergies_tpu.models.resume`): each
+    unit of work saves an arbitrary mapping of named arrays plus JSON
+    metadata under a caller-chosen key.  Layout: ``<dir>/<key>.npz``
+    (npz backend, atomically published) or ``<dir>/<key>/`` (orbax).
+
+    Keys may contain only word characters and dashes so they stay
+    valid cross-platform file names.
+    """
+
+    _KEY_RE = None  # compiled lazily
+
+    def __init__(
+        self, directory: Union[str, os.PathLike], backend: str = "npz"
+    ):
+        if backend not in ("npz", "orbax"):
+            raise ValueError(
+                f"backend must be 'npz' or 'orbax', got {backend!r}"
+            )
+        self.backend = backend
+        self.directory = Path(directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+
+    @classmethod
+    def _check_key(cls, key: str) -> str:
+        import re
+
+        if cls._KEY_RE is None:
+            cls._KEY_RE = re.compile(r"^[\w\-]+$")
+        if not cls._KEY_RE.match(key):
+            raise ValueError(
+                f"checkpoint key must match [\\w-]+, got {key!r}"
+            )
+        return key
+
+    def _path(self, key: str) -> Path:
+        suffix = ".npz" if self.backend == "npz" else ""
+        return self.directory / f"{self._check_key(key)}{suffix}"
+
+    def completed_keys(self):
+        pattern = "*.npz" if self.backend == "npz" else "*"
+        keys = []
+        for p in self.directory.glob(pattern):
+            if self.backend == "orbax" and not p.is_dir():
+                continue
+            if p.name.endswith(".tmp.npz"):
+                continue
+            keys.append(p.stem if self.backend == "npz" else p.name)
+        return sorted(keys)
+
+    def has(self, key: str) -> bool:
+        return self._path(key).exists()
+
+    def save(
+        self,
+        key: str,
+        arrays: Mapping[str, np.ndarray],
+        meta: Optional[Mapping] = None,
+    ):
+        payload = {k: np.asarray(v) for k, v in arrays.items()}
+        if any(k == "meta" for k in payload):
+            raise ValueError("'meta' is a reserved array name")
+        if self.backend == "orbax":
+            ocp = SweepCheckpoint._orbax()
+            path = self._path(key).resolve()
+            with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as cp:
+                cp.save(
+                    path,
+                    args=ocp.args.Composite(
+                        arrays=ocp.args.PyTreeSave(payload),
+                        meta=ocp.args.JsonSave(dict(meta or {})),
+                    ),
+                    force=True,
+                )
+            return
+        tmp = self._path(key).with_suffix(".tmp.npz")
+        np.savez_compressed(
+            tmp,
+            meta=np.array(json.dumps(dict(meta or {})), dtype=object),
+            **payload,
+        )
+        os.replace(tmp, self._path(key))  # atomic publish
+
+    def load(self, key: str) -> Dict:
+        if self.backend == "orbax":
+            ocp = SweepCheckpoint._orbax()
+            path = self._path(key).resolve()
+            with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as cp:
+                out = cp.restore(
+                    path,
+                    args=ocp.args.Composite(
+                        arrays=ocp.args.PyTreeRestore(),
+                        meta=ocp.args.JsonRestore(),
+                    ),
+                )
+            return {
+                "arrays": {
+                    k: np.asarray(v) for k, v in out["arrays"].items()
+                },
+                "meta": dict(out["meta"]),
+            }
+        with np.load(self._path(key), allow_pickle=True) as data:
+            return {
+                "arrays": {
+                    k: data[k] for k in data.files if k != "meta"
+                },
+                "meta": json.loads(str(data["meta"])),
+            }
 
 
 def find_synergies_checkpointed(
