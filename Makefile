@@ -66,6 +66,10 @@ bench-fit:  # full convergence-fit wall time per solver -> artifact
 
 bench-e2e:  # head-to-head full workflow vs the reference impl (same core)
 	$(PYTHON) benchmarks/end_to_end.py --platform cpu | tee BENCH_E2E.json
+	$(PYTHON) benchmarks/end_to_end.py --platform cpu --dataset 6 \
+		| tee -a BENCH_E2E.json
+	$(PYTHON) benchmarks/end_to_end.py --dataset 6 --frames 6000 \
+		--chunk-files 3 --skip-reference | tee -a BENCH_E2E.json
 
 bench-all: bench-check bench-vaf bench-solvers bench-fit bench-e2e  # refresh artifacts
 

@@ -26,9 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REFERENCE_SRC = "/root/reference/src"
 
 
-def synthesize_csv(path, n_frames_slow, subframes=20):
+def synthesize_csv(path, n_frames_slow, subframes=20, seed=0):
     """Write a Vicon-format CSV with gait-like content."""
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     n_fast = n_frames_slow * subframes
 
     plates = []
@@ -170,6 +170,139 @@ def _run_reference_once(ref, path):
     return t_load, t_pre, t_nmf, vaf
 
 
+DATASET_RANKS = (1, 2, 3, 4)
+
+
+def _dataset_config():
+    from muscle_synergies_tpu.utils import PipelineConfig
+
+    return PipelineConfig(use_rms=True, rms_window_s=0.5, reduce_to=200)
+
+
+def run_dataset_ours(paths, pipelined, chunk_files=2, prefetch=2,
+                     repeats=3):
+    """Multi-capture rank sweep: one-grid solve vs the parse/compute
+    pipeline (``analyze_dataset_pipelined``).  Returns the median
+    wall time and the rank-4 mean VAF (full D2H readback included)."""
+    import muscle_synergies_tpu as mst
+
+    cfg = _dataset_config()
+
+    def once():
+        t0 = time.perf_counter()
+        if pipelined:
+            res = mst.analyze_dataset_pipelined(
+                paths, ranks=DATASET_RANKS, config=cfg, solver="mu",
+                max_iter=50_000, tol=1e-6, chunk_files=chunk_files,
+                prefetch=prefetch,
+            )
+        else:
+            caps = [mst.load_vicon_file(p) for p in paths]
+            fs = caps[0].emg.sampling_frequency
+            res = mst.analyze_dataset(
+                [c.emg.df for c in caps], fs, ranks=DATASET_RANKS,
+                config=cfg, solver="mu", max_iter=50_000, tol=1e-6,
+            )
+        vaf = float(np.asarray(res.vaf_overall)[-1].mean())
+        return time.perf_counter() - t0, vaf
+
+    once()  # compile warm-up
+    runs = sorted(once() for _ in range(repeats))
+    return runs[len(runs) // 2]
+
+
+def run_dataset_reference(paths, repeats=3):
+    """The reference's sequential per-capture loop (reference
+    analysis.py:909-913): parse, preprocess, rank-sweep each file."""
+    sys.path.insert(0, REFERENCE_SRC)
+    import muscle_synergies as ref
+
+    lo, hi = DATASET_RANKS[0], DATASET_RANKS[-1]
+
+    def once():
+        t0 = time.perf_counter()
+        vafs = []
+        for path in paths:
+            data = ref.load_vicon_file(path)
+            emg = data.emg.df
+            fs = data.emg.sampling_frequency
+            proc = ref.rms(emg, window_size=0.5, sampling_frequency=fs)
+            proc = ref.time_normalize(proc, reduce_to=200)
+            proc = ref.normalize(proc)
+            res = ref.find_synergies(
+                proc.abs(), lo, hi, solver="mu", max_iter=50_000,
+                tol=1e-6,
+            )
+            vafs.append(float(res.vaf_values["All signals"].iloc[-1]))
+        return time.perf_counter() - t0, float(np.mean(vafs))
+
+    runs = sorted(once() for _ in range(repeats))
+    return runs[len(runs) // 2]
+
+
+def run_dataset_mode(args):
+    """--dataset N: the multi-capture x rank-sweep story.
+
+    Emits one JSON row with the one-grid (sequential-load) time, the
+    pipelined time (parse/H2D of the next chunk overlapping the device
+    solve of the current one), and — when the reference is available —
+    its sequential per-file loop on the same captures."""
+    import jax
+
+    paths = []
+    for i in range(args.dataset):
+        path = f"{args.csv}.ds{args.frames}_{i}"
+        if not os.path.exists(path):
+            print(f"synthesizing capture {i}...", file=sys.stderr)
+            synthesize_csv(path, args.frames, seed=i)
+        paths.append(path)
+
+    seq_s, seq_vaf = run_dataset_ours(paths, pipelined=False)
+    print(f"ours one-grid:  {seq_s:.2f}s (rank-4 mean VAF {seq_vaf:.4f})",
+          file=sys.stderr)
+    pip_s, pip_vaf = run_dataset_ours(
+        paths, pipelined=True, chunk_files=args.chunk_files,
+        prefetch=args.prefetch,
+    )
+    print(f"ours pipelined: {pip_s:.2f}s (rank-4 mean VAF {pip_vaf:.4f})",
+          file=sys.stderr)
+
+    best = min(seq_s, pip_s)
+    record = {
+        "metric": "dataset_end_to_end",
+        "files": args.dataset,
+        "frames": args.frames,
+        "ranks": list(DATASET_RANKS),
+        "platform": jax.default_backend(),
+        "ours_sequential_s": round(seq_s, 3),
+        "ours_pipelined_s": round(pip_s, 3),
+        "overlap_gain_pct": round(100.0 * (seq_s - pip_s) / seq_s, 1),
+        "chunk_files": args.chunk_files,
+        "prefetch": args.prefetch,
+        "rank4_mean_vaf": round(seq_vaf, 4),
+        "date": datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        ),
+    }
+    if not args.skip_reference and os.path.isdir(REFERENCE_SRC):
+        ref_s, ref_vaf = run_dataset_reference(paths)
+        print(
+            f"reference loop: {ref_s:.2f}s (rank-4 mean VAF {ref_vaf:.4f})",
+            file=sys.stderr,
+        )
+        record["reference_s"] = round(ref_s, 3)
+        record["reference_rank4_mean_vaf"] = round(ref_vaf, 4)
+        record["value"] = round(ref_s / best, 2)
+        record["unit"] = "x vs reference (load+preprocess+rank1:4 NMF)"
+        record["vs_baseline"] = record["value"]
+    else:
+        record["value"] = record["overlap_gain_pct"]
+        record["unit"] = "% overlap gain (pipelined vs one-grid)"
+        record["vs_baseline"] = 1.0
+    print(json.dumps(record))
+    return 0
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=1600,
@@ -181,12 +314,29 @@ def main():
         help="force a JAX platform (e.g. 'cpu' for a same-core "
              "comparison against the reference)",
     )
+    parser.add_argument(
+        "--dataset", type=int, metavar="N", default=0,
+        help="multi-capture mode: N captures x rank 1:4 sweep — "
+             "one-grid vs pipelined load vs the reference's "
+             "sequential loop (0 = single-capture mode)",
+    )
+    parser.add_argument(
+        "--chunk-files", type=int, default=2,
+        help="captures per pipeline stage in --dataset mode",
+    )
+    parser.add_argument(
+        "--prefetch", type=int, default=2,
+        help="pipeline depth (staged chunks) in --dataset mode",
+    )
     args = parser.parse_args()
 
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+
+    if args.dataset:
+        return run_dataset_mode(args)
 
     if not os.path.exists(args.csv):
         print(f"synthesizing {args.frames}-frame trial...", file=sys.stderr)

@@ -32,6 +32,7 @@ from .dataset import (
     SpaceByTimeDatasetResult,
     TimeVaryingDatasetResult,
     analyze_dataset,
+    analyze_dataset_pipelined,
     analyze_dataset_space_by_time,
     analyze_dataset_time_varying,
 )
@@ -81,6 +82,7 @@ __all__ = [
     "SpaceByTimeResult",
     "TimeVaryingSynergyResult",
     "analyze_dataset",
+    "analyze_dataset_pipelined",
     "analyze_dataset_space_by_time",
     "analyze_dataset_time_varying",
     "DatasetResult",

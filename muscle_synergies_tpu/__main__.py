@@ -214,6 +214,17 @@ def _build_parser():
         help="threshold for the minimum-rank report (default 0.90)",
     )
     p_ds.add_argument(
+        "--prefetch", type=int, metavar="N", default=0,
+        help="pipeline the load: a producer thread parses the next "
+             "captures and stages them on device (up to N chunks "
+             "ahead) while the current chunk preprocesses and fits "
+             "(plain rank sweep only; 0 = off)",
+    )
+    p_ds.add_argument(
+        "--chunk-files", type=int, metavar="K", default=2,
+        help="captures per pipeline stage under --prefetch (default 2)",
+    )
+    p_ds.add_argument(
         "--time-varying", type=int, metavar="LAGS", default=None,
         help="extract time-varying (convolutive) synergies per capture "
              "instead of the NMF rank sweep; takes a single --ranks "
@@ -604,15 +615,32 @@ def _cmd_analyze_dataset(args) -> int:
                 "two distinct labels"
             )
 
-    captures = [_load(p) for p in args.csvs]
-    fs = captures[0].emg.sampling_frequency
-    for path, cap in zip(args.csvs, captures):
-        if cap.emg.sampling_frequency != fs:
-            raise SystemExit(
-                f"{path}: EMG sampling rate "
-                f"{cap.emg.sampling_frequency} != {fs} of {args.csvs[0]}"
-            )
-    trials = [cap.emg.df for cap in captures]
+    if args.prefetch < 0:
+        raise SystemExit(f"--prefetch must be >= 0, got {args.prefetch}")
+    if args.chunk_files < 1:
+        raise SystemExit(
+            f"--chunk-files must be >= 1, got {args.chunk_files}"
+        )
+    pipelined = args.prefetch > 0 and not chosen
+    if args.prefetch > 0 and chosen:
+        raise SystemExit(
+            "--prefetch applies to the plain NMF rank sweep only"
+        )
+    if pipelined:
+        # the pipelined loader parses inside the producer thread — the
+        # per-file validation (existence, grammar, matching rates)
+        # surfaces through analyze_dataset_pipelined instead
+        captures = trials = fs = None
+    else:
+        captures = [_load(p) for p in args.csvs]
+        fs = captures[0].emg.sampling_frequency
+        for path, cap in zip(args.csvs, captures):
+            if cap.emg.sampling_frequency != fs:
+                raise SystemExit(
+                    f"{path}: EMG sampling rate "
+                    f"{cap.emg.sampling_frequency} != {fs} of {args.csvs[0]}"
+                )
+        trials = [cap.emg.df for cap in captures]
 
     shared_model = (
         args.space_by_time is not None
@@ -667,12 +695,26 @@ def _cmd_analyze_dataset(args) -> int:
             args, trials, fs, config, subjects
         )
     try:
-        res = mst.analyze_dataset(
-            trials, fs, ranks=ranks, config=config, solver=solver,
-            beta_loss=beta_loss, max_iter=args.max_iter, tol=args.tol,
-            impl=args.impl, subjects=subjects, alpha_W=args.alpha_w,
-            alpha_H=alpha_h, l1_ratio=args.l1_ratio,
-        )
+        if pipelined:
+            res = mst.analyze_dataset_pipelined(
+                args.csvs, ranks=ranks, config=config, solver=solver,
+                beta_loss=beta_loss, max_iter=args.max_iter, tol=args.tol,
+                impl=args.impl, subjects=subjects, alpha_W=args.alpha_w,
+                alpha_H=alpha_h, l1_ratio=args.l1_ratio,
+                chunk_files=args.chunk_files, prefetch=args.prefetch,
+            )
+            fs = res.sampling_frequency
+        else:
+            res = mst.analyze_dataset(
+                trials, fs, ranks=ranks, config=config, solver=solver,
+                beta_loss=beta_loss, max_iter=args.max_iter, tol=args.tol,
+                impl=args.impl, subjects=subjects, alpha_W=args.alpha_w,
+                alpha_H=alpha_h, l1_ratio=args.l1_ratio,
+            )
+    except FileNotFoundError as exc:
+        raise SystemExit(f"{exc.filename or exc}: no such file")
+    except mst.ViconCSVError as exc:
+        raise SystemExit(str(exc))
     except ValueError as exc:
         raise SystemExit(str(exc))
 

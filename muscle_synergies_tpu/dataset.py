@@ -32,6 +32,7 @@ __all__ = [
     "SpaceByTimeDatasetResult",
     "TimeVaryingDatasetResult",
     "analyze_dataset",
+    "analyze_dataset_pipelined",
     "analyze_dataset_space_by_time",
     "analyze_dataset_time_varying",
     "preprocess_trials",
@@ -225,8 +226,16 @@ def preprocess_trials(
             "preprocess_trials needs config.reduce_to so trials share a "
             "common length"
         )
-    arrays = [_as_array(t) for t in trials]
-    ragged = len({a.shape[0] for a in arrays}) > 1
+    # a (B, N, L) array IS an equal-length batch: keep it on device
+    # (the pipelined loader stages chunks there ahead of time — no
+    # per-trial host round-trip)
+    is_batch = getattr(trials, "ndim", None) == 3
+    if is_batch:
+        arrays = None
+        ragged = False
+    else:
+        arrays = [_as_array(t) for t in trials]
+        ragged = len({a.shape[0] for a in arrays}) > 1
 
     from .io.batch import stack_trials
     from .ops import batched as _b
@@ -267,9 +276,13 @@ def preprocess_trials(
         return xs
 
     if config.use_rms:
-        stacked = stack_trials(arrays)
-        xs = stacked.data
-        mask = stacked.mask if ragged else None
+        if is_batch:
+            xs = jnp.asarray(trials)
+            mask = None
+        else:
+            stacked = stack_trials(arrays)
+            xs = stacked.data
+            mask = stacked.mask if ragged else None
         if config.zero_center:
             xs = _b.zero_center_batch(xs, mask)
         window = int(round(config.rms_window_s * sampling_frequency))
@@ -279,7 +292,11 @@ def preprocess_trials(
             xs = _b.moving_rms_batch(xs, window, mask)
         batch = finish(xs, mask)
     elif not ragged:
-        batch = finish(envelope_batch(jnp.stack(arrays)))
+        batch = finish(
+            envelope_batch(
+                jnp.asarray(trials) if is_batch else jnp.stack(arrays)
+            )
+        )
     else:
         # one fused computation per distinct trial length
         by_length: dict = {}
@@ -311,6 +328,8 @@ class DatasetResult:
         channel_names: channel labels when the inputs carried them.
         subjects: per-trial subject labels (grouped reporting), or
             ``None`` for a flat trial list.
+        sampling_frequency: EMG rate of the analyzed captures, when the
+            loader discovered it (:func:`analyze_dataset_pipelined`).
     """
 
     ranks: tuple
@@ -322,6 +341,7 @@ class DatasetResult:
     converged: np.ndarray
     channel_names: Optional[List[str]] = None
     subjects: Optional[List] = None
+    sampling_frequency: Optional[float] = None
 
     def components(self, rank: int, trial: int) -> pandas.DataFrame:
         """``(rank, L)`` components of one fit, labeled."""
@@ -698,6 +718,160 @@ def analyze_dataset(
         converged=np.asarray(state.converged).reshape(r, b),
         channel_names=channel_names,
         subjects=subjects,
+    )
+
+
+def _default_capture_loader(path):
+    """Parse one Vicon capture and return its EMG ``DeviceData``."""
+    from .io.vicon import load_vicon_file
+
+    return load_vicon_file(path).emg
+
+
+def _concat_dataset_results(
+    partials: Sequence[DatasetResult],
+    channel_names=None,
+    subjects=None,
+    sampling_frequency=None,
+) -> DatasetResult:
+    """Stitch per-chunk grid results back into one dataset result."""
+    cat = lambda name: np.concatenate(  # noqa: E731 - local glue
+        [getattr(p, name) for p in partials], axis=1
+    )
+    return DatasetResult(
+        ranks=partials[0].ranks,
+        w=cat("w"),
+        h=cat("h"),
+        vaf_overall=cat("vaf_overall"),
+        vaf_per_channel=cat("vaf_per_channel"),
+        n_iter=cat("n_iter"),
+        converged=cat("converged"),
+        channel_names=channel_names,
+        subjects=list(subjects) if subjects is not None else None,
+        sampling_frequency=sampling_frequency,
+    )
+
+
+def analyze_dataset_pipelined(
+    paths: Sequence,
+    sampling_frequency: Optional[float] = None,
+    ranks: Union[int, Sequence[int]] = (1, 2, 3, 4),
+    config: PipelineConfig = PipelineConfig(),
+    chunk_files: int = 2,
+    prefetch: int = 2,
+    loader=None,
+    subjects: Optional[Sequence] = None,
+    dtype=None,
+    **fit_kwargs,
+) -> DatasetResult:
+    """:func:`analyze_dataset` over capture *files*, parse/compute
+    overlapped.
+
+    The reference analyzes many captures strictly sequentially — parse,
+    preprocess, factorize, next file (reference analysis.py:909-913).
+    Here the files stream through a two-stage pipeline (the
+    pipeline-parallelism analog of SURVEY §2.5): a producer thread
+    parses ``chunk_files`` captures at a time and stages each chunk on
+    device (:func:`muscle_synergies_tpu.io.batch.device_prefetch`
+    issues the async H2D up to ``prefetch`` chunks ahead), while the
+    consumer runs the batched preprocess + ``(rank, trial)`` grid solve
+    on the chunk already resident.  Host CSV decoding therefore
+    overlaps device compute and transfer instead of serializing with
+    them.
+
+    Chunked solves match the one-shot :func:`analyze_dataset` to
+    float-reordering tolerance (a chunk's batch dimension changes XLA's
+    batched-GEMM blocking — same caveat as
+    :mod:`muscle_synergies_tpu.models.resume`); inits are per-trial
+    deterministic, so the grids are otherwise identical.  A chunk whose
+    captures have unequal lengths falls back to the per-length grouped
+    preprocess automatically (the envelope's edge reflection must see
+    every trial's true last sample).
+
+    Args:
+        paths: capture CSV paths (or any values ``loader`` accepts).
+        sampling_frequency: EMG rate; when ``None`` it is taken from
+            the first capture and every file is checked against it.
+        chunk_files: captures per pipeline stage — one batched
+            preprocess + grid solve each.  Larger chunks pack solver
+            lanes better; smaller chunks overlap more.
+        prefetch: chunks the producer may stage ahead (the pipeline
+            depth); ``device_prefetch``'s buffer size.
+        loader: ``path -> DataFrame | DeviceData | array`` parse hook;
+            defaults to loading the capture's EMG device.
+        fit_kwargs: forwarded to :func:`analyze_dataset` (``solver``,
+            ``beta_loss``, ``impl``, ``max_iter``, ``tol``, ...).
+
+    Returns:
+        :class:`DatasetResult` over the full grid, with
+        ``sampling_frequency`` filled in from the captures.
+    """
+    from .io.batch import device_prefetch
+
+    paths = list(paths)
+    if not paths:
+        raise ValueError("analyze_dataset_pipelined needs at least one path")
+    if chunk_files < 1:
+        raise ValueError(f"chunk_files must be >= 1, got {chunk_files}")
+    if subjects is not None:
+        subjects = list(subjects)
+        if len(subjects) != len(paths):
+            raise ValueError(
+                f"got {len(subjects)} subject labels for {len(paths)} paths"
+            )
+    loader = loader if loader is not None else _default_capture_loader
+
+    # filled by the producer before its first yield; the prefetch
+    # queue's put/get ordering makes them visible to the consumer
+    first_meta: dict = {}
+
+    def parsed_chunks():
+        fs = sampling_frequency
+        for lo in range(0, len(paths), chunk_files):
+            group = paths[lo : lo + chunk_files]
+            arrays = []
+            for path in group:
+                cap = loader(path)
+                cap_fs = getattr(cap, "sampling_frequency", None)
+                if fs is None:
+                    fs = cap_fs
+                elif cap_fs is not None and cap_fs != fs:
+                    raise ValueError(
+                        f"{path}: EMG sampling rate {cap_fs} != {fs} "
+                        f"of the first capture"
+                    )
+                if not first_meta:
+                    if fs is None:
+                        raise ValueError(
+                            "pass sampling_frequency=: the loader's "
+                            "output does not carry one"
+                        )
+                    first_meta.update(
+                        names=_channel_names(cap), fs=float(fs)
+                    )
+                arrays.append(_as_array(cap))
+            if len({a.shape[0] for a in arrays}) == 1:
+                yield np.stack(arrays)  # staged on device as ONE batch
+            else:
+                yield arrays  # ragged: preprocess groups by length
+
+    partials = []
+    for chunk in device_prefetch(parsed_chunks(), buffer_size=prefetch):
+        partials.append(
+            analyze_dataset(
+                chunk,
+                first_meta["fs"],
+                ranks=ranks,
+                config=config,
+                dtype=dtype,
+                **fit_kwargs,
+            )
+        )
+    return _concat_dataset_results(
+        partials,
+        channel_names=first_meta["names"],
+        subjects=subjects,
+        sampling_frequency=first_meta["fs"],
     )
 
 

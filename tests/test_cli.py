@@ -369,3 +369,37 @@ def test_analyze_dataset_shared_factor_models(capture_csv, tmp_path):
         "analyze-dataset", capture_csv, "--temporal-modules", "0",
     ])
     assert r.returncode == 1 and ">= 1" in r.stderr
+
+
+def test_analyze_dataset_prefetch_pipeline(capture_csv, tmp_path):
+    out = tmp_path / "pipelined.json"
+    result = _run([
+        "analyze-dataset", capture_csv, capture_csv, capture_csv,
+        "--ranks", "1:2", "--rms", "0.5", "--max-iter", "300",
+        "--tol", "1e-5", "--prefetch", "2", "--chunk-files", "2",
+        "--subjects", "s1,s1,s2", "-o", str(out),
+    ])
+    assert result.returncode == 0, result.stderr[-2000:]
+    report = json.loads(out.read_text())
+    assert report["ranks"] == [1, 2]
+    assert report["sampling_frequency"] == 2000.0
+    assert len(report["vaf_overall"]) == 3
+    assert set(report["subject_mean_vaf"]) == {"s1", "s2"}
+
+
+def test_analyze_dataset_prefetch_validation(capture_csv):
+    r = _run([
+        "analyze-dataset", capture_csv, "--prefetch", "2",
+        "--space-by-time", "2:2", "--rms", "0.5",
+    ])
+    assert r.returncode != 0 and "plain NMF rank sweep" in r.stderr
+    r = _run([
+        "analyze-dataset", capture_csv, "--prefetch", "2",
+        "--chunk-files", "0", "--rms", "0.5",
+    ])
+    assert r.returncode != 0 and "--chunk-files" in r.stderr
+    r = _run([
+        "analyze-dataset", capture_csv, "/nonexistent.csv",
+        "--prefetch", "1", "--ranks", "1", "--rms", "0.5",
+    ])
+    assert r.returncode != 0 and "no such file" in r.stderr

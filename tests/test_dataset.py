@@ -611,3 +611,144 @@ class TestMeshAxisGuard:
                 trials, 200, n_temporal=2, n_spatial=2, config=CFG,
                 mesh=mesh, max_iter=30,
             )
+
+
+class TestAnalyzeDatasetPipelined:
+    """Parse/H2D/compute pipeline over capture files (dataset.py)."""
+
+    def _arrays(self, b=5, n=400, l=6):
+        rng = np.random.default_rng(7)
+        return [
+            np.maximum(
+                np.abs(rng.standard_normal((n, 2)))
+                @ rng.random((2, l))
+                + 0.02 * rng.random((n, l)),
+                0,
+            )
+            for _ in range(b)
+        ]
+
+    def test_batch_array_fast_path_matches_list(self):
+        import jax.numpy as jnp
+
+        trials = self._arrays()
+        stacked = jnp.stack([jnp.asarray(t) for t in trials])
+        for cfg in (CFG, PipelineConfig(reduce_to=100)):  # rms + envelope
+            a = np.asarray(preprocess_trials(trials, 200, cfg))
+            b = np.asarray(preprocess_trials(stacked, 200, cfg))
+            np.testing.assert_array_equal(a, b)
+
+    def test_pipelined_matches_oneshot(self):
+        from muscle_synergies_tpu import analyze_dataset_pipelined
+
+        trials = self._arrays()
+        table = {f"t{i}": t for i, t in enumerate(trials)}
+        paths = list(table)
+        one = analyze_dataset(
+            trials, 200, ranks=(1, 2), config=CFG, max_iter=300
+        )
+        # single chunk: identical batch shape -> exactly equal
+        whole = analyze_dataset_pipelined(
+            paths, 200, ranks=(1, 2), config=CFG, max_iter=300,
+            chunk_files=len(paths), loader=table.__getitem__,
+        )
+        np.testing.assert_array_equal(one.vaf_overall, whole.vaf_overall)
+        np.testing.assert_array_equal(one.w, whole.w)
+        # chunked: float-reordering tolerance (GEMM blocking per chunk)
+        chunked = analyze_dataset_pipelined(
+            paths, 200, ranks=(1, 2), config=CFG, max_iter=300,
+            chunk_files=2, prefetch=2, loader=table.__getitem__,
+            subjects=["a", "a", "b", "b", "c"],
+        )
+        np.testing.assert_allclose(
+            one.vaf_overall, chunked.vaf_overall, rtol=0, atol=1e-6
+        )
+        np.testing.assert_allclose(one.w, chunked.w, rtol=0, atol=1e-5)
+        assert chunked.subjects == ["a", "a", "b", "b", "c"]
+        assert chunked.sampling_frequency == 200.0
+        assert chunked.n_iter.shape == one.n_iter.shape
+
+    def test_real_captures_through_default_loader(self, tmp_path):
+        from muscle_synergies_tpu import analyze_dataset_pipelined
+        from muscle_synergies_tpu.testing import write_synthetic_capture
+
+        paths = []
+        for i in range(3):
+            p = str(tmp_path / f"cap{i}.csv")
+            write_synthetic_capture(
+                p, state_len=40, n_trechos=1, n_cycles=1, seed=50 + i
+            )
+            paths.append(p)
+        cfg = PipelineConfig(use_rms=True, rms_window_s=0.02, reduce_to=50)
+        res = analyze_dataset_pipelined(
+            paths, ranks=(1, 2), config=cfg, max_iter=200,
+            chunk_files=2, prefetch=1,
+        )
+        assert res.vaf_overall.shape == (2, 3)
+        assert res.sampling_frequency == 2000.0
+        assert res.channel_names is not None
+        assert res.channel_names[0] == "VL"
+
+    def test_ragged_chunk_falls_back(self):
+        from muscle_synergies_tpu import analyze_dataset_pipelined
+
+        trials = self._arrays()
+        trials[1] = trials[1][:350]  # ragged inside the first chunk
+        table = {f"t{i}": t for i, t in enumerate(trials)}
+        one = analyze_dataset(
+            trials, 200, ranks=(1, 2), config=CFG, max_iter=300
+        )
+        chunked = analyze_dataset_pipelined(
+            list(table), 200, ranks=(1, 2), config=CFG, max_iter=300,
+            chunk_files=2, loader=table.__getitem__,
+        )
+        np.testing.assert_allclose(
+            one.vaf_overall, chunked.vaf_overall, rtol=0, atol=1e-6
+        )
+
+    def test_validation(self):
+        from muscle_synergies_tpu import analyze_dataset_pipelined
+
+        trials = self._arrays(b=2)
+        table = {f"t{i}": t for i, t in enumerate(trials)}
+        with pytest.raises(ValueError, match="at least one path"):
+            analyze_dataset_pipelined([], 200)
+        with pytest.raises(ValueError, match="chunk_files"):
+            analyze_dataset_pipelined(
+                list(table), 200, chunk_files=0, loader=table.__getitem__
+            )
+        with pytest.raises(ValueError, match="subject labels"):
+            analyze_dataset_pipelined(
+                list(table), 200, subjects=["a"], loader=table.__getitem__
+            )
+        # bare arrays carry no rate: sampling_frequency= is required
+        with pytest.raises(ValueError, match="sampling_frequency"):
+            analyze_dataset_pipelined(
+                list(table), config=CFG, loader=table.__getitem__
+            )
+
+    def test_fs_mismatch_raises(self):
+        from muscle_synergies_tpu import analyze_dataset_pipelined
+
+        class FakeCapture:
+            def __init__(self, arr, fs):
+                self.arr, self.sampling_frequency = arr, fs
+
+            @property
+            def coords(self):
+                return [f"M{j}" for j in range(self.arr.shape[1])]
+
+            @property
+            def array(self):
+                return self.arr
+
+        trials = self._arrays(b=2)
+        table = {
+            "a": FakeCapture(trials[0], 200.0),
+            "b": FakeCapture(trials[1], 500.0),
+        }
+        with pytest.raises(ValueError, match="sampling rate"):
+            analyze_dataset_pipelined(
+                list(table), ranks=(1,), config=CFG, max_iter=50,
+                loader=table.__getitem__,
+            )
