@@ -31,7 +31,6 @@ from typing import Iterator, List, Optional
 from muscle_synergies_tpu.data import ViconNexusData
 from muscle_synergies_tpu.io.vicon import (
     Row,
-    ViconCSVError,
     _err,
     _parse_header_line,
     _prune_trailing,
