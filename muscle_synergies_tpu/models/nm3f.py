@@ -33,6 +33,14 @@ factor's subproblem, ``EPSILON``-guarded like every solver here):
 
 Update order is A, then W, then S (each uses the freshest other
 factors), one documented choice pinned by the tests' numpy oracle.
+
+Precision: on TPU, XLA lowers f32 matmuls/einsums to bf16 MXU passes
+by default — chip-measured ~1.2e-2 max relative error vs a float64
+host oracle after 20 updates (``BENCH_NM3F.json``).  Every public
+entry point threads a ``precision`` argument (any
+``jax.lax.Precision`` spelling, e.g. ``"highest"`` for multi-pass
+f32 MXU arithmetic) through all contractions, including the stopping
+criterion's error reduction.  ``None`` keeps the fast XLA default.
 """
 
 from __future__ import annotations
@@ -65,11 +73,15 @@ __all__ = [
 ]
 
 
-def nm3f_reconstruct(w: jnp.ndarray, a: jnp.ndarray, s: jnp.ndarray):
+def nm3f_reconstruct(
+    w: jnp.ndarray, a: jnp.ndarray, s: jnp.ndarray, precision=None
+):
     """``X̂_b = W @ A_b @ S``; ``a`` may be ``(P, Q)`` or ``(B, P, Q)``."""
     if a.ndim == 2:
-        return w @ a @ s
-    return jnp.einsum("tp,bpq,ql->btl", w, a, s)
+        return jnp.matmul(
+            jnp.matmul(w, a, precision=precision), s, precision=precision
+        )
+    return jnp.einsum("tp,bpq,ql->btl", w, a, s, precision=precision)
 
 
 def nm3f_update(
@@ -79,6 +91,7 @@ def nm3f_update(
     s: jnp.ndarray,
     update_w: bool = True,
     update_s: bool = True,
+    precision=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One A-then-W-then-S multiplicative update.
 
@@ -89,27 +102,35 @@ def nm3f_update(
         s: ``(Q, L)`` spatial modules.
         update_w / update_s: freeze a module set (the ``transform``
             path fixes both and solves only the coefficients).
+        precision: matmul precision for every contraction (see the
+            module docstring); ``None`` keeps the XLA default.
     """
     # ---- A update: per-trial, embarrassingly parallel ----
-    wtw = w.T @ w  # (P, P)
-    sst = s @ s.T  # (Q, Q)
-    num_a = jnp.einsum("tp,btl,ql->bpq", w, xs, s)
-    den_a = jnp.einsum("pr,brm,mq->bpq", wtw, a, sst)
+    wtw = jnp.matmul(w.T, w, precision=precision)  # (P, P)
+    sst = jnp.matmul(s, s.T, precision=precision)  # (Q, Q)
+    num_a = jnp.einsum("tp,btl,ql->bpq", w, xs, s, precision=precision)
+    den_a = jnp.einsum(
+        "pr,brm,mq->bpq", wtw, a, sst, precision=precision
+    )
     a = a * (num_a / jnp.where(den_a == 0, EPSILON, den_a))
 
     if update_w:
         # ---- W update: trial sums reduce into (T, P) / (P, P) ----
-        num_w = jnp.einsum("btl,ql,bpq->tp", xs, s, a)
-        gram_w = jnp.einsum("bpq,qm,brm->pr", a, sst, a)  # Σ_b A SSᵀ Aᵀ
-        den_w = w @ gram_w
+        num_w = jnp.einsum("btl,ql,bpq->tp", xs, s, a, precision=precision)
+        gram_w = jnp.einsum(
+            "bpq,qm,brm->pr", a, sst, a, precision=precision
+        )  # Σ_b A SSᵀ Aᵀ
+        den_w = jnp.matmul(w, gram_w, precision=precision)
         w = w * (num_w / jnp.where(den_w == 0, EPSILON, den_w))
 
     if update_s:
         # ---- S update: trial sums reduce into (Q, L) / (Q, Q) ----
-        wtw = w.T @ w  # refresh with the new W
-        num_s = jnp.einsum("bpq,tp,btl->ql", a, w, xs)
-        gram_s = jnp.einsum("bpq,pr,brm->qm", a, wtw, a)  # Σ_b Aᵀ WᵀW A
-        den_s = gram_s @ s
+        wtw = jnp.matmul(w.T, w, precision=precision)  # refresh with new W
+        num_s = jnp.einsum("bpq,tp,btl->ql", a, w, xs, precision=precision)
+        gram_s = jnp.einsum(
+            "bpq,pr,brm->qm", a, wtw, a, precision=precision
+        )  # Σ_b Aᵀ WᵀW A
+        den_s = jnp.matmul(gram_s, s, precision=precision)
         s = s * (num_s / jnp.where(den_s == 0, EPSILON, den_s))
     return w, a, s
 
@@ -123,14 +144,17 @@ class NM3FState(NamedTuple):
     converged: jnp.ndarray
 
 
-def _nm3f_error(xs, w, a, s):
-    diff = xs - nm3f_reconstruct(w, a, s)
+def _nm3f_error(xs, w, a, s, precision=None):
+    diff = xs - nm3f_reconstruct(w, a, s, precision=precision)
     return jnp.sqrt(jnp.sum(diff * diff))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iter", "tol", "check_every", "update_w", "update_s"),
+    static_argnames=(
+        "max_iter", "tol", "check_every", "update_w", "update_s",
+        "precision",
+    ),
 )
 def fit_nm3f(
     xs: jnp.ndarray,
@@ -142,15 +166,18 @@ def fit_nm3f(
     check_every: int = 10,
     update_w: bool = True,
     update_s: bool = True,
+    precision=None,
 ) -> NM3FState:
     """Run the space-by-time factorization to convergence on device.
 
     One ``lax.while_loop``; stopping is the package-wide sklearn rule
     (relative total-Frobenius improvement every ``check_every``
-    iterations against the initial error).
+    iterations against the initial error).  ``precision`` (static,
+    hashable — e.g. ``"highest"``) threads through every contraction
+    including the error checks; see the module docstring.
     """
     xs = jnp.asarray(xs)
-    error_init = _nm3f_error(xs, w0, a0, s0)
+    error_init = _nm3f_error(xs, w0, a0, s0, precision=precision)
 
     def cond(state: NM3FState):
         return (state.n_iter < max_iter) & ~state.converged
@@ -162,14 +189,15 @@ def fit_nm3f(
 
         def one(_, was):
             return nm3f_update(
-                xs, *was, update_w=update_w, update_s=update_s
+                xs, *was, update_w=update_w, update_s=update_s,
+                precision=precision,
             )
 
         w, a, s = jax.lax.fori_loop(
             0, steps, one, (state.w, state.a, state.s)
         )
         n_iter = state.n_iter + steps
-        error = _nm3f_error(xs, w, a, s)
+        error = _nm3f_error(xs, w, a, s, precision=precision)
         improvement = (state.previous_error - error) / jnp.maximum(
             error_init, EPSILON
         )
@@ -236,9 +264,15 @@ def normalize_modules(
     return w_out, a_out, s_out
 
 
-def sbt_vaf(xs: jnp.ndarray, w: jnp.ndarray, a: jnp.ndarray, s: jnp.ndarray):
+def sbt_vaf(
+    xs: jnp.ndarray,
+    w: jnp.ndarray,
+    a: jnp.ndarray,
+    s: jnp.ndarray,
+    precision=None,
+):
     """Per-trial VAF of the space-by-time reconstruction, ``(B,)``."""
-    rec = nm3f_reconstruct(w, a, s)
+    rec = nm3f_reconstruct(w, a, s, precision=precision)
     err = jnp.sum((xs - rec) ** 2, axis=(1, 2))
     tot = jnp.sum(xs * xs, axis=(1, 2))
     return 1.0 - err / jnp.where(tot == 0, 1.0, tot)
@@ -252,6 +286,7 @@ def nm3f_transform(
     max_iter: int = 200,
     tol: float = 1e-4,
     seed: int = 0,
+    precision=None,
 ) -> NM3FState:
     """Project trials onto FIXED modules: solve A, freeze W and S.
 
@@ -307,7 +342,7 @@ def nm3f_transform(
             )
     state = fit_nm3f(
         x, w, a0, s, max_iter=max_iter, tol=tol, check_every=10,
-        update_w=False, update_s=False,
+        update_w=False, update_s=False, precision=precision,
     )
     if squeeze:
         state = state._replace(a=state.a[0])
@@ -337,7 +372,7 @@ class SpaceByTimeResult(NamedTuple):
     restart_errors: np.ndarray
 
 
-def _fit_restarts_meshed(xs_np, inits, mesh, max_iter, tol):
+def _fit_restarts_meshed(xs_np, inits, mesh, max_iter, tol, precision=None):
     """Sharded restart fits for :func:`find_space_by_time_synergies`.
 
     One :func:`~muscle_synergies_tpu.parallel.sharded_fit_nm3f` call
@@ -406,7 +441,7 @@ def _fit_restarts_meshed(xs_np, inits, mesh, max_iter, tol):
                 jnp.asarray(a0), NamedSharding(mesh, P(DATA_AXIS))
             ),
             jnp.asarray(s0),
-            mesh, max_iter=max_iter, tol=tol,
+            mesh, max_iter=max_iter, tol=tol, precision=precision,
         )
         if pad:
             st = st._replace(a=st.a[:b])
@@ -425,6 +460,7 @@ def find_space_by_time_synergies(
     n_inits: int = 4,
     seed: int = 0,
     mesh=None,
+    precision=None,
 ) -> SpaceByTimeResult:
     """Extract Delis-style space-by-time synergies from a trial stack.
 
@@ -449,6 +485,9 @@ def find_space_by_time_synergies(
             base over ``time``); trial counts that don't divide the
             data axis are exactly zero-padded, and a non-dividing time
             axis warns and falls back to the local solver.
+        precision: matmul precision for every contraction (e.g.
+            ``"highest"`` for multi-pass f32 on the TPU MXU); see the
+            module docstring.
     """
     import pandas
 
@@ -493,14 +532,17 @@ def find_space_by_time_synergies(
 
     states = None
     if mesh is not None:
-        states = _fit_restarts_meshed(xs, inits, mesh, max_iter, tol)
+        states = _fit_restarts_meshed(
+            xs, inits, mesh, max_iter, tol, precision=precision
+        )
     if states is None:
         w0 = jnp.asarray(np.stack([i[0] for i in inits]))
         a0 = jnp.asarray(np.stack([i[1] for i in inits]))
         s0 = jnp.asarray(np.stack([i[2] for i in inits]))
         states = jax.vmap(
             lambda w, a, s: fit_nm3f(
-                xs_dev, w, a, s, max_iter=max_iter, tol=tol
+                xs_dev, w, a, s, max_iter=max_iter, tol=tol,
+                precision=precision,
             )
         )(w0, a0, s0)
 
@@ -509,7 +551,7 @@ def find_space_by_time_synergies(
     w, a, s = normalize_modules(
         states.w[best], states.a[best], states.s[best]
     )
-    rec = nm3f_reconstruct(w, a, s)
+    rec = nm3f_reconstruct(w, a, s, precision=precision)
     err2 = jnp.sum((xs_dev - rec) ** 2, axis=(1, 2))
     tot2 = jnp.sum(xs_dev * xs_dev, axis=(1, 2))
     per_trial = np.asarray(1.0 - err2 / jnp.where(tot2 == 0, 1.0, tot2))
@@ -565,6 +607,7 @@ class NM3FModel:
         max_iter: int = 500,
         n_inits: int = 4,
         random_state: int = 0,
+        precision=None,
     ):
         self.n_temporal = n_temporal
         self.n_spatial = n_spatial
@@ -572,12 +615,14 @@ class NM3FModel:
         self.max_iter = max_iter
         self.n_inits = n_inits
         self.random_state = random_state
+        self.precision = precision
 
     def fit_transform(self, X) -> np.ndarray:
         """Fit the modules and return the ``(B, P, Q)`` coefficients."""
         res = find_space_by_time_synergies(
             X, self.n_temporal, self.n_spatial, max_iter=self.max_iter,
             tol=self.tol, n_inits=self.n_inits, seed=self.random_state,
+            precision=self.precision,
         )
         self.temporal_modules_ = res.temporal_modules.to_numpy()
         self.spatial_modules_ = res.spatial_modules.to_numpy()
@@ -623,7 +668,7 @@ class NM3FModel:
             jnp.asarray(x), jnp.asarray(self.temporal_modules_),
             jnp.asarray(self.spatial_modules_),
             max_iter=self.max_iter, tol=self.tol,
-            seed=self.random_state,
+            seed=self.random_state, precision=self.precision,
         )
         return np.asarray(state.a)
 
@@ -635,6 +680,7 @@ class NM3FModel:
                 jnp.asarray(self.temporal_modules_),
                 jnp.asarray(np.asarray(A, dtype=float)),
                 jnp.asarray(self.spatial_modules_),
+                precision=self.precision,
             )
         )
 
@@ -709,7 +755,8 @@ def _validate_trial_stack(trials):
 
 
 def _fit_frozen_restarts(
-    xs, inits_w, inits_a, inits_s, max_iter, tol, update_w, update_s
+    xs, inits_w, inits_a, inits_s, max_iter, tol, update_w, update_s,
+    precision=None,
 ):
     """vmapped restarts of :func:`fit_nm3f` with one factor frozen."""
     w0 = jnp.asarray(np.stack(inits_w))
@@ -719,7 +766,7 @@ def _fit_frozen_restarts(
     return jax.vmap(
         lambda w, a, s: fit_nm3f(
             xs_dev, w, a, s, max_iter=max_iter, tol=tol,
-            update_w=update_w, update_s=update_s,
+            update_w=update_w, update_s=update_s, precision=precision,
         )
     )(w0, a0, s0)
 
@@ -731,6 +778,7 @@ def find_temporal_synergies(
     tol: float = 1e-5,
     n_inits: int = 4,
     seed: int = 0,
+    precision=None,
 ) -> SharedTemporalResult:
     """Extract SHARED temporal modules with per-trial muscle weights.
 
@@ -767,7 +815,7 @@ def find_temporal_synergies(
                for _ in range(n_inits)]
     states = _fit_frozen_restarts(
         xs, inits_w, inits_a, [eye] * n_inits, max_iter, tol,
-        update_w=True, update_s=False,
+        update_w=True, update_s=False, precision=precision,
     )
 
     errors = np.asarray(states.previous_error)
@@ -775,8 +823,10 @@ def find_temporal_synergies(
     w, a, s = normalize_modules(
         states.w[best], states.a[best], states.s[best]
     )
-    per_trial = np.asarray(sbt_vaf(jnp.asarray(xs), w, a, s))
-    rec = nm3f_reconstruct(w, a, s)
+    per_trial = np.asarray(
+        sbt_vaf(jnp.asarray(xs), w, a, s, precision=precision)
+    )
+    rec = nm3f_reconstruct(w, a, s, precision=precision)
     err2 = float(jnp.sum((jnp.asarray(xs) - rec) ** 2))
     tot2 = float(jnp.sum(jnp.asarray(xs) ** 2))
     import pandas
@@ -801,6 +851,7 @@ def find_shared_spatial_synergies(
     tol: float = 1e-5,
     n_inits: int = 4,
     seed: int = 0,
+    precision=None,
 ) -> SharedSpatialResult:
     """Extract SHARED spatial modules with per-trial activations.
 
@@ -834,7 +885,7 @@ def find_shared_spatial_synergies(
                for _ in range(n_inits)]
     states = _fit_frozen_restarts(
         xs, [eye] * n_inits, inits_a, inits_s, max_iter, tol,
-        update_w=False, update_s=True,
+        update_w=False, update_s=True, precision=precision,
     )
 
     errors = np.asarray(states.previous_error)
@@ -844,8 +895,10 @@ def find_shared_spatial_synergies(
     sn = jnp.sqrt(jnp.sum(s * s, axis=1))
     s_out = s / jnp.where(sn == 0, 1.0, sn)[:, None]
     a_out = a * sn[None, None, :]
-    per_trial = np.asarray(sbt_vaf(jnp.asarray(xs), w, a_out, s_out))
-    rec = nm3f_reconstruct(w, a_out, s_out)
+    per_trial = np.asarray(
+        sbt_vaf(jnp.asarray(xs), w, a_out, s_out, precision=precision)
+    )
+    rec = nm3f_reconstruct(w, a_out, s_out, precision=precision)
     err2 = float(jnp.sum((jnp.asarray(xs) - rec) ** 2))
     tot2 = float(jnp.sum(jnp.asarray(xs) ** 2))
     import pandas

@@ -46,7 +46,9 @@ from .mesh import TIME_AXIS
 __all__ = ["sharded_fit_nm3f"]
 
 
-def _local_nm3f_step(xb, w, ab, s, data_axis: str, time_axis: str):
+def _local_nm3f_step(
+    xb, w, ab, s, data_axis: str, time_axis: str, precision=None
+):
     """One A-then-W-then-S update on this shard's trials and samples.
 
     Mirrors :func:`muscle_synergies_tpu.models.nm3f.nm3f_update` with
@@ -55,34 +57,50 @@ def _local_nm3f_step(xb, w, ab, s, data_axis: str, time_axis: str):
     w ``(t_loc, P)`` time-sharded, s ``(Q, L)`` replicated,
     ab ``(b_loc, P, Q)`` data-sharded.
     """
-    wtw = axis_sum(w.T @ w, time_axis)  # (P, P) global Gram
-    sst = s @ s.T
+    mm = functools.partial(jnp.matmul, precision=precision)
+    wtw = axis_sum(mm(w.T, w), time_axis)  # (P, P) global Gram
+    sst = mm(s, s.T)
     num_a = axis_sum(
-        jnp.einsum("tp,btl,ql->bpq", w, xb, s), time_axis
+        jnp.einsum("tp,btl,ql->bpq", w, xb, s, precision=precision),
+        time_axis,
     )
-    den_a = jnp.einsum("pr,brm,mq->bpq", wtw, ab, sst)
+    den_a = jnp.einsum("pr,brm,mq->bpq", wtw, ab, sst, precision=precision)
     ab = ab * (num_a / jnp.where(den_a == 0, EPSILON, den_a))
 
     # W's output axis is the time axis: numerator rows stay local
-    num_w = axis_sum(jnp.einsum("btl,ql,bpq->tp", xb, s, ab), data_axis)
-    gram_w = axis_sum(jnp.einsum("bpq,qm,brm->pr", ab, sst, ab), data_axis)
-    den_w = w @ gram_w
+    num_w = axis_sum(
+        jnp.einsum("btl,ql,bpq->tp", xb, s, ab, precision=precision),
+        data_axis,
+    )
+    gram_w = axis_sum(
+        jnp.einsum("bpq,qm,brm->pr", ab, sst, ab, precision=precision),
+        data_axis,
+    )
+    den_w = mm(w, gram_w)
     w = w * (num_w / jnp.where(den_w == 0, EPSILON, den_w))
 
-    wtw = axis_sum(w.T @ w, time_axis)  # refresh with the new W
+    wtw = axis_sum(mm(w.T, w), time_axis)  # refresh with the new W
     num_s = axis_sum(
-        axis_sum(jnp.einsum("bpq,tp,btl->ql", ab, w, xb), data_axis),
+        axis_sum(
+            jnp.einsum("bpq,tp,btl->ql", ab, w, xb, precision=precision),
+            data_axis,
+        ),
         time_axis,
     )
-    gram_s = axis_sum(jnp.einsum("bpq,pr,brm->qm", ab, wtw, ab), data_axis)
-    den_s = gram_s @ s
+    gram_s = axis_sum(
+        jnp.einsum("bpq,pr,brm->qm", ab, wtw, ab, precision=precision),
+        data_axis,
+    )
+    den_s = mm(gram_s, s)
     s = s * (num_s / jnp.where(den_s == 0, EPSILON, den_s))
     return w, ab, s
 
 
-def _local_nm3f_error(xb, w, ab, s, data_axis: str, time_axis: str):
+def _local_nm3f_error(
+    xb, w, ab, s, data_axis: str, time_axis: str, precision=None
+):
     """Total Frobenius error, trial and sample sums psum'd."""
-    rec = jnp.einsum("tp,bpq,ql->btl", w, ab, s)
+    rec = jnp.einsum("tp,bpq,ql->btl", w, ab, s, precision=precision)
     diff = xb - rec
     local = jnp.sum(diff * diff)
     return jnp.sqrt(axis_sum(axis_sum(local, data_axis), time_axis))
@@ -97,6 +115,7 @@ def sharded_fit_nm3f(
     max_iter: int = 500,
     tol: float = 1e-5,
     check_every: int = 10,
+    precision=None,
 ) -> NM3FState:
     """Run the space-by-time factorization on a ``(data, time)`` mesh.
 
@@ -110,7 +129,9 @@ def sharded_fit_nm3f(
         :class:`~muscle_synergies_tpu.models.nm3f.NM3FState` with the
         same shardings; semantics match
         :func:`~muscle_synergies_tpu.models.nm3f.fit_nm3f` (global
-        stopping — the modules couple every trial).
+        stopping — the modules couple every trial).  ``precision``
+        threads through every local contraction, matching the local
+        solver's knob (see models/nm3f.py module docstring).
     """
     n_data = mesh.shape[DATA_AXIS]
     n_time = mesh.shape[TIME_AXIS]
@@ -145,7 +166,7 @@ def sharded_fit_nm3f(
     )
     def fit(xb, w, ab, s):
         error_init = _local_nm3f_error(
-            xb, w, ab, s, DATA_AXIS, TIME_AXIS
+            xb, w, ab, s, DATA_AXIS, TIME_AXIS, precision=precision
         )
 
         def cond(state: NM3FState):
@@ -157,7 +178,8 @@ def sharded_fit_nm3f(
 
             def one(_, was):
                 return _local_nm3f_step(
-                    xb, *was, data_axis=DATA_AXIS, time_axis=TIME_AXIS
+                    xb, *was, data_axis=DATA_AXIS, time_axis=TIME_AXIS,
+                    precision=precision,
                 )
 
             w_, a_, s_ = jax.lax.fori_loop(
@@ -165,7 +187,7 @@ def sharded_fit_nm3f(
             )
             n_iter = state.n_iter + steps
             error = _local_nm3f_error(
-                xb, w_, a_, s_, DATA_AXIS, TIME_AXIS
+                xb, w_, a_, s_, DATA_AXIS, TIME_AXIS, precision=precision
             )
             improvement = (state.previous_error - error) / jnp.maximum(
                 error_init, EPSILON

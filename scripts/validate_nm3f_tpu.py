@@ -12,6 +12,12 @@ way ``scripts/validate_cnmf_tpu.py`` pinned the convolutive tiles:
 * fixed-iteration f32 chip fits vs an independent float64 host oracle
   for the full model and both frozen specializations
   (``update_w``/``update_s`` legs);
+* the same legs with ``precision="highest"`` (multi-pass f32 MXU
+  arithmetic) — the knob every NM3F entry point threads — which must
+  recover f32-level parity (1e-4 gate vs the ~1e-2 bf16 default);
+* a default-vs-highest throughput case at the bench shape
+  (chained fori_loop iterations, fresh factors per call, scalar
+  readback — the relay result-cache rules from CLAUDE.md);
 * ``sharded_fit_nm3f`` on a (1, 1) device mesh vs the local
   ``fit_nm3f`` on identical inputs — same arithmetic through the
   shard_map/collective plumbing, so the gate is tight (1e-4).
@@ -22,8 +28,8 @@ Run on the real chip (ambient axon env)::
 
 Prints one JSON line per case (and a trailing summary row suitable
 for BENCH_NM3F.json).  Exit status 0 iff every case passes: 5e-2 for
-the f32-vs-f64 legs (bf16 MXU rounding expected at ~1e-3), 1e-4 for
-sharded-vs-local.
+the default f32-vs-f64 legs (bf16 MXU rounding expected at ~1e-3),
+1e-4 for the ``precision="highest"`` legs and sharded-vs-local.
 """
 
 from __future__ import annotations
@@ -42,6 +48,7 @@ sys.path.insert(
 EPS = np.finfo(np.float64).eps  # sklearn EPSILON, as in models/nm3f.py
 
 F64_TOL = 5e-2
+HIGHEST_TOL = 1e-4
 SHARD_TOL = 1e-4
 
 
@@ -77,7 +84,8 @@ def _rel_err(got, want):
     return float(np.max(np.abs(np.asarray(got, np.float64) - want)) / scale)
 
 
-def _chip_iterations(xs, w0, a0, s0, iters, update_w, update_s):
+def _chip_iterations(xs, w0, a0, s0, iters, update_w, update_s,
+                     precision=None):
     import functools
 
     import jax
@@ -89,7 +97,8 @@ def _chip_iterations(xs, w0, a0, s0, iters, update_w, update_s):
     def run(xs, w, a, s, n):
         def one(_, was):
             return nm3f_update(
-                xs, *was, update_w=update_w, update_s=update_s
+                xs, *was, update_w=update_w, update_s=update_s,
+                precision=precision,
             )
 
         return jax.lax.fori_loop(0, n, one, (w, a, s))
@@ -102,7 +111,7 @@ def _chip_iterations(xs, w0, a0, s0, iters, update_w, update_s):
 
 
 def _case_vs_f64(name, update_w, update_s, b=16, t=50, l=8, p=3, q=2,
-                 iters=20):
+                 iters=20, precision=None):
     rng = np.random.default_rng(hash(name) % 2**31)
     xs = rng.uniform(0.1, 1.0, (b, t, l)).astype(np.float32)
     if not update_s:  # tMod: spatial side frozen at identity
@@ -117,7 +126,9 @@ def _case_vs_f64(name, update_w, update_s, b=16, t=50, l=8, p=3, q=2,
         w0 = rng.uniform(0.1, 1.0, (t, p)).astype(np.float32)
     a0 = rng.uniform(0.1, 1.0, (b, p, q)).astype(np.float32)
 
-    w, a, s = _chip_iterations(xs, w0, a0, s0, iters, update_w, update_s)
+    w, a, s = _chip_iterations(
+        xs, w0, a0, s0, iters, update_w, update_s, precision=precision
+    )
     wr, ar, sr = _nm3f_reference_f64(
         xs, w0, a0, s0, iters, update_w=update_w, update_s=update_s
     )
@@ -126,12 +137,76 @@ def _case_vs_f64(name, update_w, update_s, b=16, t=50, l=8, p=3, q=2,
         _rel_err(a, ar),
         _rel_err(s, sr) if update_s else 0.0,
     )
-    return {
+    tol = HIGHEST_TOL if precision == "highest" else F64_TOL
+    row = {
         "case": name,
         "shape": [b, t, l, p, q],
         "iters": iters,
         "max_rel_err_vs_f64": float(f"{err:.3e}"),
-        "status": "ok" if err <= F64_TOL else "numerics_fail",
+        "status": "ok" if err <= tol else "numerics_fail",
+    }
+    if precision is not None:
+        row["precision"] = precision
+    return row
+
+
+def _case_throughput(b=1024, t=200, l=8, p=4, q=3, iters=2000, reps=3):
+    """Default-vs-highest iteration throughput at the bench shape.
+
+    The relay timing rules (CLAUDE.md): fresh factors per call (the
+    result cache serves identical calls), one fused chain per timing
+    (fori_loop), scalar readback before the clock stops.  Differences
+    two chain lengths so compile/dispatch overhead cancels.
+    """
+    import functools
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from muscle_synergies_tpu.models.nm3f import nm3f_update
+
+    rng = np.random.default_rng(42)
+    xs = jnp.asarray(rng.uniform(0.1, 1.0, (b, t, l)).astype(np.float32))
+
+    rates = {}
+    for precision in (None, "highest"):
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def run(xs, w, a, s, n):
+            def one(_, was):
+                return nm3f_update(xs, *was, precision=precision)
+
+            w, a, s = jax.lax.fori_loop(0, n, one, (w, a, s))
+            return jnp.sum(w) + jnp.sum(a) + jnp.sum(s)
+
+        def timed(n, seed):
+            r = np.random.default_rng(seed)
+            w0 = jnp.asarray(r.uniform(0.1, 1.0, (t, p)).astype(np.float32))
+            a0 = jnp.asarray(
+                r.uniform(0.1, 1.0, (b, p, q)).astype(np.float32)
+            )
+            s0 = jnp.asarray(r.uniform(0.1, 1.0, (q, l)).astype(np.float32))
+            start = time.perf_counter()
+            float(run(xs, w0, a0, s0, n))
+            return time.perf_counter() - start
+
+        timed(1, 0)  # compile both chain lengths before timing
+        timed(1 + iters, 1)
+        deltas = [
+            timed(1 + iters, 10 + i) - timed(1, 100 + i)
+            for i in range(reps)
+        ]
+        rates[precision or "default"] = iters / float(np.median(deltas))
+
+    return {
+        "case": "throughput",
+        "shape": [b, t, l, p, q],
+        "iters_per_sec_default": round(rates["default"], 1),
+        "iters_per_sec_highest": round(rates["highest"], 1),
+        "highest_slowdown": round(
+            rates["default"] / rates["highest"], 2
+        ),
+        "status": "ok",
     }
 
 
@@ -185,6 +260,13 @@ def main():
         _case_vs_f64("tmod_frozen_s", update_w=True, update_s=False),
         _case_vs_f64("smod_frozen_w", update_w=False, update_s=True,
                      t=20),  # P = T when W is frozen: keep A small
+        _case_vs_f64("nm3f_full_highest", update_w=True, update_s=True,
+                     precision="highest"),
+        _case_vs_f64("tmod_highest", update_w=True, update_s=False,
+                     precision="highest"),
+        _case_vs_f64("smod_highest", update_w=False, update_s=True,
+                     t=20, precision="highest"),
+        _case_throughput(),
         _case_sharded(),
     ]
     ok = True
@@ -199,7 +281,9 @@ def main():
         "value": worst,
         "unit": (
             "f32 XLA chip fits vs f64 host oracle, 20 iters "
-            f"(tol {F64_TOL:g}); sharded-vs-local tol {SHARD_TOL:g}"
+            f"(default-precision tol {F64_TOL:g}; precision='highest' "
+            f"legs tol {HIGHEST_TOL:g}); sharded-vs-local tol "
+            f"{SHARD_TOL:g}"
         ),
         "vs_baseline": 1.0 if ok else 0.0,
         "date": datetime.datetime.now(datetime.timezone.utc).strftime(

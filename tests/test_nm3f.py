@@ -768,3 +768,92 @@ class TestSharedFactorBootstrap:
         xs, _, _, _ = synthetic(b=3)
         with pytest.raises(ValueError, match="outside"):
             bootstrap_temporal_synergies(xs, 0, n_boot=2)
+
+
+class TestPrecisionKnob:
+    """The ``precision`` argument threads through every entry point.
+
+    On CPU all matmul precisions lower identically, so each call must
+    reproduce the default path exactly — these tests pin the API
+    (threading, jit-static hashability) while the chip-side accuracy
+    claim (bf16 default ~1.4e-2 vs f64 -> 4.5e-7 at ``"highest"``) is
+    pinned by ``scripts/validate_nm3f_tpu.py`` -> BENCH_NM3F.json.
+    """
+
+    def test_fit_accepts_precision_spellings(self):
+        import jax
+
+        xs, *_ = synthetic()
+        w0, a0, s0 = init_nm3f(xs, 3, 2, seed=3)
+        base = fit_nm3f(xs, w0, a0, s0, max_iter=40)
+        for precision in ("highest", jax.lax.Precision.HIGHEST):
+            st = fit_nm3f(xs, w0, a0, s0, max_iter=40, precision=precision)
+            np.testing.assert_allclose(st.w, base.w, rtol=1e-12)
+            np.testing.assert_allclose(st.a, base.a, rtol=1e-12)
+            np.testing.assert_allclose(st.s, base.s, rtol=1e-12)
+            assert int(st.n_iter) == int(base.n_iter)
+
+    def test_update_reconstruct_and_vaf_thread_precision(self):
+        xs, w, a, s = synthetic()
+        got = nm3f_update(xs, w, a, s, precision="highest")
+        want = nm3f_update(xs, w, a, s)
+        for g, wv in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(wv),
+                                       rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(nm3f_reconstruct(w, a, s, precision="highest")),
+            np.asarray(nm3f_reconstruct(w, a, s)), rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sbt_vaf(xs, w, a, s, precision="highest")),
+            np.asarray(sbt_vaf(xs, w, a, s)), rtol=1e-12,
+        )
+
+    def test_finders_and_model_accept_precision(self):
+        from muscle_synergies_tpu.models.nm3f import (
+            NM3FModel,
+            find_shared_spatial_synergies,
+            find_temporal_synergies,
+        )
+
+        xs, *_ = synthetic()
+        res = find_space_by_time_synergies(
+            xs, 3, 2, max_iter=30, n_inits=2, precision="highest"
+        )
+        base = find_space_by_time_synergies(xs, 3, 2, max_iter=30, n_inits=2)
+        assert res.vaf == pytest.approx(base.vaf, rel=1e-12)
+        rt = find_temporal_synergies(
+            xs, 3, max_iter=20, n_inits=2, precision="highest"
+        )
+        rs = find_shared_spatial_synergies(
+            xs, 2, max_iter=20, n_inits=2, precision="highest"
+        )
+        assert 0.0 < rt.vaf <= 1.0 and 0.0 < rs.vaf <= 1.0
+        model = NM3FModel(3, 2, max_iter=30, n_inits=2,
+                          precision="highest").fit(xs)
+        coeffs = model.transform(xs[:2])
+        assert coeffs.shape == (2, 3, 2)
+        rec = model.inverse_transform(coeffs)
+        assert rec.shape == (2, xs.shape[1], xs.shape[2])
+
+    def test_sharded_fit_accepts_precision(self):
+        import jax.numpy as jnp
+
+        from muscle_synergies_tpu.parallel import make_mesh
+        from muscle_synergies_tpu.parallel.nm3f import sharded_fit_nm3f
+
+        xs, *_ = synthetic(b=8, t=80)
+        w0, a0, s0 = init_nm3f(xs, 3, 2, seed=3)
+        mesh = make_mesh((2, 4))
+        base = sharded_fit_nm3f(
+            jnp.asarray(xs), jnp.asarray(w0), jnp.asarray(a0),
+            jnp.asarray(s0), mesh, max_iter=40,
+        )
+        st = sharded_fit_nm3f(
+            jnp.asarray(xs), jnp.asarray(w0), jnp.asarray(a0),
+            jnp.asarray(s0), mesh, max_iter=40, precision="highest",
+        )
+        np.testing.assert_allclose(
+            np.asarray(st.w), np.asarray(base.w), rtol=1e-12
+        )
+        assert int(st.n_iter) == int(base.n_iter)
