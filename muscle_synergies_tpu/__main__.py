@@ -26,6 +26,11 @@ import json
 import sys
 
 
+def _cli_precision(args):
+    """``--precision default`` -> None (the XLA default), else the name."""
+    return None if args.precision == "default" else args.precision
+
+
 def _parse_ranks(spec: str):
     """``"4"`` -> (4, None); ``"2:5"`` / ``"2-5"`` -> (2, 5).
 
@@ -139,6 +144,13 @@ def _build_parser():
              "fused VMEM kernel on TPU)",
     )
     p_an.add_argument(
+        "--precision", choices=["default", "highest"], default="default",
+        help="matmul precision of the --time-varying XLA contractions "
+             "('highest' = multi-pass f32 on the TPU MXU, recovering "
+             "float32-level accuracy from the bf16 default; ignored by "
+             "the Pallas kernel, which is already pure f32)",
+    )
+    p_an.add_argument(
         "--rms", type=float, metavar="SECONDS", default=None,
         help="moving-RMS smoothing window instead of the filtered "
              "envelope (e.g. 0.5)",
@@ -208,6 +220,14 @@ def _build_parser():
         "--impl", choices=["auto", "xla", "pallas"], default="auto",
         help="batched-solver implementation (default auto: fused "
              "kernels on TPU)",
+    )
+    p_ds.add_argument(
+        "--precision", choices=["default", "highest"], default="default",
+        help="matmul precision for the --time-varying/--space-by-time/"
+             "--temporal-modules/--spatial-modules models' XLA "
+             "contractions ('highest' = multi-pass f32 on the TPU MXU; "
+             "the plain rank sweep runs the pure-f32 Pallas solvers and "
+             "rejects this flag)",
     )
     p_ds.add_argument(
         "--vaf-threshold", type=float, default=0.90,
@@ -495,6 +515,7 @@ def _analyze_time_varying(args, proc, emg_df, fs) -> int:
         res = mst.find_time_varying_synergies(
             proc, lo, args.time_varying, max_iter=args.max_iter,
             tol=args.tol, n_inits=args.n_inits, impl=args.impl,
+            precision=_cli_precision(args),
         )
     except ValueError as exc:
         raise SystemExit(str(exc))
@@ -682,6 +703,18 @@ def _cmd_analyze_dataset(args) -> int:
         rms_window_s=args.rms if args.rms is not None else 0.5,
         reduce_to=args.reduce_to,
     )
+    if (
+        args.time_varying is None
+        and args.space_by_time is None
+        and args.temporal_modules is None
+        and args.spatial_modules is None
+        and args.precision != "default"
+    ):
+        raise SystemExit(
+            "--precision applies to the convolutive/shared-factor "
+            "models' XLA contractions; the rank sweep runs the "
+            "pure-f32 Pallas solvers — drop it"
+        )
     if args.time_varying is not None:
         return _analyze_dataset_time_varying(
             args, trials, fs, config, subjects
@@ -815,7 +848,7 @@ def _analyze_dataset_space_by_time(args, trials, fs, config, subjects) -> int:
         res = mst.analyze_dataset_space_by_time(
             trials, fs, n_temporal=p, n_spatial=q, config=config,
             max_iter=args.max_iter, tol=args.tol, n_inits=args.n_inits,
-            subjects=subjects or None,
+            subjects=subjects or None, precision=_cli_precision(args),
         )
     except ValueError as exc:
         raise SystemExit(str(exc))
@@ -870,12 +903,12 @@ def _analyze_dataset_shared_factor(args, trials, fs, config, subjects) -> int:
         if temporal:
             res = find_temporal_synergies(
                 np.asarray(xs), k, max_iter=args.max_iter, tol=args.tol,
-                n_inits=args.n_inits,
+                n_inits=args.n_inits, precision=_cli_precision(args),
             )
         else:
             res = find_shared_spatial_synergies(
                 np.asarray(xs), k, max_iter=args.max_iter, tol=args.tol,
-                n_inits=args.n_inits,
+                n_inits=args.n_inits, precision=_cli_precision(args),
             )
     except ValueError as exc:
         raise SystemExit(str(exc))
@@ -931,6 +964,7 @@ def _analyze_dataset_time_varying(args, trials, fs, config, subjects) -> int:
             trials, fs, n_synergies=lo, n_lags=args.time_varying,
             config=config, max_iter=args.max_iter, tol=args.tol,
             n_inits=args.n_inits, subjects=subjects, impl=args.impl,
+            precision=_cli_precision(args),
         )
     except ValueError as exc:
         raise SystemExit(str(exc))

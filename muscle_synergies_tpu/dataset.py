@@ -16,6 +16,7 @@ becomes a single batched device computation:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import List, Mapping, Optional, Sequence, Union
 
@@ -975,6 +976,7 @@ def analyze_dataset_time_varying(
     dtype=None,
     subjects: Optional[Sequence] = None,
     impl: Optional[str] = None,
+    precision=None,
 ) -> TimeVaryingDatasetResult:
     """Preprocess a dataset and extract time-varying synergies per trial.
 
@@ -1006,6 +1008,9 @@ def analyze_dataset_time_varying(
         impl: ``"xla"``, ``"pallas"`` or ``"auto"`` for the local
             batched fit; defaults to ``config.solver_impl``.  Ignored
             when the mesh path runs.
+        precision: matmul precision for the XLA contractions (e.g.
+            ``"highest"`` — see models/cnmf.py docstrings); ignored by
+            the Pallas update kernel, which is already pure f32.
 
     Returns:
         :class:`TimeVaryingDatasetResult` over all trials.
@@ -1099,14 +1104,15 @@ def analyze_dataset_time_varying(
             grid_s, NamedSharding(mesh, P(DATA_AXIS, None, None, None))
         )
         state = sharded_fit_cnmf(
-            grid_x, grid_c, grid_s, mesh, max_iter=max_iter, tol=tol
+            grid_x, grid_c, grid_s, mesh, max_iter=max_iter, tol=tol,
+            precision=precision,
         )
         if pad_fits:
             state = jax.tree.map(lambda a: a[:n_fits], state)
     else:
         state = fit_cnmf_batch(
             grid_x, jnp.asarray(c0), jnp.asarray(s0),
-            max_iter=max_iter, tol=tol, impl=impl,
+            max_iter=max_iter, tol=tol, impl=impl, precision=precision,
         )
 
     errors = np.asarray(state.previous_error).reshape(b, n_inits)
@@ -1119,7 +1125,9 @@ def analyze_dataset_time_varying(
     c_best, s_best = normalize_synergies(c_best, s_best)
 
     xs_local = jnp.asarray(xs_np)  # gathered off any mesh above
-    rec = jax.vmap(cnmf_reconstruct)(c_best, s_best)
+    rec = jax.vmap(
+        functools.partial(cnmf_reconstruct, precision=precision)
+    )(c_best, s_best)
     err2 = jnp.sum((xs_local - rec) ** 2, axis=1)  # (B, L)
     tot2 = jnp.sum(xs_local * xs_local, axis=1)
     per_channel = 1.0 - err2 / jnp.where(tot2 == 0, 1.0, tot2)
@@ -1230,6 +1238,7 @@ def analyze_dataset_space_by_time(
     seed: int = 0,
     dtype=None,
     subjects: Optional[Sequence] = None,
+    precision=None,
 ) -> SpaceByTimeDatasetResult:
     """Preprocess a dataset and extract its space-by-time synergies.
 
@@ -1256,6 +1265,9 @@ def analyze_dataset_space_by_time(
             :func:`~muscle_synergies_tpu.parallel.sharded_fit_nm3f`
             (trial counts zero-pad exactly over ``data``; a
             non-dividing time axis warns and solves locally).
+        precision: matmul precision for every NM3F contraction (e.g.
+            ``"highest"`` — see models/nm3f.py's module docstring for
+            the chip-measured accuracy/throughput tradeoff).
 
     Returns:
         :class:`SpaceByTimeDatasetResult` for the whole dataset.
@@ -1274,7 +1286,7 @@ def analyze_dataset_space_by_time(
     xs_np = np.asarray(xs)
     res = find_space_by_time_synergies(
         xs_np, n_temporal, n_spatial, max_iter=max_iter, tol=tol,
-        n_inits=n_inits, seed=seed, mesh=mesh,
+        n_inits=n_inits, seed=seed, mesh=mesh, precision=precision,
     )
 
     spatial = res.spatial_modules

@@ -84,15 +84,21 @@ def _lag_stack(c: jnp.ndarray, n_lags: int) -> jnp.ndarray:
     return jnp.stack([_shift_down(c, d) for d in range(n_lags)])
 
 
-def cnmf_reconstruct(c: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+def cnmf_reconstruct(
+    c: jnp.ndarray, s: jnp.ndarray, precision=None
+) -> jnp.ndarray:
     """Reconstruction ``X̂[t, l] = Σ_k Σ_d C[t-d, k] S[k, d, l]``.
 
     Args:
         c: ``(T, K)`` nonnegative activation trains.
         s: ``(K, D, L)`` spatiotemporal synergies.
+        precision: matmul precision for the contraction (e.g.
+            ``"highest"`` for multi-pass f32 on the TPU MXU, where f32
+            einsums default to bf16 passes); ``None`` keeps the XLA
+            default.
     """
     cs = _lag_stack(c, s.shape[1])  # (D, T, K)
-    return jnp.einsum("dtk,kdl->tl", cs, s)
+    return jnp.einsum("dtk,kdl->tl", cs, s, precision=precision)
 
 
 def cnmf_update(
@@ -101,6 +107,7 @@ def cnmf_update(
     s: jnp.ndarray,
     update_c: bool = True,
     update_s: bool = True,
+    precision=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One multiplicative update of S then C.
 
@@ -119,19 +126,19 @@ def cnmf_update(
 
     if update_s:
         cs = _lag_stack(c, n_lags)  # (D, T, K)
-        xhat = jnp.einsum("dtk,kdl->tl", cs, s)
-        num_s = jnp.einsum("dtk,tl->kdl", cs, x)
-        den_s = jnp.einsum("dtk,tl->kdl", cs, xhat)
+        xhat = jnp.einsum("dtk,kdl->tl", cs, s, precision=precision)
+        num_s = jnp.einsum("dtk,tl->kdl", cs, x, precision=precision)
+        den_s = jnp.einsum("dtk,tl->kdl", cs, xhat, precision=precision)
         s = s * (num_s / jnp.where(den_s == 0, EPSILON, den_s))
 
     if not update_c:
         return c, s
 
     cs = _lag_stack(c, n_lags)
-    xhat = jnp.einsum("dtk,kdl->tl", cs, s)
+    xhat = jnp.einsum("dtk,kdl->tl", cs, s, precision=precision)
     # G[d, t, k] = Σ_l X[t, l] S[k, d, l]; numerator is Σ_d G[d, t+d, k]
-    g_num = jnp.einsum("tl,kdl->dtk", x, s)
-    g_den = jnp.einsum("tl,kdl->dtk", xhat, s)
+    g_num = jnp.einsum("tl,kdl->dtk", x, s, precision=precision)
+    g_den = jnp.einsum("tl,kdl->dtk", xhat, s, precision=precision)
     num_c = sum(_shift_up(g_num[d], d) for d in range(n_lags))
     den_c = sum(_shift_up(g_den[d], d) for d in range(n_lags))
     c = c * (num_c / jnp.where(den_c == 0, EPSILON, den_c))
@@ -194,14 +201,17 @@ class CNMFState(NamedTuple):
     converged: jnp.ndarray  # bool
 
 
-def _frobenius_error(x, c, s):
-    diff = x - cnmf_reconstruct(c, s)
+def _frobenius_error(x, c, s, precision=None):
+    diff = x - cnmf_reconstruct(c, s, precision=precision)
     return jnp.sqrt(jnp.sum(diff * diff))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iter", "tol", "check_every", "update_c", "update_s"),
+    static_argnames=(
+        "max_iter", "tol", "check_every", "update_c", "update_s",
+        "precision",
+    ),
 )
 def fit_cnmf(
     x: jnp.ndarray,
@@ -212,6 +222,7 @@ def fit_cnmf(
     check_every: int = 10,
     update_c: bool = True,
     update_s: bool = True,
+    precision=None,
 ) -> CNMFState:
     """Run convolutive NMF to convergence in one device computation.
 
@@ -225,10 +236,13 @@ def fit_cnmf(
         s0: ``(K, D, L)`` initial synergies.
         update_c / update_s: freeze one factor (see
             :func:`cnmf_update`; freezing both is rejected).
+        precision: matmul precision for every contraction, including
+            the stopping criterion's error checks (see
+            :func:`cnmf_reconstruct`).
     """
     if not (update_c or update_s):
         raise ValueError("update_c and update_s cannot both be False")
-    error_init = _frobenius_error(x, c0, s0)
+    error_init = _frobenius_error(x, c0, s0, precision=precision)
 
     def cond(state: CNMFState):
         return (state.n_iter < max_iter) & ~state.converged
@@ -237,8 +251,8 @@ def fit_cnmf(
         c, s = state.c, state.s
         for _ in range(check_every):
             c, s = cnmf_update(x, c, s, update_c=update_c,
-                               update_s=update_s)
-        error = _frobenius_error(x, c, s)
+                               update_s=update_s, precision=precision)
+        error = _frobenius_error(x, c, s, precision=precision)
         improvement = (state.previous_error - error) / jnp.maximum(
             error_init, EPSILON
         )
@@ -271,6 +285,7 @@ def fit_cnmf_batch(
     update_s: bool = True,
     impl: str = "xla",
     block_b: int = None,
+    precision=None,
 ) -> CNMFState:
     """Convergence-mode convolutive NMF over a ``(B, T, L)`` stack.
 
@@ -283,6 +298,10 @@ def fit_cnmf_batch(
     Frobenius checks — the same chunked architecture as
     :func:`muscle_synergies_tpu.models.batch.fit_mu_beta_batch` — with
     identical per-trial stopping semantics.
+
+    ``precision`` threads through every XLA contraction; on the Pallas
+    path the update kernel is already pure f32 on the VPU, so it
+    applies only to the interleaved XLA divergence checks.
     """
     if impl == "pallas":
         if not (update_c and update_s):
@@ -302,21 +321,27 @@ def fit_cnmf_batch(
         return _fit_cnmf_batch_pallas(
             jnp.asarray(xs), jnp.asarray(c0), jnp.asarray(s0),
             max_iter, float(tol), check_every, block_b,
+            precision=precision,
         )
     if impl != "xla":
         raise ValueError(f"unknown impl: {impl!r}")
     return _fit_cnmf_batch_xla(
         xs, c0, s0, max_iter=max_iter, tol=tol,
         check_every=check_every, update_c=update_c, update_s=update_s,
+        precision=precision,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iter", "tol", "check_every", "update_c", "update_s"),
+    static_argnames=(
+        "max_iter", "tol", "check_every", "update_c", "update_s",
+        "precision",
+    ),
 )
 def _fit_cnmf_batch_xla(
-    xs, c0, s0, max_iter, tol, check_every, update_c, update_s=True
+    xs, c0, s0, max_iter, tol, check_every, update_c, update_s=True,
+    precision=None,
 ) -> CNMFState:
     return jax.vmap(
         lambda x, c, s: fit_cnmf(
@@ -328,16 +353,21 @@ def _fit_cnmf_batch_xla(
             check_every=check_every,
             update_c=update_c,
             update_s=update_s,
+            precision=precision,
         )
     )(xs, c0, s0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iter", "tol", "check_every", "block_b", "interpret"),
+    static_argnames=(
+        "max_iter", "tol", "check_every", "block_b", "interpret",
+        "precision",
+    ),
 )
 def _fit_cnmf_batch_pallas(
-    xs, c0, s0, max_iter, tol, check_every, block_b, interpret=False
+    xs, c0, s0, max_iter, tol, check_every, block_b, interpret=False,
+    precision=None,
 ) -> CNMFState:
     """Convolutive fit driven by the Pallas kernel in checked chunks.
 
@@ -352,7 +382,9 @@ def _fit_cnmf_batch_pallas(
     """
     from .kernels.cnmf_pallas import cnmf_iterations_pallas
 
-    err_fn = jax.vmap(_frobenius_error)
+    err_fn = jax.vmap(
+        functools.partial(_frobenius_error, precision=precision)
+    )
     c0 = c0.astype(xs.dtype)
     s0 = s0.astype(xs.dtype)
     error_init = err_fn(xs, c0, s0)
@@ -398,6 +430,7 @@ def cnmf_transform(
     max_iter: int = 200,
     tol: float = 1e-4,
     seed: int = 0,
+    precision=None,
 ) -> CNMFState:
     """Project data onto a FIXED synergy library: solve C, freeze S.
 
@@ -434,17 +467,20 @@ def cnmf_transform(
             s = jnp.broadcast_to(s, x.shape[:1] + s.shape)
         return _fit_cnmf_batch_xla(
             x, c0, s, max_iter=max_iter, tol=tol, check_every=10,
-            update_c=True, update_s=False,
+            update_c=True, update_s=False, precision=precision,
         )
     return fit_cnmf(
-        x, c0, s, max_iter=max_iter, tol=tol, update_s=False
+        x, c0, s, max_iter=max_iter, tol=tol, update_s=False,
+        precision=precision,
     )
 
 
-def _cnmf_iterations_xla(xs, c0, s0, n_iters, update_c=True):
+def _cnmf_iterations_xla(xs, c0, s0, n_iters, update_c=True,
+                         precision=None):
     def one(x, c, s):
         def body(_, cs_):
-            return cnmf_update(x, cs_[0], cs_[1], update_c=update_c)
+            return cnmf_update(x, cs_[0], cs_[1], update_c=update_c,
+                               precision=precision)
 
         return jax.lax.fori_loop(0, n_iters, body, (c, s))
 
@@ -459,6 +495,7 @@ def cnmf_iterations_batch(
     update_c: bool = True,
     impl: str = "xla",
     block_b: int = None,
+    precision=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``n_iters`` convolutive updates on a ``(B, T, L)`` batch.
 
@@ -472,6 +509,8 @@ def cnmf_iterations_batch(
             TPU, since it runs pure-f32 on the VPU; batch must divide
             by ``block_b``).  With ``"xla"``, ``n_iters`` may be a
             traced scalar; the Pallas path needs a static int.
+        precision: matmul precision for the XLA einsums; ignored by
+            the Pallas kernel (always pure f32 on the VPU).
     """
     if impl == "pallas":
         from .kernels.cnmf_pallas import cnmf_iterations_pallas
@@ -494,7 +533,9 @@ def cnmf_iterations_batch(
         )
     if impl != "xla":
         raise ValueError(f"unknown impl: {impl!r}")
-    return _cnmf_iterations_xla(xs, c0, s0, n_iters, update_c=update_c)
+    return _cnmf_iterations_xla(
+        xs, c0, s0, n_iters, update_c=update_c, precision=precision
+    )
 
 
 def init_cnmf(
@@ -581,6 +622,7 @@ def find_time_varying_synergies(
     n_inits: int = 4,
     seed: int = 0,
     impl: str = "auto",
+    precision=None,
 ) -> TimeVaryingSynergyResult:
     """Extract d'Avella-style time-varying synergies from an EMG frame.
 
@@ -606,6 +648,10 @@ def find_time_varying_synergies(
             a reasonable fraction of a 128-lane tile (``n_inits >= 8``;
             faster and pure-f32 on the VPU, so ~3 decades more accurate
             than the bf16 MXU einsums), the batched XLA path otherwise.
+        precision: matmul precision for the XLA contractions (e.g.
+            ``"highest"`` — multi-pass f32 on the MXU, recovering the
+            Pallas path's accuracy on the einsum path); ignored by the
+            Pallas update kernel itself.
     """
     import pandas
 
@@ -634,14 +680,14 @@ def find_time_varying_synergies(
     c0, s0 = init_cnmf(xs, n_synergies, n_lags, seed=seed)
     state = fit_cnmf_batch(
         jnp.asarray(xs), jnp.asarray(c0), jnp.asarray(s0),
-        max_iter=max_iter, tol=tol, impl=impl,
+        max_iter=max_iter, tol=tol, impl=impl, precision=precision,
     )
     errors = np.asarray(state.previous_error)
     best = int(np.argmin(errors))
     c, s = normalize_synergies(state.c[best], state.s[best])
     c_np, s_np = np.asarray(c), np.asarray(s)
 
-    recon = np.asarray(cnmf_reconstruct(c, s))
+    recon = np.asarray(cnmf_reconstruct(c, s, precision=precision))
     err2 = ((x_host - recon) ** 2).sum(axis=0)
     tot2 = (x_host**2).sum(axis=0)
     per_muscle = 1.0 - err2 / np.where(tot2 == 0, 1.0, tot2)
@@ -699,6 +745,7 @@ class CNMFModel:
         n_inits: int = 4,
         random_state: int = 0,
         impl: str = "auto",
+        precision=None,
     ):
         self.n_components = n_components
         self.n_lags = n_lags
@@ -707,13 +754,14 @@ class CNMFModel:
         self.n_inits = n_inits
         self.random_state = random_state
         self.impl = impl
+        self.precision = precision
 
     def fit_transform(self, X) -> np.ndarray:
         """Fit the library and return the ``(T, K)`` activations."""
         res = find_time_varying_synergies(
             X, self.n_components, self.n_lags, max_iter=self.max_iter,
             tol=self.tol, n_inits=self.n_inits, seed=self.random_state,
-            impl=self.impl,
+            impl=self.impl, precision=self.precision,
         )
         self.synergies_ = np.stack(
             [res.synergies[k].to_numpy() for k in range(self.n_components)]
@@ -743,6 +791,7 @@ class CNMFModel:
         state = cnmf_transform(
             jnp.asarray(x), jnp.asarray(self.synergies_),
             max_iter=self.max_iter, tol=self.tol, seed=self.random_state,
+            precision=self.precision,
         )
         return np.asarray(state.c)
 
@@ -751,20 +800,21 @@ class CNMFModel:
         self._check_fitted()
         return np.asarray(
             cnmf_reconstruct(jnp.asarray(np.asarray(C, dtype=float)),
-                             jnp.asarray(self.synergies_))
+                             jnp.asarray(self.synergies_),
+                             precision=self.precision)
         )
 
 
-def tvaf(x: jnp.ndarray, c: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+def tvaf(x: jnp.ndarray, c: jnp.ndarray, s: jnp.ndarray,
+         precision=None) -> jnp.ndarray:
     """Overall VAF of the convolutive reconstruction.
 
     Same definition as the reference's time-invariant ``vaf``
     (reference analysis.py:636-643): ``1 - ||X - X̂||² / ||X||²``.
     Batched factors ``(B, ...)`` return a ``(B,)`` vector.
     """
-    recon = (
-        jax.vmap(cnmf_reconstruct)(c, s) if s.ndim == 4 else cnmf_reconstruct(c, s)
-    )
+    rec_fn = functools.partial(cnmf_reconstruct, precision=precision)
+    recon = jax.vmap(rec_fn)(c, s) if s.ndim == 4 else rec_fn(c, s)
     sum_axes = tuple(range(x.ndim - 2, x.ndim))
     err = jnp.sum((x - recon) ** 2, axis=sum_axes)
     tot = jnp.sum(x * x, axis=sum_axes)

@@ -58,7 +58,8 @@ def _lag_stack_sharded(c, n_lags: int, axis_name: str):
     return jnp.stack([ext[halo - d : halo - d + t_loc] for d in range(n_lags)])
 
 
-def _local_cnmf_step(x, c, s, axis_name: str, n_lags: int):
+def _local_cnmf_step(x, c, s, axis_name: str, n_lags: int,
+                     precision=None):
     """One S-then-C multiplicative update on a single trial's shards.
 
     Mirrors :func:`muscle_synergies_tpu.models.cnmf.cnmf_update`
@@ -68,13 +69,17 @@ def _local_cnmf_step(x, c, s, axis_name: str, n_lags: int):
     halo = n_lags - 1
 
     cs = _lag_stack_sharded(c, n_lags, axis_name)
-    xhat = jnp.einsum("dtk,kdl->tl", cs, s)
-    num_s = time_sum(jnp.einsum("dtk,tl->kdl", cs, x), axis_name)
-    den_s = time_sum(jnp.einsum("dtk,tl->kdl", cs, xhat), axis_name)
+    xhat = jnp.einsum("dtk,kdl->tl", cs, s, precision=precision)
+    num_s = time_sum(
+        jnp.einsum("dtk,tl->kdl", cs, x, precision=precision), axis_name
+    )
+    den_s = time_sum(
+        jnp.einsum("dtk,tl->kdl", cs, xhat, precision=precision), axis_name
+    )
     s = s * (num_s / jnp.where(den_s == 0, EPSILON, den_s))
 
     cs = _lag_stack_sharded(c, n_lags, axis_name)
-    xhat = jnp.einsum("dtk,kdl->tl", cs, s)
+    xhat = jnp.einsum("dtk,kdl->tl", cs, s, precision=precision)
     if halo:
         x_ext = jnp.concatenate([x, edge_shift(x[:halo], axis_name, -1)])
         xh_ext = jnp.concatenate(
@@ -82,8 +87,8 @@ def _local_cnmf_step(x, c, s, axis_name: str, n_lags: int):
         )
     else:
         x_ext, xh_ext = x, xhat
-    g_num = jnp.einsum("tl,kdl->dtk", x_ext, s)
-    g_den = jnp.einsum("tl,kdl->dtk", xh_ext, s)
+    g_num = jnp.einsum("tl,kdl->dtk", x_ext, s, precision=precision)
+    g_den = jnp.einsum("tl,kdl->dtk", xh_ext, s, precision=precision)
     t_loc = x.shape[0]
     num_c = sum(g_num[d, d : d + t_loc] for d in range(n_lags))
     den_c = sum(g_den[d, d : d + t_loc] for d in range(n_lags))
@@ -91,10 +96,11 @@ def _local_cnmf_step(x, c, s, axis_name: str, n_lags: int):
     return c, s
 
 
-def _local_cnmf_error(x, c, s, axis_name: str, n_lags: int):
+def _local_cnmf_error(x, c, s, axis_name: str, n_lags: int,
+                      precision=None):
     """Frobenius error of the convolutive reconstruction, time-psum'd."""
     cs = _lag_stack_sharded(c, n_lags, axis_name)
-    diff = x - jnp.einsum("dtk,kdl->tl", cs, s)
+    diff = x - jnp.einsum("dtk,kdl->tl", cs, s, precision=precision)
     return jnp.sqrt(time_sum(jnp.sum(diff * diff), axis_name))
 
 
@@ -106,6 +112,7 @@ def sharded_fit_cnmf(
     max_iter: int = 200,
     tol: float = 1e-4,
     check_every: int = 10,
+    precision=None,
 ) -> CNMFState:
     """Run batched convolutive NMF on a ``(data, time)`` mesh.
 
@@ -119,6 +126,8 @@ def sharded_fit_cnmf(
         :class:`CNMFState` with the same sharding; semantics match
         :func:`~muscle_synergies_tpu.models.cnmf.fit_cnmf_batch`
         (per-trial sklearn stopping, converged trials frozen).
+        ``precision`` threads through every local contraction,
+        matching the local solver's knob (models/cnmf.py docstrings).
     """
     n_lags = s0.shape[2]
     t = xs.shape[1]
@@ -133,10 +142,14 @@ def sharded_fit_cnmf(
             f"({t // n_time} samples); use fewer time shards or lags"
         )
     vstep = jax.vmap(
-        lambda x, c, s: _local_cnmf_step(x, c, s, TIME_AXIS, n_lags)
+        lambda x, c, s: _local_cnmf_step(
+            x, c, s, TIME_AXIS, n_lags, precision=precision
+        )
     )
     verr = jax.vmap(
-        lambda x, c, s: _local_cnmf_error(x, c, s, TIME_AXIS, n_lags)
+        lambda x, c, s: _local_cnmf_error(
+            x, c, s, TIME_AXIS, n_lags, precision=precision
+        )
     )
 
     def step(xb, cb, sb, _axis):
@@ -170,7 +183,8 @@ def sharded_fit_cnmf(
     return fit(xs, c0, s0)
 
 
-def _local_cnmf_step_tp(x, c, s, axis_name: str, n_lags: int):
+def _local_cnmf_step_tp(x, c, s, axis_name: str, n_lags: int,
+                        precision=None):
     """One convolutive update on a single trial's CHANNEL shards.
 
     Time is unsharded here (full ``T`` local, so the lag stack needs no
@@ -182,15 +196,19 @@ def _local_cnmf_step_tp(x, c, s, axis_name: str, n_lags: int):
     (replicated over the model group), s ``(K, D, l_loc)``.
     """
     cs = _lag_stack_local(c, n_lags)
-    xhat = jnp.einsum("dtk,kdl->tl", cs, s)
-    num_s = jnp.einsum("dtk,tl->kdl", cs, x)
-    den_s = jnp.einsum("dtk,tl->kdl", cs, xhat)
+    xhat = jnp.einsum("dtk,kdl->tl", cs, s, precision=precision)
+    num_s = jnp.einsum("dtk,tl->kdl", cs, x, precision=precision)
+    den_s = jnp.einsum("dtk,tl->kdl", cs, xhat, precision=precision)
     s = s * (num_s / jnp.where(den_s == 0, EPSILON, den_s))
 
     cs = _lag_stack_local(c, n_lags)
-    xhat = jnp.einsum("dtk,kdl->tl", cs, s)
-    g_num = axis_sum(jnp.einsum("tl,kdl->dtk", x, s), axis_name)
-    g_den = axis_sum(jnp.einsum("tl,kdl->dtk", xhat, s), axis_name)
+    xhat = jnp.einsum("dtk,kdl->tl", cs, s, precision=precision)
+    g_num = axis_sum(
+        jnp.einsum("tl,kdl->dtk", x, s, precision=precision), axis_name
+    )
+    g_den = axis_sum(
+        jnp.einsum("tl,kdl->dtk", xhat, s, precision=precision), axis_name
+    )
     num_c = sum(
         jnp.concatenate(
             [g_num[d, d:], jnp.zeros((d, g_num.shape[2]), g_num.dtype)]
@@ -218,10 +236,11 @@ def _lag_stack_local(c, n_lags: int):
     ])
 
 
-def _local_cnmf_error_tp(x, c, s, axis_name: str, n_lags: int):
+def _local_cnmf_error_tp(x, c, s, axis_name: str, n_lags: int,
+                         precision=None):
     """Frobenius error with the channel sums ``psum``'d."""
     cs = _lag_stack_local(c, n_lags)
-    diff = x - jnp.einsum("dtk,kdl->tl", cs, s)
+    diff = x - jnp.einsum("dtk,kdl->tl", cs, s, precision=precision)
     return jnp.sqrt(axis_sum(jnp.sum(diff * diff), axis_name))
 
 
@@ -233,6 +252,7 @@ def sharded_fit_cnmf_tp(
     max_iter: int = 200,
     tol: float = 1e-4,
     check_every: int = 10,
+    precision=None,
 ) -> CNMFState:
     """Run batched convolutive NMF on a ``(data, model)`` mesh.
 
@@ -262,10 +282,14 @@ def sharded_fit_cnmf_tp(
             "model shards"
         )
     vstep = jax.vmap(
-        lambda x, c, s: _local_cnmf_step_tp(x, c, s, MODEL_AXIS, n_lags)
+        lambda x, c, s: _local_cnmf_step_tp(
+            x, c, s, MODEL_AXIS, n_lags, precision=precision
+        )
     )
     verr = jax.vmap(
-        lambda x, c, s: _local_cnmf_error_tp(x, c, s, MODEL_AXIS, n_lags)
+        lambda x, c, s: _local_cnmf_error_tp(
+            x, c, s, MODEL_AXIS, n_lags, precision=precision
+        )
     )
 
     def step(xb, cb, sb, _axis):

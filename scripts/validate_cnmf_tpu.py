@@ -30,6 +30,12 @@ Exit status 0 iff every case passes, with one asymmetry by design:
   explicit ``impl="pallas"`` is user-reachable there (only ``auto``
   applies the >=8 lane-occupancy floor), so a tile that compiles but
   computes wrong answers is a shipped bug regardless of the floor.
+
+Also validates the XLA einsum path's ``precision`` knob (the fallback
+for Pallas-illegal tiles): the bf16-MXU default is expected at ~5e-3
+vs float64 (informational, 5e-2 gate) and ``precision="highest"``
+must recover f32-level parity (1e-4 gate) — the same contract the
+NM3F family pins in ``scripts/validate_nm3f_tpu.py``.
 """
 
 from __future__ import annotations
@@ -86,6 +92,40 @@ def _case(b, n=200, l=8, k=4, d=6, iters=20):
     return row
 
 
+def _case_xla_precision(precision, b=8, n=200, l=8, k=4, d=6, iters=20):
+    """XLA einsum path accuracy vs f64 at the given matmul precision."""
+    import jax.numpy as jnp
+
+    from muscle_synergies_tpu.models.cnmf import cnmf_iterations_batch
+
+    rng = np.random.default_rng(1000 + b)
+    x = rng.uniform(0.1, 1.0, (b, n, l)).astype(np.float32)
+    c0 = rng.uniform(0.1, 1.0, (b, n, k)).astype(np.float32)
+    s0 = rng.uniform(0.1, 1.0, (b, k, d, l)).astype(np.float32)
+
+    cp, sp = cnmf_iterations_batch(
+        jnp.asarray(x), jnp.asarray(c0), jnp.asarray(s0), iters,
+        impl="xla", precision=precision,
+    )
+    cp, sp = np.asarray(cp), np.asarray(sp)
+    err = 0.0
+    for i in range(b):
+        cr, sr = _cnmf_reference_f64(x[i], c0[i], s0[i], iters)
+        err = max(
+            err,
+            float(np.max(np.abs(cp[i] - cr)) / np.max(np.abs(cr))),
+            float(np.max(np.abs(sp[i] - sr)) / np.max(np.abs(sr))),
+        )
+    tol = 1e-4 if precision == "highest" else 5e-2
+    return {
+        "case": "xla_precision",
+        "precision": precision or "default",
+        "batch": b,
+        "max_rel_err": err,
+        "status": "ok" if err <= tol else "numerics_fail",
+    }
+
+
 def main():
     import jax
 
@@ -102,6 +142,11 @@ def main():
             ok = False  # impl="pallas" is user-reachable at any b
         if row["status"] == "compile_error" and b >= 8:
             ok = False  # >=8-lane tiles are the shipped envelope
+    for precision in (None, "highest"):
+        row = _case_xla_precision(precision)
+        print(json.dumps(row), flush=True)
+        if row["status"] != "ok":
+            ok = False
     sys.exit(0 if ok else 1)
 
 

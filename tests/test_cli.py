@@ -403,3 +403,32 @@ def test_analyze_dataset_prefetch_validation(capture_csv):
         "--prefetch", "1", "--ranks", "1", "--rms", "0.5",
     ])
     assert r.returncode != 0 and "no such file" in r.stderr
+
+
+def test_precision_flag(capture_csv, tmp_path):
+    """--precision threads to the shared-factor/convolutive models and
+    is rejected on the plain rank sweep (whose production path is the
+    pure-f32 Pallas solvers)."""
+    out = tmp_path / "sbt_hi.json"
+    result = _run([
+        "analyze-dataset", capture_csv,
+        "--space-by-time", "2:2", "--n-inits", "2", "--rms", "0.5",
+        "--max-iter", "100", "--tol", "1e-4",
+        "--precision", "highest", "-o", str(out),
+    ])
+    assert result.returncode == 0, result.stderr[-2000:]
+    report = json.loads(out.read_text())
+    assert report["model"] == "space-by-time"
+    assert 0.0 < report["vaf_overall"] <= 1.0
+
+    r = _run([
+        "analyze-dataset", capture_csv, "--ranks", "2",
+        "--rms", "0.5", "--precision", "highest",
+    ])
+    assert r.returncode == 1 and "drop it" in r.stderr
+
+    r = _run([
+        "analyze-dataset", capture_csv, "--ranks", "2",
+        "--precision", "sloppy",
+    ])
+    assert r.returncode == 2  # argparse choice error

@@ -472,3 +472,144 @@ class TestNormalize:
             naive_reconstruct(c[1], s[1]),
             rtol=1e-10,
         )
+
+
+class TestPrecisionKnob:
+    """``precision`` threads through the convolutive XLA surface.
+
+    On CPU all matmul precisions lower identically, so every call must
+    reproduce the default path exactly — the API contract (threading,
+    jit-static hashability) is what's pinned here; the chip-side
+    accuracy story (bf16 einsums ~5.8e-3 vs f64 -> f32-level at
+    ``"highest"``) is pinned by ``scripts/validate_cnmf_tpu.py``.
+    """
+
+    def _problem(self, b=4, t=60, l=6, k=3, d=5):
+        rng = np.random.default_rng(11)
+        x = rng.uniform(0.1, 1.0, (t, l))
+        xs = np.stack([x * (0.8 + 0.1 * i) for i in range(b)])
+        c0, s0 = init_cnmf(xs, k, d, seed=2)
+        return xs, c0, s0
+
+    def test_fit_and_batch_match_default(self):
+        import jax.numpy as jnp
+
+        xs, c0, s0 = self._problem()
+        base = fit_cnmf(
+            jnp.asarray(xs[0]), jnp.asarray(c0[0]), jnp.asarray(s0[0]),
+            max_iter=40,
+        )
+        for precision in ("highest", None):
+            st = fit_cnmf(
+                jnp.asarray(xs[0]), jnp.asarray(c0[0]), jnp.asarray(s0[0]),
+                max_iter=40, precision=precision,
+            )
+            np.testing.assert_allclose(st.c, base.c, rtol=1e-12)
+            assert int(st.n_iter) == int(base.n_iter)
+        stb = fit_cnmf_batch(
+            jnp.asarray(xs), jnp.asarray(c0), jnp.asarray(s0),
+            max_iter=40, precision="highest",
+        )
+        baseb = fit_cnmf_batch(
+            jnp.asarray(xs), jnp.asarray(c0), jnp.asarray(s0), max_iter=40
+        )
+        np.testing.assert_allclose(stb.c, baseb.c, rtol=1e-12)
+
+    def test_update_reconstruct_iterations_tvaf(self):
+        import jax.numpy as jnp
+
+        from muscle_synergies_tpu.models.cnmf import cnmf_iterations_batch
+
+        xs, c0, s0 = self._problem()
+        got = cnmf_update(jnp.asarray(xs[0]), jnp.asarray(c0[0]),
+                          jnp.asarray(s0[0]), precision="highest")
+        want = cnmf_update(jnp.asarray(xs[0]), jnp.asarray(c0[0]),
+                           jnp.asarray(s0[0]))
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(cnmf_reconstruct(jnp.asarray(c0[0]),
+                                        jnp.asarray(s0[0]),
+                                        precision="highest")),
+            np.asarray(cnmf_reconstruct(jnp.asarray(c0[0]),
+                                        jnp.asarray(s0[0]))),
+            rtol=1e-12,
+        )
+        ci, si = cnmf_iterations_batch(
+            jnp.asarray(xs), jnp.asarray(c0), jnp.asarray(s0), 5,
+            precision="highest",
+        )
+        cb, sb = cnmf_iterations_batch(
+            jnp.asarray(xs), jnp.asarray(c0), jnp.asarray(s0), 5
+        )
+        np.testing.assert_allclose(np.asarray(ci), np.asarray(cb),
+                                   rtol=1e-12)
+        v = tvaf(jnp.asarray(xs[0]), jnp.asarray(c0[0]),
+                 jnp.asarray(s0[0]), precision="highest")
+        vb = tvaf(jnp.asarray(xs[0]), jnp.asarray(c0[0]),
+                  jnp.asarray(s0[0]))
+        np.testing.assert_allclose(float(v), float(vb), rtol=1e-12)
+
+    def test_transform_finder_and_model(self):
+        import jax.numpy as jnp
+
+        from muscle_synergies_tpu.models.cnmf import (
+            CNMFModel,
+            cnmf_transform,
+            find_time_varying_synergies,
+        )
+
+        xs, c0, s0 = self._problem()
+        stb = fit_cnmf_batch(
+            jnp.asarray(xs), jnp.asarray(c0), jnp.asarray(s0), max_iter=30
+        )
+        tr = cnmf_transform(jnp.asarray(xs[0]), stb.s[0], max_iter=20,
+                            precision="highest")
+        tb = cnmf_transform(jnp.asarray(xs[0]), stb.s[0], max_iter=20)
+        np.testing.assert_allclose(np.asarray(tr.c), np.asarray(tb.c),
+                                   rtol=1e-12)
+        res = find_time_varying_synergies(
+            xs[0], 2, 4, max_iter=30, n_inits=2, precision="highest"
+        )
+        base = find_time_varying_synergies(xs[0], 2, 4, max_iter=30,
+                                           n_inits=2)
+        assert res.vaf == pytest.approx(base.vaf, rel=1e-12)
+        m = CNMFModel(2, 4, max_iter=30, n_inits=2,
+                      precision="highest").fit(xs[0])
+        act = m.transform(xs[0])
+        assert act.shape == (xs.shape[1], 2)
+        rec = m.inverse_transform(act)
+        assert rec.shape == xs[0].shape
+
+    def test_sharded_fits_accept_precision(self):
+        import jax.numpy as jnp
+
+        from muscle_synergies_tpu.parallel import make_mesh
+        from muscle_synergies_tpu.parallel.cnmf import (
+            sharded_fit_cnmf,
+            sharded_fit_cnmf_tp,
+        )
+        from muscle_synergies_tpu.parallel.mesh import MODEL_AXIS
+        from muscle_synergies_tpu.parallel.nmf import DATA_AXIS
+
+        xs, c0, s0 = self._problem(l=8)
+        base = fit_cnmf_batch(
+            jnp.asarray(xs), jnp.asarray(c0), jnp.asarray(s0), max_iter=30
+        )
+        mesh = make_mesh((2, 4))
+        sh = sharded_fit_cnmf(
+            jnp.asarray(xs), jnp.asarray(c0), jnp.asarray(s0), mesh,
+            max_iter=30, precision="highest",
+        )
+        np.testing.assert_allclose(np.asarray(sh.c), np.asarray(base.c),
+                                   rtol=0, atol=1e-5)
+        mesh_tp = make_mesh((2, 4), axis_names=(DATA_AXIS, MODEL_AXIS))
+        sh_tp = sharded_fit_cnmf_tp(
+            jnp.asarray(xs), jnp.asarray(c0), jnp.asarray(s0), mesh_tp,
+            max_iter=30, precision="highest",
+        )
+        np.testing.assert_allclose(np.asarray(sh_tp.c), np.asarray(base.c),
+                                   rtol=0, atol=1e-5)
+        assert np.array_equal(np.asarray(sh_tp.n_iter),
+                              np.asarray(base.n_iter))

@@ -752,3 +752,42 @@ class TestAnalyzeDatasetPipelined:
                 list(table), ranks=(1,), config=CFG, max_iter=50,
                 loader=table.__getitem__,
             )
+
+
+class TestDatasetPrecisionKnob:
+    """``precision`` threads through both dataset-level model families.
+
+    CPU lowers every precision identically, so 'highest' must
+    reproduce the default results exactly; the chip-side accuracy
+    claims live in scripts/validate_{cnmf,nm3f}_tpu.py.
+    """
+
+    def test_time_varying_accepts_precision(self):
+        from muscle_synergies_tpu import analyze_dataset_time_varying
+
+        trials = _trials()
+        kwargs = dict(n_synergies=2, n_lags=10, config=CFG,
+                      max_iter=100, tol=1e-5, n_inits=2, seed=0)
+        base = analyze_dataset_time_varying(trials, 200, **kwargs)
+        hi = analyze_dataset_time_varying(
+            trials, 200, precision="highest", **kwargs
+        )
+        np.testing.assert_allclose(hi.c, base.c, rtol=1e-12)
+        np.testing.assert_array_equal(hi.n_iter, base.n_iter)
+
+    def test_space_by_time_accepts_precision(self):
+        from muscle_synergies_tpu import analyze_dataset_space_by_time
+
+        trials = _trials()
+        kwargs = dict(n_temporal=2, n_spatial=2, config=CFG,
+                      max_iter=100, tol=1e-5, n_inits=2, seed=0)
+        base = analyze_dataset_space_by_time(trials, 200, **kwargs)
+        hi = analyze_dataset_space_by_time(
+            trials, 200, precision="highest", **kwargs
+        )
+        np.testing.assert_allclose(
+            hi.temporal_modules.to_numpy(),
+            base.temporal_modules.to_numpy(), rtol=1e-12,
+        )
+        assert hi.vaf_overall == pytest.approx(base.vaf_overall,
+                                               rel=1e-12)
