@@ -825,6 +825,147 @@ def _fit_cd_reference_f64(x, w, h, max_iter=200, tol=1e-4):
     return w, ht.T, n_iter
 
 
+def _beta_divergence_f64(x, w, h, beta):
+    """float64 host twin of ``models.beta.beta_divergence`` (sqrt form).
+
+    Reproduces sklearn's ``_beta_divergence`` semantics exactly as the
+    device implementation does: data-dependent terms masked to
+    ``x > EPSILON``, the Itakura-Saito constant counting *all* entries,
+    and the final ``sqrt(2 * max(res, 0))``.
+    """
+    x = x.astype(np.float64)
+    w = w.astype(np.float64)
+    h = h.astype(np.float64)
+    wh = w @ h
+    if beta == 2.0:
+        return float(np.linalg.norm(x - wh))
+    mask = x > EPSILON
+    whc = np.maximum(wh, EPSILON)
+    div = np.where(mask, x / whc, 1.0)
+    if beta == 1.0:
+        res = (
+            np.sum(np.where(mask, x * np.log(div), 0.0))
+            + w.sum(axis=0) @ h.sum(axis=1)
+            - np.sum(np.where(mask, x, 0.0))
+        )
+    elif beta == 0.0:
+        res = (
+            np.sum(np.where(mask, div, 0.0))
+            - x.size
+            - np.sum(np.where(mask, np.log(div), 0.0))
+        )
+    else:
+        sum_wh_beta = np.sum(wh**beta)
+        sum_x_wh = np.sum(np.where(mask, x * whc ** (beta - 1.0), 0.0))
+        res = np.sum(np.where(mask, x**beta, 0.0)) - beta * sum_x_wh
+        res = (res + sum_wh_beta * (beta - 1.0)) / (beta * (beta - 1.0))
+    return float(np.sqrt(2.0 * max(res, 0.0)))
+
+
+def _fit_beta_reference_f64(
+    x, w, h, beta, max_iter=200, tol=1e-4, check_every=10
+):
+    """float64 host reference of the full beta-divergence fit.
+
+    The per-iteration updates of :func:`_kl_reference_f64` /
+    :func:`_is_reference_f64` / :func:`_beta_reference_f64` plus the
+    exact stopping rule of ``models.beta.fit_mu_beta`` (and of the
+    chunked Pallas path ``models.batch._fit_beta_batch_pallas``): every
+    ``check_every`` iterations compute ``sqrt(2 * divergence)`` and
+    stop when ``(prev - err) / err_init < tol``.
+
+    Returns ``(snapshots, n_iter)``: ``snapshots`` maps every
+    checkpoint iteration count (multiples of ``check_every`` up to
+    ``max_iter``, plus ``max_iter`` itself if a tail remains) to its
+    float64 ``(w, h)`` iterates, and ``n_iter`` is where the fit's own
+    stopping rule first fires.  Keeping all checkpoints lets callers
+    compare a device fit's factors against the f64 iterates *at the
+    device's own stopping iteration* — the well-posed comparison when
+    an f32 near-threshold stopping decision flips by one checkpoint
+    (the iterates past a stop are unaffected by the stopping decision,
+    so later snapshots equal a no-stop run of that length).
+    """
+    x = x.astype(np.float64)
+    w = w.astype(np.float64)
+    h = h.astype(np.float64)
+
+    def step(w, h, iters):
+        if beta == 1.0:
+            return _kl_reference_f64(x, w, h, iters)
+        if beta == 0.0:
+            return _is_reference_f64(x, w, h, iters)
+        return _beta_reference_f64(x, w, h, iters, beta)
+
+    err_init = _beta_divergence_f64(x, w, h, beta)
+    prev = err_init
+    n_iter = None
+    snapshots = {0: (w, h)}
+    n = 0
+    n_full = (max_iter // check_every) * check_every
+    while n < n_full:
+        w, h = step(w, h, check_every)
+        n += check_every
+        snapshots[n] = (w, h)
+        if n_iter is None:
+            err = _beta_divergence_f64(x, w, h, beta)
+            if err_init == 0.0 or (prev - err) / err_init < tol:
+                n_iter = n
+            prev = err
+    if max_iter > n_full:  # unchecked tail chunk, like the device path
+        w, h = step(w, h, max_iter - n_full)
+        snapshots[max_iter] = (w, h)
+    if n_iter is None:
+        n_iter = max_iter
+    return snapshots, n_iter
+
+
+def _cnmf_recon_f64(c, s):
+    """float64 convolutive reconstruction ``Σ_d shift_down(C, d) @ S_d``."""
+    t = c.shape[0]
+    out = np.zeros((t, s.shape[2]), dtype=np.float64)
+    for d in range(s.shape[1]):
+        shifted = np.zeros_like(c)
+        shifted[d:] = c[: t - d]
+        out += shifted @ s[:, d, :]
+    return out
+
+
+def _fit_cnmf_reference_f64(x, c, s, max_iter=200, tol=1e-4, check_every=10):
+    """float64 host reference of the full convolutive fit.
+
+    The update of :func:`_cnmf_reference_f64` plus the exact stopping
+    rule of ``models.cnmf.fit_cnmf`` / ``_fit_cnmf_batch_pallas``:
+    every ``check_every`` iterations compute the Frobenius error and
+    stop when ``(prev - err) / max(err_init, EPSILON) < tol``.
+
+    Returns ``(snapshots, n_iter)`` with the same checkpoint-snapshot
+    contract as :func:`_fit_beta_reference_f64` (the chunked device
+    path may overshoot ``max_iter`` by up to one chunk; snapshots
+    cover that final checkpoint too).
+    """
+    x = x.astype(np.float64)
+    c = c.astype(np.float64)
+    s = s.astype(np.float64)
+    err_init = float(np.linalg.norm(x - _cnmf_recon_f64(c, s)))
+    prev = err_init
+    n_iter = None
+    snapshots = {0: (c, s)}
+    n = 0
+    n_last = ((max_iter + check_every - 1) // check_every) * check_every
+    while n < n_last:
+        c, s = _cnmf_reference_f64(x, c, s, check_every)
+        n += check_every
+        snapshots[n] = (c, s)
+        if n_iter is None:
+            err = float(np.linalg.norm(x - _cnmf_recon_f64(c, s)))
+            if (prev - err) / max(err_init, EPSILON) < tol:
+                n_iter = n
+            prev = err
+    if n_iter is None:
+        n_iter = n_last
+    return snapshots, n_iter
+
+
 def _is_reference_f64(x, w, h, iters):
     """float64 host reference of the Itakura-Saito MU iteration."""
     x = x.astype(np.float64)
@@ -1016,6 +1157,77 @@ def run_check(args):
         )
         fitcd_gap = max(fitcd_gap, abs(int(fc_n[i]) - nr))
 
+    # --- beta-divergence convergence fits (KL beta=1, IS beta=0): the
+    # chunked production path (Pallas update chunks interleaved with
+    # XLA divergence checks, models.batch._fit_beta_batch_pallas) vs
+    # the same float64 host fit.  Two separate, well-posed questions:
+    # (a) are the ITERATES right? — compare factors against the f64
+    # snapshot at the DEVICE fit's own stopping iteration (an f32
+    # near-threshold stopping decision can legitimately flip by one
+    # checkpoint; comparing factors across different stop points would
+    # conflate iterate accuracy with that flip and report the
+    # between-checkpoint update delta, ~4e-2, as "error"); (b) does
+    # the STOPPING track f64? — bound |n_dev - n_f64| by one
+    # check_every checkpoint.  The XLA vmapped fit runs alongside for
+    # the accuracy narrative, compared at ITS own stopping iteration.
+    from muscle_synergies_tpu.models.batch import (
+        _fit_beta_batch_pallas,
+        fit_mu_beta_batch,
+    )
+
+    fit_iter = 200 if not args.quick else 50
+    beta_fit = {}
+    for name, beta_v, x_fit in (("fitkl", 1.0, x), ("fitis", 0.0, x_pos)):
+        xs_fit = jnp.asarray(x_fit)
+        st = _fit_beta_batch_pallas(
+            xs_fit, ws, hs, beta_v, fit_iter, 1e-4, 10, b,
+            interpret=interpret,
+        )
+        st_xla = fit_mu_beta_batch(
+            xs_fit, ws, hs, beta=beta_v, max_iter=fit_iter, tol=1e-4,
+            impl="xla",
+        )
+        fw, fh = np.asarray(st.w), np.asarray(st.h)
+        fxw, fxh = np.asarray(st_xla.w), np.asarray(st_xla.h)
+        fn = np.asarray(st.n_iter, dtype=np.int64)
+        fxn = np.asarray(st_xla.n_iter, dtype=np.int64)
+        err = xla_err = 0.0
+        gap = 0
+        for i in range(b):
+            snaps, nr = _fit_beta_reference_f64(
+                x_fit[i], w0[i], h0[i], beta_v, max_iter=fit_iter,
+                tol=1e-4,
+            )
+            wr, hr = snaps[int(fn[i])]
+            err = max(err, _factor_err(fw[i], fh[i], wr, hr))
+            wrx, hrx = snaps[int(fxn[i])]
+            xla_err = max(xla_err, _factor_err(fxw[i], fxh[i], wrx, hrx))
+            gap = max(gap, abs(int(fn[i]) - nr))
+        beta_fit[name] = (err, gap, xla_err)
+
+    # --- convolutive convergence fit: the chunked Pallas path
+    # (models.cnmf._fit_cnmf_batch_pallas) vs the float64 host fit.
+    # No XLA leg here: the einsum path's f64 drift is already pinned on
+    # chip by BENCH_CNMF_TILES.json (default vs precision='highest'),
+    # and the vmapped XLA convolutive fit is a heavy extra compile. ---
+    from muscle_synergies_tpu.models.cnmf import _fit_cnmf_batch_pallas
+
+    st_cn = _fit_cnmf_batch_pallas(
+        jnp.asarray(x_cn), jnp.asarray(c0), jnp.asarray(s0),
+        fit_iter, 1e-4, 10, b, interpret=interpret,
+    )
+    fcn_c, fcn_s = np.asarray(st_cn.c), np.asarray(st_cn.s)
+    fcn_n = np.asarray(st_cn.n_iter, dtype=np.int64)
+    fitcn_err = 0.0
+    fitcn_gap = 0
+    for i in range(b):
+        snaps, nr = _fit_cnmf_reference_f64(
+            x_cn[i], c0[i], s0[i], max_iter=fit_iter, tol=1e-4,
+        )
+        cr, sr = snaps[int(fcn_n[i])]
+        fitcn_err = max(fitcn_err, _factor_err(fcn_c[i], fcn_s[i], cr, sr))
+        fitcn_gap = max(fitcn_gap, abs(int(fcn_n[i]) - nr))
+
     # --- fused filtfilt kernel vs scipy float64 ---
     # EMG-envelope-like signal: low-frequency content the 10 Hz lowpass
     # passes (white noise would leave a tiny-scale output that inflates
@@ -1064,10 +1276,30 @@ def run_check(args):
         fitmu_err <= fit_tol and fitcd_err <= fit_tol
         and fitmu_gap <= fit_gap_max and fitcd_gap <= fit_gap_max
     )
+    # KL/IS/cNMF chunked fits: the error gate bounds ITERATE accuracy
+    # (factors vs the f64 snapshot at the device's own stopping
+    # iteration); the gap gate separately allows ONE check_every=10
+    # checkpoint of stopping drift — a near-threshold relative-
+    # improvement decision is not always reproducible in f32, and the
+    # beta divergences' log/reciprocal terms make the statistic
+    # noisier than Frobenius.  A bf16-rounded stopping statistic still
+    # fails loudly (chip-measured 2026-08-19: gap 160 on KL before the
+    # Precision.HIGHEST check matmuls; <= 10 after).
+    fitkl_err, fitkl_gap, fitkl_xla_err = beta_fit["fitkl"]
+    fitis_err, fitis_gap, fitis_xla_err = beta_fit["fitis"]
+    chunk_fits_ok = all(
+        e <= fit_tol and g <= 10
+        for e, g in (
+            (fitkl_err, fitkl_gap),
+            (fitis_err, fitis_gap),
+            (fitcn_err, fitcn_gap),
+        )
+    )
     ok = (
         all(e <= mu_tol for e in solver_errs.values())
         and ff_err <= ff_tol
         and fits_ok
+        and chunk_fits_ok
     )
     worst = max(max(solver_errs.values()), ff_err)
     print(json.dumps({
@@ -1080,6 +1312,11 @@ def run_check(args):
             f"fitcd={fitcd_err:.2e}/gap{fitcd_gap} "
             f"(tol {fit_tol:g}/gap{fit_gap_max}, vs f64 host fit; "
             f"xla fit errs {fitmu_xla_err:.2e}/{fitcd_xla_err:.2e}), "
+            f"fitkl={fitkl_err:.2e}/gap{fitkl_gap} "
+            f"fitis={fitis_err:.2e}/gap{fitis_gap} "
+            f"fitcnmf={fitcn_err:.2e}/gap{fitcn_gap} "
+            f"(tol {fit_tol:g}/gap10; "
+            f"xla kl/is {fitkl_xla_err:.2e}/{fitis_xla_err:.2e}), "
             f"platform={jax.default_backend()}"
             f"{' interpret' if interpret else ''}"
         ),

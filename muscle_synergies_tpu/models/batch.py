@@ -308,11 +308,24 @@ def _fit_beta_batch_pallas(
     which is equivalent to freezing them.  Divergence checks happen at
     exact multiples of ``check_every`` like sklearn; a static tail
     chunk covers ``max_iter % check_every`` without a check.
+
+    The stopping statistic is computed at
+    ``jax.lax.Precision.HIGHEST``: the kernel's updates are f32-exact
+    (VPU), but the XLA divergence's default TPU matmul rounds through
+    bf16 MXU passes — enough noise in the KL log terms to stop the fit
+    ~160 checkpoints away from the float64 host fit (chip-measured
+    2026-08-19, fitkl err 6.0e-1/gap160 before vs the gated post-fix
+    numbers in BENCH_CHECK.json).  The (N, k) @ (k, L) check matmul is
+    negligible next to ``check_every`` kernel iterations.
     """
     from .beta import BetaState, beta_divergence
     from .kernels import beta_mu_iterations_pallas
 
-    div = jax.vmap(lambda x, w, h: beta_divergence(x, w, h, beta))
+    div = jax.vmap(
+        lambda x, w, h: beta_divergence(
+            x, w, h, beta, precision=jax.lax.Precision.HIGHEST
+        )
+    )
     err0 = div(xs, w0, h0)
     n_full = max_iter // check_every
     tail = max_iter % check_every

@@ -71,27 +71,40 @@ def _gamma(beta: float) -> float:
     return 1.0
 
 
-@functools.partial(jax.jit, static_argnames=("beta", "square_root"))
-def beta_divergence(x, w, h, beta: float, square_root: bool = True):
+@functools.partial(
+    jax.jit, static_argnames=("beta", "square_root", "precision")
+)
+def beta_divergence(
+    x, w, h, beta: float, square_root: bool = True, precision=None
+):
     """sklearn's ``_beta_divergence`` for dense inputs.
 
     Entries with ``x <= EPSILON`` are excluded from the data-dependent
     terms, exactly as sklearn's ``indices = X_data > EPSILON`` mask —
     including the quirk that the Itakura-Saito constant counts *all*
     entries (``np.prod(X.shape)``), not only the masked ones.
+
+    Args:
+        precision: matmul precision for the ``W @ H`` reconstruction.
+            On TPU the default rounds through bf16 MXU passes, which is
+            enough noise in the log terms to flip relative-improvement
+            stopping decisions; convergence checks should pass
+            ``jax.lax.Precision.HIGHEST``.
     """
     if beta == 2.0:
-        res = jnp.sum((x - w @ h) ** 2) / 2.0
+        res = jnp.sum((x - jnp.matmul(w, h, precision=precision)) ** 2) / 2.0
         return jnp.sqrt(jnp.maximum(res * 2.0, 0.0)) if square_root else res
 
-    wh = w @ h
+    wh = jnp.matmul(w, h, precision=precision)
     mask = x > EPSILON
     whc = jnp.maximum(wh, EPSILON)
     div = jnp.where(mask, x / whc, 1.0)
 
     if beta == 1.0:
         log_term = jnp.sum(jnp.where(mask, x * jnp.log(div), 0.0))
-        sum_wh = jnp.sum(w, axis=0) @ jnp.sum(h, axis=1)
+        sum_wh = jnp.dot(
+            jnp.sum(w, axis=0), jnp.sum(h, axis=1), precision=precision
+        )
         res = log_term + sum_wh - jnp.sum(jnp.where(mask, x, 0.0))
     elif beta == 0.0:
         res = (

@@ -379,11 +379,22 @@ def _fit_cnmf_batch_pallas(
     there is no tail chunk: the divergence is only evaluated at
     multiples of ``check_every`` and the last chunk may overshoot
     ``max_iter`` the same way the XLA while-loop does.
+
+    On this path ``precision`` only affects the convergence check (the
+    kernel does the updates), so it defaults to
+    ``jax.lax.Precision.HIGHEST`` rather than ``None``: the kernel is
+    f32-exact and a bf16-MXU-rounded Frobenius statistic wastes that
+    (chip-measured 2026-08-19, fitcnmf err 3.4e-2/gap10 vs the f64
+    host fit before the fix).  One f32-exact reconstruction per
+    ``check_every`` kernel iterations is a few percent of the chunk.
     """
     from .kernels.cnmf_pallas import cnmf_iterations_pallas
 
+    check_precision = (
+        precision if precision is not None else jax.lax.Precision.HIGHEST
+    )
     err_fn = jax.vmap(
-        functools.partial(_frobenius_error, precision=precision)
+        functools.partial(_frobenius_error, precision=check_precision)
     )
     c0 = c0.astype(xs.dtype)
     s0 = s0.astype(xs.dtype)
