@@ -764,28 +764,38 @@ def _fit_mu_reference_f64(x, w, h, max_iter=200, tol=1e-4, check_every=10):
     rule of ``models.mu.fit_mu`` (sklearn semantics): every
     ``check_every`` iterations compute the Frobenius error and stop
     when ``(prev - err) / err_init < tol``.
+
+    Returns ``(snapshots, n_iter)`` with the checkpoint-snapshot
+    contract of :func:`_fit_beta_reference_f64`: snapshots at every
+    possible device stop point (checkpoint multiples plus
+    ``max_iter``), ``n_iter`` where the rule first fires.
     """
     x = x.astype(np.float64)
     w = w.astype(np.float64)
     h = h.astype(np.float64)
     err_init = np.linalg.norm(x - w @ h)
     prev = err_init
-    n_iter = 0
+    n_iter = None
+    snapshots = {0: (w, h)}
     for it in range(1, max_iter + 1):
         den = w @ (h @ h.T)
         w = w * ((x @ h.T) / np.where(den == 0, EPSILON, den))
         den = (w.T @ w) @ h
         h = h * ((w.T @ x) / np.where(den == 0, EPSILON, den))
-        n_iter = it
-        if tol > 0 and it % check_every == 0:
+        if it % check_every == 0 or it == max_iter:
+            snapshots[it] = (w, h)
+        if tol > 0 and it % check_every == 0 and n_iter is None:
             err = np.linalg.norm(x - w @ h)
             if (prev - err) / err_init < tol:
-                break
+                n_iter = it
             prev = err
-    return w, h, n_iter
+    if n_iter is None:
+        n_iter = max_iter
+    return snapshots, n_iter
 
 
-def _fit_cd_reference_f64(x, w, h, max_iter=200, tol=1e-4):
+def _fit_cd_reference_f64(x, w, h, max_iter=200, tol=1e-4,
+                          snapshot_until=None):
     """float64 host reference of the full CD convergence fit.
 
     The pass of :func:`_cd_reference_f64` extended with sklearn's
@@ -793,6 +803,14 @@ def _fit_cd_reference_f64(x, w, h, max_iter=200, tol=1e-4):
     absolute projected gradient over both passes, converged when
     ``violation / violation_init <= tol`` with ``violation_init`` the
     first iteration's total.
+
+    Returns ``(snapshots, n_iter)`` with the checkpoint-snapshot
+    contract of :func:`_fit_beta_reference_f64` — except CD tests
+    convergence every iteration (sklearn), so snapshots cover EVERY
+    iteration count.  ``snapshot_until`` bounds the run: once the
+    stopping rule has fired AND ``snapshot_until`` iterations are
+    snapshotted, later iterates can't be needed and the loop exits
+    (pass the largest device stop you will look up).
     """
     x = x.astype(np.float64)
     w = w.astype(np.float64)
@@ -812,17 +830,28 @@ def _fit_cd_reference_f64(x, w, h, max_iter=200, tol=1e-4):
         return wm, violation
 
     violation_init = 0.0
-    n_iter = 0
+    n_iter = None
+    snapshots = {0: (w.copy(), ht.T.copy())}
     for it in range(1, max_iter + 1):
         w, vw = cd_pass(x, w, ht)
         ht, vh = cd_pass(x.T, ht, w)
         violation = vw + vh
-        n_iter = it
+        snapshots[it] = (w.copy(), ht.T.copy())
         if it == 1:
             violation_init = violation
-        if violation_init == 0 or violation / violation_init <= tol:
+        if n_iter is None and (
+            violation_init == 0 or violation / violation_init <= tol
+        ):
+            n_iter = it
+        if (
+            n_iter is not None
+            and snapshot_until is not None
+            and it >= snapshot_until
+        ):
             break
-    return w, ht.T, n_iter
+    if n_iter is None:
+        n_iter = max_iter
+    return snapshots, n_iter
 
 
 def _beta_divergence_f64(x, w, h, beta):
@@ -1108,14 +1137,17 @@ def run_check(args):
     # machinery (while_loop carries, converged-lane freezing) that the
     # fixed-iteration checks above never exercise.  The reference is a
     # float64 HOST fit with the exact same stopping rules — NOT the
-    # XLA device fit: on TPU the XLA path's matmuls round through bf16
-    # MXU passes, which perturbs the error/violation statistics enough
-    # to move stopping iterations by tens of checkpoints, so two f32
-    # device paths cannot arbitrate each other (measured 2026-08-19:
-    # pallas-vs-xla fitcd drift 3.2e-1 on chip while pallas-vs-f64 is
-    # small).  The XLA fit still runs; its error vs the same f64
-    # reference is reported alongside for the accuracy narrative but
-    # does not gate. ---
+    # XLA device fit: on TPU the XLA path's update matmuls round
+    # through bf16 MXU passes, so two f32 device paths cannot
+    # arbitrate each other (measured 2026-08-19: pallas-vs-xla fitcd
+    # drift 3.2e-1 on chip while pallas-vs-f64 is small).  Uniform
+    # methodology for every family: factor error is measured against
+    # the f64 SNAPSHOT at each device path's own stopping iteration
+    # (iterate accuracy, well-posed under near-threshold stopping
+    # flips), and stopping drift |n_dev - n_f64| gates separately.
+    # The XLA fit still runs; its error vs the same f64 reference is
+    # reported alongside for the accuracy narrative but does not
+    # gate. ---
     from muscle_synergies_tpu.models.batch import fit_cd_batch, fit_mu_batch
     from muscle_synergies_tpu.models.kernels import (
         fit_cd_pallas,
@@ -1128,13 +1160,16 @@ def run_check(args):
     fm_w, fm_h = np.asarray(fm[0]), np.asarray(fm[1])
     fmx_w, fmx_h = np.asarray(fm_xla.w), np.asarray(fm_xla.h)
     fm_n = np.asarray(fm[2], dtype=np.int64)
+    fmx_n = np.asarray(fm_xla.n_iter, dtype=np.int64)
     fitmu_err = fitmu_xla_err = 0.0
     fitmu_gap = 0
     for i in range(b):
-        wr, hr, nr = _fit_mu_reference_f64(x[i], w0[i], h0[i], **fit_kw)
+        snaps, nr = _fit_mu_reference_f64(x[i], w0[i], h0[i], **fit_kw)
+        wr, hr = snaps[int(fm_n[i])]
         fitmu_err = max(fitmu_err, _factor_err(fm_w[i], fm_h[i], wr, hr))
+        wrx, hrx = snaps[int(fmx_n[i])]
         fitmu_xla_err = max(
-            fitmu_xla_err, _factor_err(fmx_w[i], fmx_h[i], wr, hr)
+            fitmu_xla_err, _factor_err(fmx_w[i], fmx_h[i], wrx, hrx)
         )
         fitmu_gap = max(fitmu_gap, abs(int(fm_n[i]) - nr))
 
@@ -1144,16 +1179,20 @@ def run_check(args):
     fcx_w = np.asarray(fc_xla.w)
     fcx_h = np.asarray(jnp.swapaxes(fc_xla.ht, -1, -2))
     fc_n = np.asarray(fc[2], dtype=np.int64)
+    fcx_n = np.asarray(fc_xla.n_iter, dtype=np.int64)
     fitcd_err = fitcd_xla_err = 0.0
     fitcd_gap = 0
     for i in range(b):
-        wr, hr, nr = _fit_cd_reference_f64(
+        snaps, nr = _fit_cd_reference_f64(
             x[i], w0[i], h0[i], max_iter=fit_kw["max_iter"],
             tol=fit_kw["tol"],
+            snapshot_until=max(int(fc_n[i]), int(fcx_n[i])),
         )
+        wr, hr = snaps[int(fc_n[i])]
         fitcd_err = max(fitcd_err, _factor_err(fc_w[i], fc_h[i], wr, hr))
+        wrx, hrx = snaps[int(fcx_n[i])]
         fitcd_xla_err = max(
-            fitcd_xla_err, _factor_err(fcx_w[i], fcx_h[i], wr, hr)
+            fitcd_xla_err, _factor_err(fcx_w[i], fcx_h[i], wrx, hrx)
         )
         fitcd_gap = max(fitcd_gap, abs(int(fc_n[i]) - nr))
 

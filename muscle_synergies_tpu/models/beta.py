@@ -230,8 +230,16 @@ def fit_mu_beta(
     l2_reg_h: float = 0.0,
     update_h: bool = True,
 ) -> BetaState:
-    """Beta-MU to convergence with sklearn's exact stopping rule."""
-    error_at_init = beta_divergence(x, w0, h0, beta, square_root=True)
+    """Beta-MU to convergence with sklearn's exact stopping rule.
+
+    The stopping statistic's matmuls run at
+    ``jax.lax.Precision.HIGHEST`` (see :func:`beta_divergence`); the
+    updates keep the platform default.
+    """
+    _hi = jax.lax.Precision.HIGHEST
+    error_at_init = beta_divergence(
+        x, w0, h0, beta, square_root=True, precision=_hi
+    )
 
     def chunk(state: BetaState) -> BetaState:
         steps = jnp.minimum(check_every, max_iter - state.n_iter)
@@ -246,7 +254,9 @@ def fit_mu_beta(
         w, h = jax.lax.fori_loop(0, steps, body, (state.w, state.h))
         n_iter = state.n_iter + steps
         if tol > 0:
-            error = beta_divergence(x, w, h, beta, square_root=True)
+            error = beta_divergence(
+                x, w, h, beta, square_root=True, precision=_hi
+            )
             converged = (state.previous_error - error) / error_at_init < tol
             converged = jnp.logical_and(converged, n_iter % check_every == 0)
             return BetaState(w, h, n_iter, error, converged)

@@ -236,13 +236,19 @@ def fit_cnmf(
         s0: ``(K, D, L)`` initial synergies.
         update_c / update_s: freeze one factor (see
             :func:`cnmf_update`; freezing both is rejected).
-        precision: matmul precision for every contraction, including
-            the stopping criterion's error checks (see
-            :func:`cnmf_reconstruct`).
+        precision: matmul precision for the update contractions (see
+            :func:`cnmf_reconstruct`).  The stopping criterion's error
+            checks default to ``jax.lax.Precision.HIGHEST`` regardless
+            (a bf16-rounded Frobenius statistic flips near-threshold
+            stopping decisions; chip-measured) — passing an explicit
+            ``precision`` applies it to the checks too.
     """
     if not (update_c or update_s):
         raise ValueError("update_c and update_s cannot both be False")
-    error_init = _frobenius_error(x, c0, s0, precision=precision)
+    check_precision = (
+        precision if precision is not None else jax.lax.Precision.HIGHEST
+    )
+    error_init = _frobenius_error(x, c0, s0, precision=check_precision)
 
     def cond(state: CNMFState):
         return (state.n_iter < max_iter) & ~state.converged
@@ -252,7 +258,7 @@ def fit_cnmf(
         for _ in range(check_every):
             c, s = cnmf_update(x, c, s, update_c=update_c,
                                update_s=update_s, precision=precision)
-        error = _frobenius_error(x, c, s, precision=precision)
+        error = _frobenius_error(x, c, s, precision=check_precision)
         improvement = (state.previous_error - error) / jnp.maximum(
             error_init, EPSILON
         )

@@ -17,6 +17,16 @@ default solver is ``'cd'``):
 
 This is HALS (Cichocki & Phan 2009) expressed with rank-1 Gram updates,
 which keeps every inner step a fused matvec on the MXU/VPU.
+
+Unlike the MU/beta/cNMF/NM3F fits, the stopping statistic here cannot
+be decoupled from the update precision: the violation is a byproduct
+of the coordinate pass itself (per-update projected-gradient deltas),
+so on TPU the XLA path's statistic inherits the updates' bf16 MXU
+rounding.  The f32-exact alternative is the fused Pallas fit
+(``models.kernels.fit_cd_pallas``, what ``impl='auto'`` picks on TPU),
+whose pass — and therefore whose violation — is pure-f32 VPU work;
+chip-measured, the XLA CD fit drifts ~1.0 relative factor error from
+the float64 host fit while the kernel stays at 3.6e-4 (BENCH_CHECK).
 """
 
 from __future__ import annotations

@@ -33,9 +33,19 @@ EPSILON = 1.1920929e-07
 __all__ = ["EPSILON", "mu_update", "frobenius_error", "fit_mu", "MUState"]
 
 
-def frobenius_error(x: jnp.ndarray, w: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
-    """``||X - W @ H||_F`` (sklearn's square-root beta divergence, beta=2)."""
-    diff = x - w @ h
+def frobenius_error(
+    x: jnp.ndarray, w: jnp.ndarray, h: jnp.ndarray, precision=None
+) -> jnp.ndarray:
+    """``||X - W @ H||_F`` (sklearn's square-root beta divergence, beta=2).
+
+    ``precision`` sets the reconstruction matmul's precision; stopping
+    criteria pass ``jax.lax.Precision.HIGHEST`` (sklearn computes this
+    statistic with exact-f32 numpy matmuls, and TPU's default bf16 MXU
+    rounding perturbs it enough to flip near-threshold relative-
+    improvement decisions — chip-measured tens of checkpoints of
+    stopping drift).
+    """
+    diff = x - jnp.matmul(w, h, precision=precision)
     return jnp.sqrt(jnp.sum(diff * diff))
 
 
@@ -130,8 +140,13 @@ def fit_mu(
     Returns:
         :class:`MUState` with final factors, iterations done, the error
         at the last convergence check and the convergence flag.
+
+    The stopping statistic runs its matmul at
+    ``jax.lax.Precision.HIGHEST`` (see :func:`frobenius_error`); the
+    updates keep the platform default.
     """
-    error_at_init = frobenius_error(x, w0, h0)
+    _hi = jax.lax.Precision.HIGHEST
+    error_at_init = frobenius_error(x, w0, h0, precision=_hi)
 
     def chunk(state: MUState) -> MUState:
         # Run up to `check_every` updates, stopping the counter at
@@ -146,7 +161,7 @@ def fit_mu(
         w, h = jax.lax.fori_loop(0, steps, body, (state.w, state.h))
         n_iter = state.n_iter + steps
         if tol > 0:
-            error = frobenius_error(x, w, h)
+            error = frobenius_error(x, w, h, precision=_hi)
             converged = (state.previous_error - error) / error_at_init < tol
             # sklearn only tests at exact multiples of `check_every`.
             at_checkpoint = n_iter % check_every == 0

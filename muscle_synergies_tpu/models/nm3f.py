@@ -173,11 +173,18 @@ def fit_nm3f(
     One ``lax.while_loop``; stopping is the package-wide sklearn rule
     (relative total-Frobenius improvement every ``check_every``
     iterations against the initial error).  ``precision`` (static,
-    hashable — e.g. ``"highest"``) threads through every contraction
-    including the error checks; see the module docstring.
+    hashable — e.g. ``"highest"``) threads through the update
+    contractions; see the module docstring.  The stopping criterion's
+    error checks default to ``jax.lax.Precision.HIGHEST`` regardless
+    (a bf16-rounded statistic flips near-threshold stopping decisions;
+    chip-measured on the KL fits) — an explicit ``precision`` applies
+    to the checks too.
     """
     xs = jnp.asarray(xs)
-    error_init = _nm3f_error(xs, w0, a0, s0, precision=precision)
+    check_precision = (
+        precision if precision is not None else jax.lax.Precision.HIGHEST
+    )
+    error_init = _nm3f_error(xs, w0, a0, s0, precision=check_precision)
 
     def cond(state: NM3FState):
         return (state.n_iter < max_iter) & ~state.converged
@@ -197,7 +204,7 @@ def fit_nm3f(
             0, steps, one, (state.w, state.a, state.s)
         )
         n_iter = state.n_iter + steps
-        error = _nm3f_error(xs, w, a, s, precision=precision)
+        error = _nm3f_error(xs, w, a, s, precision=check_precision)
         improvement = (state.previous_error - error) / jnp.maximum(
             error_init, EPSILON
         )

@@ -294,11 +294,19 @@ class NMFModel:
         self.n_iter_ = int(state.n_iter)
         self.components_ = np.asarray(h_final)
         # sklearn: reconstruction_err_ is the square-rooted
-        # beta-divergence of the *fitted* loss (Frobenius norm at beta=2)
+        # beta-divergence of the *fitted* loss (Frobenius norm at beta=2).
+        # One-shot report, so evaluate at HIGHEST matmul precision: the
+        # Pallas fits produce f32-exact factors and a bf16-MXU-rounded
+        # error statement would throw that accuracy away on TPU.
+        import jax
+
         from .beta import beta_divergence
 
         self.reconstruction_err_ = float(
-            beta_divergence(x_arr, w_final, h_final, beta, square_root=True)
+            beta_divergence(
+                x_arr, w_final, h_final, beta, square_root=True,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         )
         _warn_if_unconverged(self.n_iter_, self.max_iter, self.tol)
         return np.asarray(w_final)
@@ -576,11 +584,15 @@ def _sweep_batched(
         model.n_components_ = k
         model.n_iter_ = int(n_iters[i])
         model.components_ = h
+        # One-shot report at HIGHEST precision, same as NMFModel above.
+        import jax
+
         from .beta import beta_divergence
 
         model.reconstruction_err_ = float(
             beta_divergence(
-                x, jnp.asarray(w), jnp.asarray(h), beta, square_root=True
+                x, jnp.asarray(w), jnp.asarray(h), beta, square_root=True,
+                precision=jax.lax.Precision.HIGHEST,
             )
         )
         _warn_if_unconverged(model.n_iter_, max_iter, tol)

@@ -217,7 +217,11 @@ def _masked_mu_update(x, mask, w, h):
 
 
 def _masked_error(x, mask, w, h):
-    diff = mask * (x - w @ h)
+    # Stopping statistic: Precision.HIGHEST reconstruction (the bf16
+    # default flips near-threshold stopping decisions; see
+    # models.mu.frobenius_error)
+    wh = jnp.matmul(w, h, precision=jax.lax.Precision.HIGHEST)
+    diff = mask * (x - wh)
     return jnp.sqrt(jnp.sum(diff * diff))
 
 
@@ -602,7 +606,9 @@ def _masked_cnmf_update(x, mask, c, s):
 def _masked_cnmf_error(x, mask, c, s):
     from .cnmf import cnmf_reconstruct
 
-    diff = mask * (x - cnmf_reconstruct(c, s))
+    # Stopping statistic: Precision.HIGHEST (see _masked_error)
+    rec = cnmf_reconstruct(c, s, precision=jax.lax.Precision.HIGHEST)
+    diff = mask * (x - rec)
     return jnp.sqrt(jnp.sum(diff * diff))
 
 
@@ -899,7 +905,9 @@ def _masked_nm3f_update(xs, mask, w, a, s, update_w=True, update_s=True):
 def _masked_nm3f_error(xs, mask, w, a, s):
     from .nm3f import nm3f_reconstruct
 
-    diff = mask * (xs - nm3f_reconstruct(w, a, s))
+    # Stopping statistic: Precision.HIGHEST (see _masked_error)
+    rec = nm3f_reconstruct(w, a, s, precision=jax.lax.Precision.HIGHEST)
+    diff = mask * (xs - rec)
     return jnp.sqrt(jnp.sum(diff * diff))
 
 

@@ -126,9 +126,15 @@ def sharded_fit_cnmf(
         :class:`CNMFState` with the same sharding; semantics match
         :func:`~muscle_synergies_tpu.models.cnmf.fit_cnmf_batch`
         (per-trial sklearn stopping, converged trials frozen).
-        ``precision`` threads through every local contraction,
-        matching the local solver's knob (models/cnmf.py docstrings).
+        ``precision`` threads through the update contractions,
+        matching the local solver's knob (models/cnmf.py docstrings);
+        the stopping criterion's error checks default to
+        ``Precision.HIGHEST`` regardless, like
+        :func:`~muscle_synergies_tpu.models.cnmf.fit_cnmf`.
     """
+    check_precision = (
+        precision if precision is not None else jax.lax.Precision.HIGHEST
+    )
     n_lags = s0.shape[2]
     t = xs.shape[1]
     n_time = mesh.shape[TIME_AXIS]
@@ -148,7 +154,7 @@ def sharded_fit_cnmf(
     )
     verr = jax.vmap(
         lambda x, c, s: _local_cnmf_error(
-            x, c, s, TIME_AXIS, n_lags, precision=precision
+            x, c, s, TIME_AXIS, n_lags, precision=check_precision
         )
     )
 

@@ -130,9 +130,15 @@ def sharded_fit_nm3f(
         same shardings; semantics match
         :func:`~muscle_synergies_tpu.models.nm3f.fit_nm3f` (global
         stopping — the modules couple every trial).  ``precision``
-        threads through every local contraction, matching the local
-        solver's knob (see models/nm3f.py module docstring).
+        threads through the update contractions, matching the local
+        solver's knob (see models/nm3f.py module docstring); the
+        stopping criterion's error checks default to
+        ``Precision.HIGHEST`` regardless, like
+        :func:`~muscle_synergies_tpu.models.nm3f.fit_nm3f`.
     """
+    check_precision = (
+        precision if precision is not None else jax.lax.Precision.HIGHEST
+    )
     n_data = mesh.shape[DATA_AXIS]
     n_time = mesh.shape[TIME_AXIS]
     if xs.shape[0] % n_data:
@@ -166,7 +172,7 @@ def sharded_fit_nm3f(
     )
     def fit(xb, w, ab, s):
         error_init = _local_nm3f_error(
-            xb, w, ab, s, DATA_AXIS, TIME_AXIS, precision=precision
+            xb, w, ab, s, DATA_AXIS, TIME_AXIS, precision=check_precision
         )
 
         def cond(state: NM3FState):
@@ -187,7 +193,8 @@ def sharded_fit_nm3f(
             )
             n_iter = state.n_iter + steps
             error = _local_nm3f_error(
-                xb, w_, a_, s_, DATA_AXIS, TIME_AXIS, precision=precision
+                xb, w_, a_, s_, DATA_AXIS, TIME_AXIS,
+                precision=check_precision,
             )
             improvement = (state.previous_error - error) / jnp.maximum(
                 error_init, EPSILON

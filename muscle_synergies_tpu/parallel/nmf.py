@@ -90,8 +90,14 @@ def _local_mu_step(
 
 
 def _local_error(x, w, h, axis_name: str):
-    """Per-trial Frobenius error with the sum-of-squares psum'd."""
-    diff = x - w @ h
+    """Per-trial Frobenius error with the sum-of-squares psum'd.
+
+    The reconstruction runs at ``Precision.HIGHEST``: this is a
+    stopping statistic, and the TPU default's bf16 MXU rounding flips
+    near-threshold relative-improvement decisions (chip-measured on
+    the local fits; same discipline as ``models.mu.fit_mu``).
+    """
+    diff = x - jnp.matmul(w, h, precision=jax.lax.Precision.HIGHEST)
     sq = time_sum(jnp.sum(diff * diff, axis=(-1, -2)), axis_name)
     return jnp.sqrt(sq)
 
@@ -335,9 +341,11 @@ def _local_beta_error(x, w, h, axis_name: str, beta: float = 1.0):
     (``square_root=True``) on the gathered data: every data-dependent
     term — including the sklearn quirk that the Itakura-Saito constant
     counts *all* entries, masked or not — is a local sum completed by
-    one time reduction.
+    one time reduction.  The reconstruction runs at
+    ``Precision.HIGHEST`` (stopping-statistic discipline, see
+    :func:`_local_error`).
     """
-    wh = w @ h
+    wh = jnp.matmul(w, h, precision=jax.lax.Precision.HIGHEST)
     if beta == 2.0:
         # beta_divergence's dedicated Frobenius branch: unmasked,
         # unclamped sum((x - wh)^2)/2, then sqrt(2*res)
@@ -352,7 +360,8 @@ def _local_beta_error(x, w, h, axis_name: str, beta: float = 1.0):
         # structure (cheaper, and the same float summation shape as
         # beta_divergence)
         wh_total = jnp.einsum(
-            "bk,bk->b", jnp.sum(w, axis=-2), jnp.sum(h, axis=-1)
+            "bk,bk->b", jnp.sum(w, axis=-2), jnp.sum(h, axis=-1),
+            precision=jax.lax.Precision.HIGHEST,
         )
         local = (
             jnp.sum(jnp.where(mask, x * jnp.log(div), 0.0), axis=(-1, -2))
@@ -510,8 +519,12 @@ def _local_mu_step_tp(
 
 
 def _local_error_tp(x, w, h, axis_name: str):
-    """Per-trial Frobenius error with channel sums ``psum``'d."""
-    diff = x - w @ h
+    """Per-trial Frobenius error with channel sums ``psum``'d.
+
+    ``Precision.HIGHEST`` reconstruction (stopping-statistic
+    discipline, see :func:`_local_error`).
+    """
+    diff = x - jnp.matmul(w, h, precision=jax.lax.Precision.HIGHEST)
     sq = axis_sum(jnp.sum(diff * diff, axis=(-1, -2)), axis_name)
     return jnp.sqrt(sq)
 
