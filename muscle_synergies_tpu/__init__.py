@@ -45,6 +45,10 @@ from .models import (
     find_space_by_time_synergies,
     find_synergies,
     find_time_varying_synergies,
+    load_model,
+    load_synergy_run,
+    save_model,
+    save_synergy_run,
 )
 from .viz import plot_fft, plot_signal, synergy_heatmap
 
@@ -77,6 +81,10 @@ __all__ = [
     "NMFModel",
     "SynergyRunResult",
     "find_synergies",
+    "save_model",
+    "load_model",
+    "save_synergy_run",
+    "load_synergy_run",
     "find_time_varying_synergies",
     "find_space_by_time_synergies",
     "SpaceByTimeResult",

@@ -176,6 +176,13 @@ def _build_parser():
         help="save figures here: processed signals and one synergy "
              "heatmap per rank (PNG)",
     )
+    p_an.add_argument(
+        "--save-model", metavar="PATH", default=None,
+        help="persist the fitted model as a pickle-free .npz: the "
+             "whole run (VAF table + components + models, reload with "
+             "models.load_synergy_run) for time-invariant NMF, or a "
+             "CNMFModel (CNMFModel.load) for --time-varying",
+    )
 
     p_ds = sub.add_parser(
         "analyze-dataset",
@@ -283,8 +290,106 @@ def _build_parser():
              "shared-vs-specific synergies); requires --subjects with "
              "at least two distinct labels and RANK inside --ranks",
     )
+    p_ds.add_argument(
+        "--save-model", metavar="PATH", default=None,
+        help="persist the fitted shared-module model as a pickle-free "
+             ".npz NM3FModel (reload with NM3FModel.load); only the "
+             "shared-module models have one servable artifact, so this "
+             "requires --space-by-time, --temporal-modules or "
+             "--spatial-modules",
+    )
     p_ds.add_argument("--output", "-o", default=None)
+
+    p_ex = sub.add_parser(
+        "export-transform",
+        help="serialize a saved model's transform as a StableHLO "
+             "artifact (jax.export): serve it with jax alone, no "
+             "framework code",
+    )
+    p_ex.add_argument(
+        "model", help="a .npz written by --save-model / model.save()"
+    )
+    p_ex.add_argument(
+        "--shape", required=True,
+        help="input signature, comma-separated; non-integer entries "
+             "declare symbolic dims (any size at call time), e.g. "
+             "'200,8' or 'b,200,8'",
+    )
+    p_ex.add_argument(
+        "--dtype", choices=["float32", "float64"], default="float32",
+        help="input dtype baked into the artifact (default float32)",
+    )
+    p_ex.add_argument(
+        "--platforms", default="cpu,tpu",
+        help="comma-separated lowering targets (default cpu,tpu)",
+    )
+    p_ex.add_argument(
+        "--rank", type=int, default=None,
+        help="when the .npz holds a whole find_synergies run: which "
+             "rank's model to export",
+    )
+    p_ex.add_argument(
+        "--output", "-o", required=True,
+        help="write the serialized artifact here",
+    )
     return parser
+
+
+def _cmd_export_transform(args) -> int:
+    """``export-transform``: persisted npz -> StableHLO artifact."""
+    from collections.abc import Mapping
+
+    import jax.numpy as jnp
+
+    from muscle_synergies_tpu.models import export_transform
+    from muscle_synergies_tpu.models.persist import (
+        MODEL_FORMAT,
+        RUN_FORMAT,
+        load_model,
+        load_synergy_run,
+    )
+
+    try:
+        model = load_model(args.model)
+    except ValueError as exc:
+        if RUN_FORMAT not in str(exc):
+            raise SystemExit(f"{args.model}: {exc}")
+        run = load_synergy_run(args.model)
+        if isinstance(run.model, Mapping):
+            if args.rank is None:
+                raise SystemExit(
+                    f"{args.model} holds a rank sweep over "
+                    f"{sorted(run.model)}; pick one with --rank"
+                )
+            if args.rank not in run.model:
+                raise SystemExit(
+                    f"--rank {args.rank} not in the sweep "
+                    f"{sorted(run.model)}"
+                )
+            model = run.model[args.rank]
+        else:
+            model = run.model
+
+    shape = tuple(
+        int(d) if d.strip().lstrip("-").isdigit() else d.strip()
+        for d in args.shape.split(",")
+    )
+    if args.dtype == "float64":
+        import jax
+
+        # a f64 signature needs x64 enabled or it silently downcasts
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p)
+    try:
+        export_transform(
+            model, shape, dtype=dtype, platforms=platforms,
+            path=args.output,
+        )
+    except (TypeError, ValueError) as exc:
+        raise SystemExit(str(exc))
+    print(f"exported {type(model).__name__}.transform to {args.output}")
+    return 0
 
 
 def _validate_time_varying_flags(args):
@@ -490,6 +595,9 @@ def _cmd_analyze(args) -> int:
             plt.close(fig)
         print(f"figures in {args.plot}")
 
+    if args.save_model:
+        print(f"model saved to {result.save(args.save_model)}")
+
     text = json.dumps(report, indent=2)
     if args.output:
         with open(args.output, "w") as fh:
@@ -575,6 +683,16 @@ def _analyze_time_varying(args, proc, emg_df, fs) -> int:
         plt.close(fig)
         print(f"figures in {args.plot}")
 
+    if args.save_model:
+        from muscle_synergies_tpu.models import CNMFModel
+
+        model = CNMFModel.from_result(
+            res, args.time_varying, tol=args.tol, max_iter=args.max_iter,
+            n_inits=args.n_inits, impl=args.impl,
+            precision=_cli_precision(args),
+        )
+        print(f"model saved to {model.save(args.save_model)}")
+
     text = json.dumps(report, indent=2)
     if args.output:
         with open(args.output, "w") as fh:
@@ -615,6 +733,17 @@ def _cmd_analyze_dataset(args) -> int:
         _validate_shared_model_flags(args, "--spatial-modules")
     elif args.ranks is None:
         args.ranks = (1, 4)
+    if args.save_model is not None \
+            and args.space_by_time is None \
+            and args.temporal_modules is None \
+            and args.spatial_modules is None:
+        raise SystemExit(
+            "--save-model on analyze-dataset requires a shared-module "
+            "model (--space-by-time, --temporal-modules or "
+            "--spatial-modules); the rank-sweep and --time-varying "
+            "results are per-trial — persist those from "
+            "`analyze --save-model`"
+        )
     solver = args.solver if args.solver is not None else "cd"
     subjects = None
     if args.subjects:  # validate the cheap flag before any ingest
@@ -876,6 +1005,15 @@ def _analyze_dataset_space_by_time(args, trials, fs, config, subjects) -> int:
         "rows": res.spatial_modules.to_numpy().tolist(),
     }
 
+    if args.save_model:
+        from muscle_synergies_tpu.models import NM3FModel
+
+        model = NM3FModel.from_result(
+            res, tol=args.tol, max_iter=args.max_iter,
+            n_inits=args.n_inits, precision=_cli_precision(args),
+        )
+        print(f"model saved to {model.save(args.save_model)}")
+
     text = json.dumps(report, indent=2)
     if args.output:
         with open(args.output, "w") as fh:
@@ -941,6 +1079,20 @@ def _analyze_dataset_shared_factor(args, trials, fs, config, subjects) -> int:
             "rows": res.spatial_modules.to_numpy().tolist(),
         }
         report["activations"] = np.asarray(res.activations).tolist()
+
+    if args.save_model:
+        from muscle_synergies_tpu.models import NM3FModel
+
+        kwargs = dict(
+            tol=args.tol, max_iter=args.max_iter, n_inits=args.n_inits,
+            precision=_cli_precision(args),
+        )
+        model = (
+            NM3FModel.from_temporal_result(res, **kwargs)
+            if temporal
+            else NM3FModel.from_shared_spatial_result(res, **kwargs)
+        )
+        print(f"model saved to {model.save(args.save_model)}")
 
     text = json.dumps(report, indent=2)
     if args.output:
@@ -1008,6 +1160,8 @@ def main(argv=None) -> int:
         return _cmd_describe(args)
     if args.command == "analyze-dataset":
         return _cmd_analyze_dataset(args)
+    if args.command == "export-transform":
+        return _cmd_export_transform(args)
     return _cmd_analyze(args)
 
 

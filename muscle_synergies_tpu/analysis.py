@@ -230,7 +230,11 @@ def vaf(
         )
     overall, per_col = _emg.vaf(x, jnp.asarray(reconstructed_signal))
     labels = ["All signals"] + original_df.columns.tolist()
-    values = [float(overall)] + list(np.ravel(np.asarray(per_col)))
+    # plain Python floats: uniform float64 columns regardless of the
+    # device dtype (f32 runs otherwise mix f64/f32 across columns)
+    values = [float(overall)] + [
+        float(v) for v in np.ravel(np.asarray(per_col))
+    ]
     return pandas.DataFrame({lbl: [val] for lbl, val in zip(labels, values)})
 
 

@@ -440,6 +440,34 @@ def _fit_cnmf_batch_pallas(
     return jax.lax.while_loop(cond, chunk, init)
 
 
+def _init_c_on_device(x: jnp.ndarray, k: int, n_lags: int,
+                      seed: int) -> jnp.ndarray:
+    """On-device scaled-random activation init (the ``C`` half of
+    :func:`init_cnmf`'s scaling rule, via the JAX PRNG).
+
+    Fully traceable: no host RNG and no blocking device->host readback
+    of the data mean, so :func:`cnmf_transform` stays jittable and
+    exportable (:mod:`muscle_synergies_tpu.models.export`).  Batched
+    inputs draw per-trial (``fold_in(seed, b)``) like ``init_cnmf``'s
+    ``seed + b`` convention.
+    """
+    import jax
+
+    key = jax.random.PRNGKey(seed)
+    denom = float(k * n_lags)
+    if x.ndim == 2:
+        scale = jnp.sqrt(jnp.mean(x) / denom) if x.size else 1.0
+        u = jax.random.uniform(key, (x.shape[0], k), dtype=x.dtype)
+        return u * (2.0 * scale)
+    b, t, _ = x.shape
+    scales = jnp.sqrt(jnp.mean(x, axis=(1, 2)) / denom)  # (B,)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(b))
+    draws = jax.vmap(
+        lambda kk: jax.random.uniform(kk, (t, k), dtype=x.dtype)
+    )(keys)
+    return draws * (2.0 * scales)[:, None, None]
+
+
 def cnmf_transform(
     x: jnp.ndarray,
     s: jnp.ndarray,
@@ -462,8 +490,9 @@ def cnmf_transform(
         x: ``(T, L)`` or batched ``(B, T, L)`` nonnegative data.
         s: ``(K, D, L)`` fixed synergies (or ``(B, K, D, L)`` matching
             a batched ``x``).
-        c0: optional initial activations; defaults to the scaled
-            random init of :func:`init_cnmf`.
+        c0: optional initial activations; defaults to an on-device
+            scaled random init (:func:`init_cnmf`'s scaling rule via
+            the JAX PRNG, keeping the whole transform traceable).
         max_iter / tol: sklearn-style stopping on the Frobenius error.
 
     Returns:
@@ -475,8 +504,7 @@ def cnmf_transform(
     if c0 is None:
         k = s.shape[-3]
         n_lags = s.shape[-2]
-        c0_np, _ = init_cnmf(np.asarray(x), k, n_lags, seed=seed)
-        c0 = jnp.asarray(c0_np)
+        c0 = _init_c_on_device(x, k, n_lags, seed)
     else:
         c0 = jnp.asarray(c0)
     if batched:
@@ -773,13 +801,7 @@ class CNMFModel:
         self.impl = impl
         self.precision = precision
 
-    def fit_transform(self, X) -> np.ndarray:
-        """Fit the library and return the ``(T, K)`` activations."""
-        res = find_time_varying_synergies(
-            X, self.n_components, self.n_lags, max_iter=self.max_iter,
-            tol=self.tol, n_inits=self.n_inits, seed=self.random_state,
-            impl=self.impl, precision=self.precision,
-        )
+    def _set_fitted(self, res: "TimeVaryingSynergyResult") -> None:
         self.synergies_ = np.stack(
             [res.synergies[k].to_numpy() for k in range(self.n_components)]
         )
@@ -788,11 +810,32 @@ class CNMFModel:
         self.n_iter_ = res.n_iter
         self.restart_errors_ = res.restart_errors
         self.reconstruction_err_ = float(res.restart_errors.min())
+
+    def fit_transform(self, X) -> np.ndarray:
+        """Fit the library and return the ``(T, K)`` activations."""
+        res = find_time_varying_synergies(
+            X, self.n_components, self.n_lags, max_iter=self.max_iter,
+            tol=self.tol, n_inits=self.n_inits, seed=self.random_state,
+            impl=self.impl, precision=self.precision,
+        )
+        self._set_fitted(res)
         return res.activations.to_numpy()
 
     def fit(self, X) -> "CNMFModel":
         self.fit_transform(X)
         return self
+
+    @classmethod
+    def from_result(
+        cls, res: "TimeVaryingSynergyResult", n_lags: int, **kwargs
+    ) -> "CNMFModel":
+        """Wrap a :func:`find_time_varying_synergies` result as a
+        fitted estimator (e.g. to ``save`` it or ``transform`` new
+        trials without refitting).  ``kwargs`` are the constructor
+        hyperparameters the result was produced with."""
+        model = cls(len(res.synergies), n_lags, **kwargs)
+        model._set_fitted(res)
+        return model
 
     def _check_fitted(self):
         if not hasattr(self, "synergies_"):
@@ -801,16 +844,24 @@ class CNMFModel:
                 "fit_transform first"
             )
 
+    def _transform_jax(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Pure-JAX transform: activations with the library frozen.
+
+        Traceable/jittable (and therefore exportable through
+        :mod:`muscle_synergies_tpu.models.export`)."""
+        self._check_fitted()
+        state = cnmf_transform(
+            x, jnp.asarray(self.synergies_, dtype=x.dtype),
+            max_iter=self.max_iter, tol=self.tol, seed=self.random_state,
+            precision=self.precision,
+        )
+        return state.c
+
     def transform(self, X) -> np.ndarray:
         """Activations of new data against the FITTED library."""
         self._check_fitted()
         x = np.asarray(X, dtype=float)
-        state = cnmf_transform(
-            jnp.asarray(x), jnp.asarray(self.synergies_),
-            max_iter=self.max_iter, tol=self.tol, seed=self.random_state,
-            precision=self.precision,
-        )
-        return np.asarray(state.c)
+        return np.asarray(self._transform_jax(jnp.asarray(x)))
 
     def inverse_transform(self, C) -> np.ndarray:
         """Reconstruction ``X̂`` from activations and the fitted library."""
@@ -820,6 +871,26 @@ class CNMFModel:
                              jnp.asarray(self.synergies_),
                              precision=self.precision)
         )
+
+    def save(self, path):
+        """Persist the fitted model as a pickle-free ``.npz``
+        (:func:`muscle_synergies_tpu.models.persist.save_model`)."""
+        from .persist import save_model
+
+        return save_model(self, path)
+
+    @classmethod
+    def load(cls, path) -> "CNMFModel":
+        """Load a model saved by :meth:`save` (``allow_pickle=False``;
+        safe on untrusted files)."""
+        from .persist import load_model
+
+        model = load_model(path)
+        if not isinstance(model, cls):
+            raise TypeError(
+                f"{path} holds a {type(model).__name__}, not {cls.__name__}"
+            )
+        return model
 
 
 def tvaf(x: jnp.ndarray, c: jnp.ndarray, s: jnp.ndarray,

@@ -327,17 +327,23 @@ def nm3f_transform(
     p, q = w.shape[1], s.shape[0]
     if a0 is None:
         # E[X̂] over (t, l) with A ≡ c is c·(ΣW)(ΣS)/(T·L); match it to
-        # the data mean so the first multiplicative steps are O(1)
+        # the data mean so the first multiplicative steps are O(1).
+        # Computed on device (JAX PRNG, traced mean) so the transform
+        # stays jittable/exportable with no host readback.
+        import jax
+
         t, l = x.shape[1], x.shape[2]
-        denom = float(jnp.sum(w)) * float(jnp.sum(s))
-        c = (
-            float(jnp.mean(x)) * t * l / denom if denom > 0 else 1.0
+        denom = jnp.sum(w) * jnp.sum(s)
+        c = jnp.where(
+            denom > 0,
+            jnp.mean(x) * t * l / jnp.maximum(denom, EPSILON),
+            1.0,
         )
-        rng = np.random.default_rng(seed)
-        a0 = jnp.asarray(
-            rng.uniform(0, 2 * max(c, float(EPSILON)), size=(b, p, q)),
-            dtype=x.dtype,
+        c = jnp.maximum(c, EPSILON)
+        u = jax.random.uniform(
+            jax.random.PRNGKey(seed), (b, p, q), dtype=x.dtype
         )
+        a0 = u * (2.0 * c).astype(x.dtype)
     else:
         a0 = jnp.asarray(a0)
         if a0.ndim == 2:
@@ -624,6 +630,20 @@ class NM3FModel:
         self.random_state = random_state
         self.precision = precision
 
+    def _set_fitted(self, res) -> None:
+        self.temporal_modules_ = res.temporal_modules.to_numpy()
+        self.spatial_modules_ = res.spatial_modules.to_numpy()
+        self.n_temporal_ = self.n_temporal
+        self.n_spatial_ = self.n_spatial
+        self.n_iter_ = int(res.n_iter)
+        self.restart_errors_ = res.restart_errors
+        self.reconstruction_err_ = float(res.restart_errors.min())
+        # SpaceByTimeResult spells it `vaf`; the dataset-level
+        # SpaceByTimeDatasetResult spells it `vaf_overall`
+        self.vaf_ = float(
+            res.vaf if hasattr(res, "vaf") else res.vaf_overall
+        )
+
     def fit_transform(self, X) -> np.ndarray:
         """Fit the modules and return the ``(B, P, Q)`` coefficients."""
         res = find_space_by_time_synergies(
@@ -631,19 +651,79 @@ class NM3FModel:
             tol=self.tol, n_inits=self.n_inits, seed=self.random_state,
             precision=self.precision,
         )
-        self.temporal_modules_ = res.temporal_modules.to_numpy()
-        self.spatial_modules_ = res.spatial_modules.to_numpy()
-        self.n_temporal_ = self.n_temporal
-        self.n_spatial_ = self.n_spatial
-        self.n_iter_ = res.n_iter
-        self.restart_errors_ = res.restart_errors
-        self.reconstruction_err_ = float(res.restart_errors.min())
-        self.vaf_ = res.vaf
+        self._set_fitted(res)
         return res.coefficients
 
     def fit(self, X) -> "NM3FModel":
         self.fit_transform(X)
         return self
+
+    @classmethod
+    def from_result(cls, res, **kwargs) -> "NM3FModel":
+        """Wrap a :func:`find_space_by_time_synergies` result (or the
+        dataset-level ``SpaceByTimeDatasetResult``) as a fitted
+        estimator (e.g. to ``save`` it or ``transform`` new trials
+        without refitting).  ``kwargs`` are the constructor
+        hyperparameters the result was produced with."""
+        model = cls(
+            res.temporal_modules.shape[1], res.spatial_modules.shape[0],
+            **kwargs,
+        )
+        model._set_fitted(res)
+        return model
+
+    @classmethod
+    def from_temporal_result(
+        cls, res: "SharedTemporalResult", **kwargs
+    ) -> "NM3FModel":
+        """Wrap a :func:`find_temporal_synergies` (tMod) result as a
+        fitted estimator.
+
+        tMod is the exact NM3F specialization with the spatial side
+        frozen at identity, so the estimator carries
+        ``spatial_modules_ = eye(L)``; ``transform`` then solves each
+        new trial's ``(P, L)`` muscle weighting against the shared
+        temporal modules — the tMod single-trial decoding step.
+        """
+        n_muscles = res.weights.shape[-1]
+        model = cls(res.temporal_modules.shape[1], n_muscles, **kwargs)
+        model.temporal_modules_ = res.temporal_modules.to_numpy()
+        model.spatial_modules_ = np.eye(
+            n_muscles, dtype=model.temporal_modules_.dtype
+        )
+        model.n_temporal_ = model.n_temporal
+        model.n_spatial_ = n_muscles
+        model.n_iter_ = int(res.n_iter)
+        model.restart_errors_ = res.restart_errors
+        model.reconstruction_err_ = float(res.restart_errors.min())
+        model.vaf_ = float(res.vaf)
+        return model
+
+    @classmethod
+    def from_shared_spatial_result(
+        cls, res: "SharedSpatialResult", **kwargs
+    ) -> "NM3FModel":
+        """Wrap a :func:`find_shared_spatial_synergies` (sMod) result
+        as a fitted estimator.
+
+        sMod freezes the temporal side at identity, so the estimator
+        carries ``temporal_modules_ = eye(T)``; ``transform`` solves
+        each new trial's ``(T, Q)`` activations against the shared
+        spatial modules — the sMod single-trial decoding step.
+        """
+        n_samples = res.activations.shape[1]
+        model = cls(n_samples, res.spatial_modules.shape[0], **kwargs)
+        model.spatial_modules_ = res.spatial_modules.to_numpy()
+        model.temporal_modules_ = np.eye(
+            n_samples, dtype=model.spatial_modules_.dtype
+        )
+        model.n_temporal_ = n_samples
+        model.n_spatial_ = model.n_spatial
+        model.n_iter_ = int(res.n_iter)
+        model.restart_errors_ = res.restart_errors
+        model.reconstruction_err_ = float(res.restart_errors.min())
+        model.vaf_ = float(res.vaf)
+        return model
 
     def _check_fitted(self):
         if not hasattr(self, "temporal_modules_"):
@@ -671,13 +751,21 @@ class NM3FModel:
                 f"temporal modules expect "
                 f"{self.temporal_modules_.shape[0]}"
             )
+        return np.asarray(self._transform_jax(jnp.asarray(x)))
+
+    def _transform_jax(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Pure-JAX transform: coefficients with both modules frozen.
+
+        Traceable/jittable (and therefore exportable through
+        :mod:`muscle_synergies_tpu.models.export`)."""
+        self._check_fitted()
         state = nm3f_transform(
-            jnp.asarray(x), jnp.asarray(self.temporal_modules_),
-            jnp.asarray(self.spatial_modules_),
+            x, jnp.asarray(self.temporal_modules_, dtype=x.dtype),
+            jnp.asarray(self.spatial_modules_, dtype=x.dtype),
             max_iter=self.max_iter, tol=self.tol,
             seed=self.random_state, precision=self.precision,
         )
-        return np.asarray(state.a)
+        return state.a
 
     def inverse_transform(self, A) -> np.ndarray:
         """Reconstruction ``X̂`` from coefficients and fitted modules."""
@@ -690,6 +778,26 @@ class NM3FModel:
                 precision=self.precision,
             )
         )
+
+    def save(self, path):
+        """Persist the fitted model as a pickle-free ``.npz``
+        (:func:`muscle_synergies_tpu.models.persist.save_model`)."""
+        from .persist import save_model
+
+        return save_model(self, path)
+
+    @classmethod
+    def load(cls, path) -> "NM3FModel":
+        """Load a model saved by :meth:`save` (``allow_pickle=False``;
+        safe on untrusted files)."""
+        from .persist import load_model
+
+        model = load_model(path)
+        if not isinstance(model, cls):
+            raise TypeError(
+                f"{path} holds a {type(model).__name__}, not {cls.__name__}"
+            )
+        return model
 
 
 class SharedTemporalResult(NamedTuple):

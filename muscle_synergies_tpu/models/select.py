@@ -315,17 +315,16 @@ class NMFModel:
         self.fit_transform(x, **kwargs)
         return self
 
-    def transform(self, x) -> np.ndarray:
-        """Project ``x`` onto the learned components (W with H fixed).
+    def _transform_jax(self, x_arr: jnp.ndarray):
+        """Pure-JAX transform: ``(W, n_iter)`` with H frozen.
 
-        Uses the *fitted* solver with frozen H, like sklearn's
-        ``transform`` (``_fit_transform(X, H=components_,
-        update_H=False)``), including the same averaged W fill and the
-        W-side regularization.
+        Traceable/jittable (and therefore exportable through
+        :mod:`muscle_synergies_tpu.models.export`): no host-side
+        conversions or warnings — :meth:`transform` wraps those around
+        this core.
         """
         if not hasattr(self, "components_"):
             raise ValueError("this NMFModel instance is not fitted yet")
-        x_arr = jnp.asarray(np.asarray(x, dtype=float))
         h = jnp.asarray(self.components_, dtype=x_arr.dtype)
         k = h.shape[0]
         if self._legacy_alpha is not None:
@@ -372,11 +371,44 @@ class NMFModel:
                 x_arr, w0, h, max_iter=self.max_iter, tol=float(self.tol),
                 l1_reg_w=l1_w, l2_reg_w=l2_w, update_h=False,
             )
-        _warn_if_unconverged(int(state.n_iter), self.max_iter, self.tol)
-        return np.asarray(state.w)
+        return state.w, state.n_iter
+
+    def transform(self, x) -> np.ndarray:
+        """Project ``x`` onto the learned components (W with H fixed).
+
+        Uses the *fitted* solver with frozen H, like sklearn's
+        ``transform`` (``_fit_transform(X, H=components_,
+        update_H=False)``), including the same averaged W fill and the
+        W-side regularization.
+        """
+        w, n_iter = self._transform_jax(
+            jnp.asarray(np.asarray(x, dtype=float))
+        )
+        _warn_if_unconverged(int(n_iter), self.max_iter, self.tol)
+        return np.asarray(w)
 
     def inverse_transform(self, w) -> np.ndarray:
         return np.asarray(w) @ self.components_
+
+    def save(self, path):
+        """Persist the fitted model as a pickle-free ``.npz``
+        (:func:`muscle_synergies_tpu.models.persist.save_model`)."""
+        from .persist import save_model
+
+        return save_model(self, path)
+
+    @classmethod
+    def load(cls, path) -> "NMFModel":
+        """Load a model saved by :meth:`save` (``allow_pickle=False``;
+        safe on untrusted files)."""
+        from .persist import load_model
+
+        model = load_model(path)
+        if not isinstance(model, cls):
+            raise TypeError(
+                f"{path} holds a {type(model).__name__}, not {cls.__name__}"
+            )
+        return model
 
 
 @dataclass
@@ -395,6 +427,21 @@ class SynergyRunResult:
     vaf_values: pandas.DataFrame
     components: Union[pandas.DataFrame, Mapping[int, pandas.DataFrame]]
     model: Union[NMFModel, Mapping[int, NMFModel]]
+
+    def save(self, path):
+        """Persist the whole run (VAF table, components, models) as a
+        pickle-free ``.npz``
+        (:func:`muscle_synergies_tpu.models.persist.save_synergy_run`)."""
+        from .persist import save_synergy_run
+
+        return save_synergy_run(self, path)
+
+    @classmethod
+    def load(cls, path) -> "SynergyRunResult":
+        """Load a run saved by :meth:`save` (``allow_pickle=False``)."""
+        from .persist import load_synergy_run
+
+        return load_synergy_run(path)
 
 
 def find_synergies(

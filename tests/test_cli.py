@@ -432,3 +432,100 @@ def test_precision_flag(capture_csv, tmp_path):
         "--precision", "sloppy",
     ])
     assert r.returncode == 2  # argparse choice error
+
+
+def test_analyze_save_model_round_trips(capture_csv, tmp_path):
+    """--save-model persists the run; reloads support transform."""
+    out = tmp_path / "report.json"
+    model_path = tmp_path / "fitted"
+    result = _run([
+        "analyze", capture_csv, "--ranks", "2:3", "--rms", "0.5",
+        "--max-iter", "300", "--tol", "1e-4",
+        "-o", str(out), "--save-model", str(model_path),
+    ])
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "model saved to" in result.stdout
+    from muscle_synergies_tpu.models import load_synergy_run
+
+    run = load_synergy_run(tmp_path / "fitted.npz")
+    assert sorted(run.model) == [2, 3]
+    report = json.loads(out.read_text())
+    for rank in (2, 3):
+        assert run.model[rank].n_iter_ == report["ranks"][str(rank)]["n_iter"]
+
+
+def test_analyze_time_varying_save_model(capture_csv, tmp_path):
+    result = _run([
+        "analyze", capture_csv, "--ranks", "2", "--time-varying", "6",
+        "--rms", "0.5", "--max-iter", "50", "--n-inits", "2",
+        "--save-model", str(tmp_path / "tv"),
+    ])
+    assert result.returncode == 0, result.stderr[-2000:]
+    from muscle_synergies_tpu.models import CNMFModel
+
+    model = CNMFModel.load(tmp_path / "tv.npz")
+    assert model.synergies_.shape == (2, 6, 8)
+    assert model.n_components_ == 2 and model.n_lags_ == 6
+
+
+def test_analyze_dataset_save_model_shared_modules(capture_csv, tmp_path):
+    """--save-model persists shared-module models; per-trial models
+    are rejected with a pointer to `analyze --save-model`."""
+    result = _run([
+        "analyze-dataset", capture_csv, capture_csv,
+        "--spatial-modules", "2", "--n-inits", "2", "--rms", "0.5",
+        "--max-iter", "60", "--save-model", str(tmp_path / "smod"),
+    ])
+    assert result.returncode == 0, result.stderr[-2000:]
+    from muscle_synergies_tpu.models import NM3FModel
+    import numpy as np
+
+    model = NM3FModel.load(tmp_path / "smod.npz")
+    assert model.spatial_modules_.shape[0] == 2
+    # sMod = NM3F with the temporal side frozen at identity
+    np.testing.assert_array_equal(
+        model.temporal_modules_,
+        np.eye(model.temporal_modules_.shape[0]),
+    )
+
+    r = _run([
+        "analyze-dataset", capture_csv, "--ranks", "2",
+        "--save-model", str(tmp_path / "nope"),
+    ])
+    assert r.returncode == 1
+    assert "requires a shared-module model" in r.stderr
+
+
+def test_export_transform_cli(capture_csv, tmp_path):
+    """analyze --save-model -> export-transform -> jax-only serving."""
+    result = _run([
+        "analyze", capture_csv, "--ranks", "2:3", "--rms", "0.5",
+        "--max-iter", "200", "--tol", "1e-4",
+        "--save-model", str(tmp_path / "run"),
+    ])
+    assert result.returncode == 0, result.stderr[-2000:]
+
+    # sweep payloads need --rank
+    r = _run([
+        "export-transform", str(tmp_path / "run.npz"),
+        "--shape", "200,8", "-o", str(tmp_path / "t.hlo"),
+    ])
+    assert r.returncode == 1 and "--rank" in r.stderr
+
+    r = _run([
+        "export-transform", str(tmp_path / "run.npz"), "--rank", "2",
+        "--shape", "b,8", "-o", str(tmp_path / "t.hlo"),
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    import numpy as np
+
+    from muscle_synergies_tpu.models import load_transform
+
+    fn = load_transform(tmp_path / "t.hlo")
+    assert fn.exported.platforms == ("cpu", "tpu")
+    x = np.abs(RNG_EXPORT.normal(size=(37, 8))).astype("float32")
+    assert fn(x).shape == (37, 2)  # symbolic rows: any length serves
+
+
+RNG_EXPORT = __import__("numpy").random.default_rng(3)
