@@ -3,8 +3,8 @@
 PYTHON ?= python
 
 .PHONY: test test-fast bench bench-quick bench-vaf bench-check \
-	bench-solvers bench-fit bench-e2e bench-all lint doctest check docs-exec \
-	entry native dist clean
+	bench-solvers bench-fit bench-e2e bench-export bench-all lint doctest \
+	check docs-exec entry native dist clean
 
 test:
 	$(PYTHON) -m pytest tests/ -q
@@ -71,7 +71,10 @@ bench-e2e:  # head-to-head full workflow vs the reference impl (same core)
 	$(PYTHON) benchmarks/end_to_end.py --dataset 6 --frames 6000 \
 		--chunk-files 3 --skip-reference | tee -a BENCH_E2E.json
 
-bench-all: bench-check bench-vaf bench-solvers bench-fit bench-e2e  # refresh artifacts
+bench-export:  # chip-validate the StableHLO serving path -> artifact
+	$(PYTHON) scripts/validate_export_tpu.py | tee BENCH_EXPORT.json
+
+bench-all: bench-check bench-vaf bench-solvers bench-fit bench-e2e bench-export  # refresh artifacts
 
 entry:
 	JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \

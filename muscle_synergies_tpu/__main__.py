@@ -343,7 +343,6 @@ def _cmd_export_transform(args) -> int:
 
     from muscle_synergies_tpu.models import export_transform
     from muscle_synergies_tpu.models.persist import (
-        MODEL_FORMAT,
         RUN_FORMAT,
         load_model,
         load_synergy_run,

@@ -58,7 +58,15 @@ def _transform_fn(model):
     """The pure-JAX transform core of a fitted estimator."""
     name = type(model).__name__
     if name == "NMFModel":
-        return lambda x: model._transform_jax(x)[0]
+
+        def nmf_transform(x):
+            # a 3-D signature serves a whole stack of trials per call
+            # (one vmapped program; the batch dim may be symbolic)
+            if x.ndim == 3:
+                return jax.vmap(lambda xi: model._transform_jax(xi)[0])(x)
+            return model._transform_jax(x)[0]
+
+        return nmf_transform
     if name in ("CNMFModel", "NM3FModel"):
         return model._transform_jax
     raise TypeError(

@@ -123,3 +123,23 @@ class TestNM3FExport:
         bad = RNG.uniform(0.1, 1.0, size=(3, 16, 4))
         with pytest.raises(Exception):
             fn(bad)
+
+
+class TestBatchedNMFExport:
+    def test_three_d_signature_vmaps_trials(self):
+        x = _emg_df()
+        model = NMFModel(n_components=2, random_state=0, max_iter=200).fit(x)
+        fn = load_transform(
+            export_transform(model, ("b", 40, 5), dtype=jnp.float64)
+        )
+        stack = np.stack([x.to_numpy(), x.to_numpy() * 1.5])
+        out = fn(stack)
+        assert out.shape == (2, 40, 2)
+        # each batch entry equals the single-trial artifact's output
+        single = load_transform(
+            export_transform(model, (40, 5), dtype=jnp.float64)
+        )
+        for b in range(2):
+            np.testing.assert_allclose(
+                out[b], single(stack[b]), rtol=1e-10, atol=1e-12
+            )
